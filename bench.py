@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via the noop sink (no driver collect overhead,
+no result truncation) — measures the whole pipeline including shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "having_big_orders",
+    "join_broadcast_dims",
+    "join_multikey",
+    "sort_topk_nlargest",
+    "groupby_multi_agg",
+    "cumsum_running_total",
+    "sessionize_events",
+    "window_rank_lag_lead",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "ann_multi_query_topk",
+    "text_quality_score",
+    "token_count_bpe",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from legate_pandas_spark.operators import QUERIES, load_all
+    from legate_pandas_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

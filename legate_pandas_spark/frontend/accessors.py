@@ -1,0 +1,144 @@
+"""``.str`` and ``.dt`` accessors (reference frontend/accessors.py:32-114).
+
+Every method is a pure Catalyst expression (reference dispatches STRING_UOP /
+EXTRACT_FIELD leaf tasks per call, src/string/tasks/ ~2130 LoC of C++ — all of it
+replaced by built-in JVM functions here)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+class StringMethods:
+    def __init__(self, series):
+        self._s = series
+
+    def _wrap(self, col, name=None):
+        return self._s._wrap(col, name)
+
+    def lower(self):
+        return self._wrap(F.lower(self._s._col))
+
+    def upper(self):
+        return self._wrap(F.upper(self._s._col))
+
+    def swapcase(self):
+        return self._wrap(F.translate(self._s._col, _LOWER + _UPPER, _UPPER + _LOWER))
+
+    def contains(self, pat: str, regex: bool = False):
+        """Plain-substring containment by default (reference CPU path,
+        core/column.py:1040-1060); regex=True uses Java regex."""
+        if regex:
+            return self._wrap(null_compare_false(self._s._col.rlike(pat)))
+        return self._wrap(null_compare_false(self._s._col.contains(pat)))
+
+    def startswith(self, pat: str):
+        return self._wrap(null_compare_false(self._s._col.startswith(pat)))
+
+    def endswith(self, pat: str):
+        return self._wrap(null_compare_false(self._s._col.endswith(pat)))
+
+    def len(self):
+        return self._wrap(F.length(self._s._col).cast("long"))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        c = self._s._col
+        if side == "left":
+            return self._wrap(F.lpad(c, width, fillchar))
+        if side == "right":
+            return self._wrap(F.rpad(c, width, fillchar))
+        if side == "both":
+            # center: left gets floor of the extra space, like pandas
+            total = F.length(c)
+            left_pad = (F.lit(width) - total) / 2
+            return self._wrap(
+                F.rpad(F.lpad(c, (total + F.ceil(left_pad)).cast("int"), fillchar), width, fillchar)
+            )
+        raise ValueError(f"invalid side: {side}")
+
+    def zfill(self, width: int):
+        return self._wrap(F.lpad(self._s._col, width, "0"))
+
+    def strip(self, to_strip: str | None = None):
+        if to_strip is None:
+            return self._wrap(F.trim(self._s._col))
+        return self._wrap(F.expr(f"trim(BOTH '{to_strip}' FROM {self._sql_ref()})"))
+
+    def lstrip(self, to_strip: str | None = None):
+        if to_strip is None:
+            return self._wrap(F.ltrim(self._s._col))
+        return self._wrap(F.expr(f"trim(LEADING '{to_strip}' FROM {self._sql_ref()})"))
+
+    def rstrip(self, to_strip: str | None = None):
+        if to_strip is None:
+            return self._wrap(F.rtrim(self._s._col))
+        return self._wrap(F.expr(f"trim(TRAILING '{to_strip}' FROM {self._sql_ref()})"))
+
+    def _sql_ref(self) -> str:
+        # trim(BOTH x FROM col) needs SQL text; only valid for plain column refs
+        return f"`{self._s.name}`"
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else (1 << 30)
+        return self._wrap(F.substring(self._s._col, start + 1, length))
+
+    def replace(self, pat: str, repl: str, regex: bool = False):
+        if regex:
+            return self._wrap(F.regexp_replace(self._s._col, pat, repl))
+        return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
+
+    def split(self, pat: str = r"\s+"):
+        return self._wrap(F.split(self._s._col, pat))
+
+    def to_datetime(self, format: str | None = None):
+        return self._s.to_datetime(format)
+
+
+class DatetimeMethods:
+    def __init__(self, series):
+        self._s = series
+
+    def _wrap(self, col):
+        # reference EXTRACT_FIELD returns int16 (SURVEY §2.8); we use int32 —
+        # Spark's native extraction width
+        return self._s._wrap(col)
+
+    @property
+    def year(self):
+        return self._wrap(F.year(self._s._col))
+
+    @property
+    def month(self):
+        return self._wrap(F.month(self._s._col))
+
+    @property
+    def day(self):
+        return self._wrap(F.dayofmonth(self._s._col))
+
+    @property
+    def hour(self):
+        return self._wrap(F.hour(self._s._col))
+
+    @property
+    def minute(self):
+        return self._wrap(F.minute(self._s._col))
+
+    @property
+    def second(self):
+        return self._wrap(F.second(self._s._col))
+
+    @property
+    def weekday(self):
+        """Monday=0 (pandas) — Spark dayofweek is Sunday=1 (SURVEY §2.8)."""
+        return self._wrap(((F.dayofweek(self._s._col) + 5) % 7).cast("int"))
+
+    dayofweek = weekday
+
+    @property
+    def date(self):
+        return self._wrap(F.to_date(self._s._col))

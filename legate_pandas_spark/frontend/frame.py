@@ -1,0 +1,420 @@
+"""DataFrame facade: pandas-style API compiled to lazy PySpark plans.
+
+Architecture (SURVEY §7): no new execution engine — every method composes a
+Catalyst logical plan; Spark's optimizer supplies predicate pushdown, column
+pruning, join selection and AQE. The reference's eager per-operator Legion
+dispatch (core/pattern.py:170-343) is replaced by lazy composition, with eager
+*semantics* only where pandas requires a value (reductions, __len__, equals).
+
+Index model (SURVEY §4.2): ``_index`` names hidden index columns materialized in
+the plan (StoredIndex/MultiIndex). A fresh frame has a *virtual* RangeIndex —
+nothing is materialized until an ordered op needs it, at which point a
+partition-stable ordering key (monotonically_increasing_id) is attached; global
+contiguous labels are never built unless the user reset_index()es explicitly —
+the 100 TB guardrail (reference keeps RangeIndex lazy the same way,
+core/index.py:189-287).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql.window import Window
+
+from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type, to_spark_type
+from legate_pandas_spark.frontend.series import Series
+
+ROW_ORDER = "__row_order__"
+
+
+class DataFrame:
+    def __init__(self, sdf: SparkDF, index: tuple[str, ...] = ()):
+        self._sdf = sdf
+        self._index = tuple(index)
+
+    # ------------------------------------------------------------------ basics
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c not in self._index and c != ROW_ORDER]
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        return {c: t for c, t in self._sdf.dtypes if c in self.columns}
+
+    @property
+    def index_names(self) -> tuple[str, ...]:
+        return self._index
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self.columns))
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        return DataFrame(self._sdf, self._index)
+
+    def _replace(self, sdf: SparkDF, index=None) -> "DataFrame":
+        return DataFrame(sdf, self._index if index is None else tuple(index))
+
+    def _ordered_sdf(self) -> SparkDF:
+        """Attach a partition-stable row-order key if not present (virtual
+        RangeIndex materialization — narrow op, no shuffle)."""
+        if ROW_ORDER in self._sdf.columns:
+            return self._sdf
+        return self._sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+
+    # ------------------------------------------------------------ projection
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Series(self, F.col(key), key)
+        if isinstance(key, list):
+            keep = [c for c in self._index if c not in key]
+            if ROW_ORDER in self._sdf.columns:
+                keep.append(ROW_ORDER)
+            return self._replace(self._sdf.select(*(keep + key)))
+        if isinstance(key, Series):
+            return self._replace(self._sdf.filter(key._col))
+        raise TypeError(f"unsupported key type: {type(key)!r}")
+
+    def __setitem__(self, name: str, value) -> None:
+        if isinstance(value, Series):
+            self._sdf = self._sdf.withColumn(name, value._col)
+        else:
+            self._sdf = self._sdf.withColumn(name, F.lit(value))
+
+    def assign(self, **kwargs) -> "DataFrame":
+        sdf = self._sdf
+        for name, value in kwargs.items():
+            col = value._col if isinstance(value, Series) else F.lit(value)
+            sdf = sdf.withColumn(name, col)
+        return self._replace(sdf)
+
+    def drop(self, labels=None, columns=None, axis=0) -> "DataFrame":
+        if columns is None and axis in (1, "columns"):
+            columns = labels
+        if columns is None:
+            raise NotImplementedError("row drops by label: use boolean filtering")
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return self._replace(self._sdf.drop(*cols))
+
+    def rename(self, columns: dict | None = None) -> "DataFrame":
+        sdf = self._sdf
+        for old, new in (columns or {}).items():
+            sdf = sdf.withColumnRenamed(old, new)
+        index = tuple((columns or {}).get(c, c) for c in self._index)
+        return DataFrame(sdf, index)
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename(columns={c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(columns={c: c + suffix for c in self.columns})
+
+    # ------------------------------------------------------------ row selection
+    def query(self, expr: str, **env) -> "DataFrame":
+        from legate_pandas_spark.frontend.query import translate_query_expr
+
+        return self._replace(self._sdf.filter(translate_query_expr(expr, env or None)))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._replace(self._sdf.limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        sdf = self._ordered_sdf()
+        return self._replace(
+            sdf.orderBy(F.desc(ROW_ORDER)).limit(n).orderBy(F.asc(ROW_ORDER))
+        )
+
+    def drop_duplicates(self, subset=None, keep: str | bool = "first") -> "DataFrame":
+        data_cols = self.columns
+        subset = [subset] if isinstance(subset, str) else list(subset or data_cols)
+        if keep is False:
+            counts = Window.partitionBy(*subset)
+            sdf = (
+                self._sdf.withColumn("__cnt__", F.count(F.lit(1)).over(counts))
+                .filter(F.col("__cnt__") == 1)
+                .drop("__cnt__")
+            )
+            return self._replace(sdf)
+        sdf = self._ordered_sdf()
+        order = F.asc(ROW_ORDER) if keep == "first" else F.desc(ROW_ORDER)
+        w = Window.partitionBy(*subset).orderBy(order)
+        out = sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop(
+            "__rn__"
+        )
+        return self._replace(out)
+
+    def dropna(self, how: str = "any", thresh: int | None = None, subset=None) -> "DataFrame":
+        cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
+        if thresh is not None:
+            non_null = sum(F.col(c).isNotNull().cast("int") for c in cols)
+            return self._replace(self._sdf.filter(non_null >= thresh))
+        return self._replace(self._sdf.dropna(how=how, subset=cols))
+
+    # ------------------------------------------------------------ nulls / casts
+    def fillna(self, value) -> "DataFrame":
+        if isinstance(value, dict):
+            return self._replace(self._sdf.fillna(value))
+        return self._replace(self._sdf.fillna(value, subset=self.columns))
+
+    def isna(self) -> "DataFrame":
+        sel = list(self._index) + [F.col(c).isNull().alias(c) for c in self.columns]
+        return self._replace(self._sdf.select(*sel))
+
+    def notna(self) -> "DataFrame":
+        sel = list(self._index) + [F.col(c).isNotNull().alias(c) for c in self.columns]
+        return self._replace(self._sdf.select(*sel))
+
+    def astype(self, dtype) -> "DataFrame":
+        mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in self.columns}
+        sdf = self._sdf
+        for c, t in mapping.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
+        return self._replace(sdf)
+
+    def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        """Keep cells where cond holds, else `other` (reference copy_if_else,
+        frontend/frame.py:218-277). cond may be a boolean Series (row-wise)."""
+        if isinstance(cond, Series):
+            o = F.lit(other) if not isinstance(other, Series) else other._col
+            sel = list(self._index) + [
+                F.when(cond._col, F.col(c)).otherwise(o).alias(c) for c in self.columns
+            ]
+            return self._replace(self._sdf.select(*sel))
+        raise NotImplementedError("frame-shaped cond: align first")
+
+    def mask(self, cond, other=None) -> "DataFrame":
+        if isinstance(cond, Series):
+            return self.where(~cond, other)
+        raise NotImplementedError("frame-shaped cond: align first")
+
+    # ------------------------------------------------------------ sorting
+    def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = []
+        for c, a in zip(by, asc):
+            if a:
+                cols.append(F.asc_nulls_last(c) if na_position == "last" else F.asc_nulls_first(c))
+            else:
+                cols.append(F.desc_nulls_last(c) if na_position == "last" else F.desc_nulls_first(c))
+        if ROW_ORDER in self._sdf.columns:
+            cols.append(F.asc(ROW_ORDER))  # stability tiebreaker (stable sort contract)
+        return self._replace(self._sdf.orderBy(*cols))
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        if not self._index:
+            return self
+        cols = [F.asc(c) if ascending else F.desc(c) for c in self._index]
+        return self._replace(self._sdf.orderBy(*cols))
+
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def nsmallest(self, n: int, columns) -> "DataFrame":
+        return self.sort_values(columns, ascending=True).head(n)
+
+    # ------------------------------------------------------------ index ops
+    def set_index(self, keys, drop: bool = True) -> "DataFrame":
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        # index columns stay physically present; only metadata changes
+        return DataFrame(self._sdf, tuple(keys))
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        if drop:
+            keep = [c for c in self._sdf.columns if c not in self._index]
+            return DataFrame(self._sdf.select(*keep), ())
+        return DataFrame(self._sdf, ())
+
+    # ------------------------------------------------------------ relational
+    def merge(self, right: "DataFrame", **kwargs) -> "DataFrame":
+        from legate_pandas_spark.frontend.merge import merge as _merge
+
+        return _merge(self, right, **kwargs)
+
+    def join(self, other: "DataFrame", how: str = "left", lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        """Index join (reference join = merge on index)."""
+        if not self._index or not other._index:
+            raise ValueError("join requires both frames to have a set index")
+        return self.merge(
+            other,
+            how=how,
+            left_index=True,
+            right_index=True,
+            suffixes=(lsuffix or "_x", rsuffix or "_y"),
+        )
+
+    def groupby(self, by, as_index: bool = True, sort: bool = False):
+        from legate_pandas_spark.frontend.groupby import GroupBy
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self, keys, as_index=as_index, sort=sort)
+
+    def concat_rows(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(
+            self._sdf.unionByName(other._sdf, allowMissingColumns=True), self._index
+        )
+
+    append = concat_rows
+
+    # ------------------------------------------------------------ cumulative
+    def _cum(self, op, numeric_only: bool = True) -> "DataFrame":
+        sdf = self._ordered_sdf()
+        w = (
+            Window.orderBy(F.asc(ROW_ORDER))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # NOTE: global (unpartitioned) window — correct but single-task at scale;
+        # partition the frame (groupby.cum*) for the distributed path. Mirrors the
+        # reference's two-phase carry scan semantics (core/column.py:644-687).
+        out = []
+        for c, t in self._sdf.dtypes:
+            if c in self._index or c == ROW_ORDER:
+                out.append(F.col(c))
+            elif is_numeric_spark_type(t):
+                out.append(op(F.col(c), w).alias(c))
+            elif not numeric_only:
+                raise TypeError(f"cumulative op on non-numeric column {c!r}")
+            else:
+                out.append(F.col(c))
+        return self._replace(sdf.select(*out))
+
+    def cumsum(self) -> "DataFrame":
+        return self._cum(lambda c, w: F.sum(c).over(w))
+
+    def cummax(self) -> "DataFrame":
+        return self._cum(lambda c, w: F.max(c).over(w))
+
+    def cummin(self) -> "DataFrame":
+        return self._cum(lambda c, w: F.min(c).over(w))
+
+    def cumprod(self) -> "DataFrame":
+        # exp∘cumsum∘log for positive values; sign tracking via parity of negatives
+        def prod(c, w):
+            sign = F.when(
+                F.sum(F.when(c < 0, 1).otherwise(0)).over(w) % 2 == 1, -1.0
+            ).otherwise(1.0)
+            magnitude = F.exp(F.sum(F.log(F.abs(c.cast("double")))).over(w))
+            has_zero = F.max((c == 0).cast("int")).over(w) == 1
+            return F.when(has_zero, 0.0).otherwise(sign * magnitude)
+
+        return self._cum(prod)
+
+    # ------------------------------------------------------------ reductions
+    def _reduce_frame(self, agg_fn, numeric_only: bool = True):
+        import pandas as pd
+
+        aggs, names = [], []
+        for c, t in self._sdf.dtypes:
+            if c in self._index or c == ROW_ORDER:
+                continue
+            if numeric_only and not is_numeric_spark_type(t):
+                continue
+            aggs.append(agg_fn(F.col(c)).alias(c))
+            names.append(c)
+        if not aggs:
+            return pd.Series(dtype="float64")
+        row = self._sdf.agg(*aggs).collect()[0]
+        return pd.Series({n: row[n] for n in names})
+
+    def sum(self, numeric_only: bool = True):
+        return self._reduce_frame(F.sum, numeric_only)
+
+    def mean(self, numeric_only: bool = True):
+        return self._reduce_frame(F.avg, numeric_only)
+
+    def min(self, numeric_only: bool = False):
+        return self._reduce_frame(F.min, numeric_only)
+
+    def max(self, numeric_only: bool = False):
+        return self._reduce_frame(F.max, numeric_only)
+
+    def count(self):
+        return self._reduce_frame(F.count, numeric_only=False)
+
+    def var(self, ddof: int = 1):
+        return self._reduce_frame(F.var_samp if ddof == 1 else F.var_pop)
+
+    def std(self, ddof: int = 1):
+        return self._reduce_frame(F.stddev_samp if ddof == 1 else F.stddev_pop)
+
+    def prod(self):
+        return self._reduce_frame(F.product)
+
+    def any(self):
+        return self._reduce_frame(lambda c: F.max(c.cast("boolean").cast("int")) == 1, False)
+
+    def all(self):
+        return self._reduce_frame(lambda c: F.min(c.cast("boolean").cast("int")) == 1, False)
+
+    def nunique(self):
+        return self._reduce_frame(F.countDistinct, numeric_only=False)
+
+    # ------------------------------------------------------------ equality
+    def equals(self, other: "DataFrame") -> bool:
+        """Exact equality incl. schema (reference EQUALS task tree,
+        core/table.py:963-981) — symmetric exceptAll emptiness check."""
+        if [c for c in self.columns] != [c for c in other.columns]:
+            return False
+        a = self._sdf.select(*self.columns)
+        b = other._sdf.select(*other.columns)
+        if dict(a.dtypes) != dict(b.dtypes):
+            return False
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # ------------------------------------------------------------ export
+    def to_spark(self) -> SparkDF:
+        return self._sdf.select(*self.columns)
+
+    def to_pandas(self):
+        cols = list(self._index) + self.columns
+        pdf = self._sdf.select(*cols).toPandas()
+        if self._index:
+            pdf = pdf.set_index(list(self._index))
+        return pdf
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
+        w = self._sdf.select(*(list(self._index) + self.columns)).write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def to_csv(self, path: str, header: bool = True, sep: str = ",", mode: str = "overwrite",
+               single_file: bool = False) -> None:
+        sdf = self._sdf.select(*self.columns)
+        if single_file:
+            sdf = sdf.coalesce(1)  # reference single-file mode (core/table.py:1134-1182)
+        sdf.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+    def __repr__(self) -> str:
+        return f"DataFrame[cols={self.columns}, index={list(self._index)}]"
+
+
+def concat(objs, axis: int = 0) -> DataFrame:
+    """concat(axis=0) = union-of-frames (reference contract: README.md:194-196 —
+    explicitly NOT ordered back-to-back concatenation); axis=1 requires shared
+    stored indexes and becomes an index equi-join."""
+    objs = list(objs)
+    if axis == 0:
+        out = objs[0]._sdf
+        for o in objs[1:]:
+            out = out.unionByName(o._sdf, allowMissingColumns=True)
+        return DataFrame(out, objs[0]._index)
+    if axis == 1:
+        base = objs[0]
+        if not base._index:
+            raise ValueError("concat(axis=1) requires frames with a set index")
+        out = base
+        for o in objs[1:]:
+            out = out.join(o)
+        return out
+    raise ValueError(f"invalid axis: {axis}")
+
+
+def from_pandas(pdf, spark=None) -> DataFrame:
+    from legate_pandas_spark.session import get_spark
+
+    spark = spark or get_spark()
+    return DataFrame(spark.createDataFrame(pdf))

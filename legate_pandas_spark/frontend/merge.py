@@ -1,0 +1,123 @@
+"""pandas merge semantics on Spark joins (reference frontend/merge.py:20-130,
+core/merge.py:103-240 key resolution, :490-614 output naming).
+
+What the frontend owns: key resolution (on/left_on/right_on/left_index/
+right_index, common-column inference), ``_x/_y`` suffixing of colliding non-key
+columns, outer-join key coalescing, and pandas column ordering. What Spark owns:
+everything physical — SMJ/SHJ/broadcast selection, partitioning reuse, AQE.
+
+Extensions over the reference: how='right' (flipped left; reference raises,
+frontend/merge.py:69-74) and how='cross'/'semi'/'anti'.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+_HOW_MAP = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "outer": "full_outer",
+    "cross": "cross",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
+def merge(
+    left,
+    right,
+    how: str = "inner",
+    on=None,
+    left_on=None,
+    right_on=None,
+    left_index: bool = False,
+    right_index: bool = False,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    broadcast: bool = False,
+):
+    from legate_pandas_spark.frontend.frame import DataFrame
+
+    if how not in _HOW_MAP:
+        raise ValueError(f"invalid how: {how!r}")
+
+    lcols = left.columns + list(left._index)
+    rcols = right.columns + list(right._index)
+
+    # ---- key resolution (pandas rules) -----------------------------------
+    if left_index and right_index:
+        lkeys, rkeys = list(left._index), list(right._index)
+        shared_key = [ln == rn for ln, rn in zip(lkeys, rkeys)]
+    elif on is not None:
+        on = [on] if isinstance(on, str) else list(on)
+        lkeys = rkeys = on
+        shared_key = [True] * len(on)
+    elif left_on is not None or right_on is not None:
+        if left_on is None or right_on is None:
+            raise ValueError("left_on and right_on must be given together")
+        lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        if len(lkeys) != len(rkeys):
+            raise ValueError("left_on and right_on must have equal length")
+        shared_key = [ln == rn for ln, rn in zip(lkeys, rkeys)]
+    elif how == "cross":
+        lkeys, rkeys, shared_key = [], [], []
+    else:
+        # pandas common-column inference
+        common = [c for c in left.columns if c in set(right.columns)]
+        if not common:
+            raise ValueError("no common columns to merge on")
+        lkeys = rkeys = common
+        shared_key = [True] * len(common)
+
+    for k in lkeys:
+        if k not in lcols:
+            raise KeyError(f"left key {k!r} not in columns")
+    for k in rkeys:
+        if k not in rcols:
+            raise KeyError(f"right key {k!r} not in columns")
+
+    # ---- build disambiguated join ----------------------------------------
+    rpref = "__r__"
+    lsdf = left._sdf.select(*lcols)
+    rsdf = right._sdf.select(*[F.col(c).alias(rpref + c) for c in rcols])
+    if broadcast:
+        # reference method='broadcast' (core/merge.py:639-643) → Catalyst hint
+        rsdf = F.broadcast(rsdf)
+
+    if how == "cross":
+        joined = lsdf.crossJoin(rsdf)
+    else:
+        cond = None
+        for lk, rk in zip(lkeys, rkeys):
+            c = lsdf[lk] == rsdf[rpref + rk]
+            cond = c if cond is None else (cond & c)
+        joined = lsdf.join(rsdf, cond, _HOW_MAP[how])
+
+    if how in ("semi", "anti"):
+        return DataFrame(joined, left._index)
+
+    # ---- output projection: pandas naming / ordering ----------------------
+    out_cols = []
+    rkey_shared = {rk for rk, sh in zip(rkeys, shared_key) if sh}
+    lkey_shared = {lk for lk, sh in zip(lkeys, shared_key) if sh}
+    collisions = (set(lcols) & set(rcols)) - lkey_shared
+
+    for c in lcols:
+        if c in lkey_shared and how in ("outer", "right"):
+            rk = rkeys[lkeys.index(c)]
+            out_cols.append(F.coalesce(F.col(c), F.col(rpref + rk)).alias(c))
+        elif c in collisions:
+            out_cols.append(F.col(c).alias(c + suffixes[0]))
+        else:
+            out_cols.append(F.col(c))
+    for c in rcols:
+        if c in rkey_shared:
+            continue  # shared key emitted once from the left side
+        if c in collisions:
+            out_cols.append(F.col(rpref + c).alias(c + suffixes[1]))
+        else:
+            out_cols.append(F.col(rpref + c).alias(c))
+
+    return DataFrame(joined.select(*out_cols), ())

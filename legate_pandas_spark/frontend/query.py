@@ -1,0 +1,125 @@
+"""pandas ``DataFrame.query(expr)`` → Spark SQL condition translation.
+
+The reference JIT-compiles query expressions with numba into CPU cfuncs / CUDA PTX
+and evaluates them as a row-wise UDF (reference core/query.py:33-311,
+src/udf/eval_udf.cc). On Spark that whole machinery is unnecessary: translating the
+expression into a Catalyst predicate gets whole-stage-codegen'd JVM execution plus
+predicate pushdown — strictly better than a Python-side JIT. Only expressions the
+translator cannot express should fall back to a Pandas UDF (not needed for the
+reference's supported grammar, which is comparisons/arithmetic/boolean logic only).
+"""
+
+from __future__ import annotations
+
+import ast
+
+_BINOP = {
+    ast.Add: "+",
+    ast.Sub: "-",
+    ast.Mult: "*",
+    ast.Div: "/",
+    ast.Mod: "%",
+    ast.Pow: "^",  # rewritten to power() below
+    ast.BitAnd: "&",
+    ast.BitOr: "|",
+    ast.BitXor: "^",
+}
+
+_CMPOP = {
+    ast.Eq: "=",
+    ast.NotEq: "<>",
+    ast.Lt: "<",
+    ast.LtE: "<=",
+    ast.Gt: ">",
+    ast.GtE: ">=",
+}
+
+
+class QueryTranslationError(ValueError):
+    pass
+
+
+def _emit(node: ast.AST, env: dict | None) -> str:
+    if isinstance(node, ast.BoolOp):
+        op = " AND " if isinstance(node.op, ast.And) else " OR "
+        return "(" + op.join(_emit(v, env) for v in node.values) + ")"
+    if isinstance(node, ast.UnaryOp):
+        if isinstance(node.op, ast.Not):
+            return f"(NOT {_emit(node.operand, env)})"
+        if isinstance(node.op, ast.USub):
+            return f"(-{_emit(node.operand, env)})"
+        if isinstance(node.op, ast.Invert):
+            return f"(NOT {_emit(node.operand, env)})"
+        raise QueryTranslationError(f"unsupported unary op: {ast.dump(node)}")
+    if isinstance(node, ast.Compare):
+        left = _emit(node.left, env)
+        parts = []
+        for op, comparator in zip(node.ops, node.comparators):
+            right = _emit(comparator, env)
+            if isinstance(op, ast.In):
+                parts.append(f"{left} IN ({right.strip('()')})")
+            elif isinstance(op, ast.NotIn):
+                parts.append(f"{left} NOT IN ({right.strip('()')})")
+            else:
+                cls = type(op)
+                if cls not in _CMPOP:
+                    raise QueryTranslationError(f"unsupported comparison: {cls.__name__}")
+                parts.append(f"{left} {_CMPOP[cls]} {right}")
+            left = right
+        return "(" + " AND ".join(parts) + ")"
+    if isinstance(node, ast.BinOp):
+        cls = type(node.op)
+        if cls is ast.Pow:
+            return f"power({_emit(node.left, env)}, {_emit(node.right, env)})"
+        if cls is ast.FloorDiv:
+            return f"floor({_emit(node.left, env)} / {_emit(node.right, env)})"
+        if cls not in _BINOP:
+            raise QueryTranslationError(f"unsupported binary op: {cls.__name__}")
+        return f"({_emit(node.left, env)} {_BINOP[cls]} {_emit(node.right, env)})"
+    if isinstance(node, ast.Name):
+        # `@external` variables arrive as plain names prefixed by ast parse of
+        # "__at__<name>" (handled in translate_query_expr); bare names are columns.
+        if env is not None and node.id.startswith("__at__"):
+            return _lit(env[node.id[6:]])
+        return f"`{node.id}`"
+    if isinstance(node, ast.Constant):
+        return _lit(node.value)
+    if isinstance(node, (ast.List, ast.Tuple)):
+        return "(" + ", ".join(_emit(e, env) for e in node.elts) + ")"
+    if isinstance(node, ast.Call):
+        # whitelist of scalar fns usable inside query expressions
+        if isinstance(node.func, ast.Name) and node.func.id in {"abs", "sqrt", "floor", "ceil"}:
+            args = ", ".join(_emit(a, env) for a in node.args)
+            return f"{node.func.id}({args})"
+        raise QueryTranslationError(f"unsupported call: {ast.dump(node)}")
+    raise QueryTranslationError(f"unsupported syntax: {ast.dump(node)}")
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_lit(x) for x in v) + ")"
+    raise QueryTranslationError(f"unsupported literal type: {type(v).__name__}")
+
+
+def translate_query_expr(expr: str, env: dict | None = None) -> str:
+    """Translate a pandas query expression into a Spark SQL boolean expression.
+
+    Supports the reference grammar (core/query.py:33-311): comparisons, arithmetic,
+    and/or/not, `in`, chained comparisons, and ``@var`` external references
+    (resolved from ``env``).
+    """
+    src = expr.replace("@", "__at__")
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as exc:
+        raise QueryTranslationError(f"cannot parse query expression: {expr!r}") from exc
+    return _emit(tree.body, env)

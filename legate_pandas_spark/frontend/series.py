@@ -1,0 +1,265 @@
+"""Series facade: a named column expression bound to a parent frame's lineage.
+
+Mirrors the reference's ``Series`` frontend (frontend/series.py) where every
+element-wise op immediately dispatched a Legion task; here each op composes a
+Catalyst expression, so chains of scalar ops fuse into one whole-stage-codegen
+span — zero per-op overhead.
+
+Alignment contract: binary ops between two Series require them to share lineage
+(same parent frame), matching the reference's aligned-only support
+(README.md:208-218; core/index.py:87-102 raises on unaligned partitions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from legate_pandas_spark.frontend.dtypes import (
+    floordiv,
+    null_compare_false,
+    to_spark_type,
+    truediv,
+)
+
+
+class Series:
+    def __init__(self, frame, col: Column, name: str):
+        self._frame = frame  # parent DataFrame facade (lineage anchor)
+        self._col = col
+        self.name = name
+
+    # -- plumbing ----------------------------------------------------------
+    def _other_col(self, other):
+        if isinstance(other, Series):
+            if other._frame is not None and self._frame is not None and other._frame._sdf is not self._frame._sdf:
+                raise ValueError(
+                    "binary ops require Series from the same frame (aligned); "
+                    "merge/join the frames first (reference README.md:208-218)"
+                )
+            return other._col
+        return F.lit(other)
+
+    def _wrap(self, col: Column, name: str | None = None) -> "Series":
+        return Series(self._frame, col, name or self.name)
+
+    def spark_col(self) -> Column:
+        return self._col
+
+    # -- arithmetic (pandas promotion rules) -------------------------------
+    def __add__(self, other):
+        return self._wrap(self._col + self._other_col(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._wrap(self._col - self._other_col(other))
+
+    def __rsub__(self, other):
+        return self._wrap(self._other_col(other) - self._col)
+
+    def __mul__(self, other):
+        return self._wrap(self._col * self._other_col(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._wrap(truediv(self._col, self._other_col(other)))
+
+    def __rtruediv__(self, other):
+        return self._wrap(truediv(self._other_col(other), self._col))
+
+    def __floordiv__(self, other):
+        return self._wrap(floordiv(self._col, self._other_col(other)))
+
+    def __mod__(self, other):
+        return self._wrap(self._col % self._other_col(other))
+
+    def __pow__(self, other):
+        return self._wrap(F.pow(self._col, self._other_col(other)))
+
+    def __neg__(self):
+        return self._wrap(-self._col)
+
+    def __abs__(self):
+        return self._wrap(F.abs(self._col))
+
+    def abs(self):
+        return self.__abs__()
+
+    def round(self, decimals: int = 0):
+        return self._wrap(F.round(self._col, decimals))
+
+    def floor(self):
+        return self._wrap(F.floor(self._col))
+
+    # -- comparisons: null-compare-false, non-nullable result --------------
+    def __eq__(self, other):  # type: ignore[override]
+        return self._wrap(null_compare_false(self._col == self._other_col(other)))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._wrap(null_compare_false(self._col != self._other_col(other)))
+
+    def __lt__(self, other):
+        return self._wrap(null_compare_false(self._col < self._other_col(other)))
+
+    def __le__(self, other):
+        return self._wrap(null_compare_false(self._col <= self._other_col(other)))
+
+    def __gt__(self, other):
+        return self._wrap(null_compare_false(self._col > self._other_col(other)))
+
+    def __ge__(self, other):
+        return self._wrap(null_compare_false(self._col >= self._other_col(other)))
+
+    # -- boolean / bitwise --------------------------------------------------
+    def __and__(self, other):
+        return self._wrap(self._col & self._other_col(other))
+
+    def __or__(self, other):
+        return self._wrap(self._col | self._other_col(other))
+
+    def __xor__(self, other):
+        return self._wrap(
+            F.expr("1=0") if False else (self._col.cast("boolean") != self._other_col(other).cast("boolean"))
+        )
+
+    def __invert__(self):
+        return self._wrap(~self._col)
+
+    # -- nulls ----------------------------------------------------------------
+    def isna(self):
+        return self._wrap(self._col.isNull(), name=self.name)
+
+    isnull = isna
+
+    def notna(self):
+        return self._wrap(self._col.isNotNull(), name=self.name)
+
+    notnull = notna
+
+    def fillna(self, value):
+        return self._wrap(F.coalesce(self._col, F.lit(value)))
+
+    def isin(self, values):
+        return self._wrap(null_compare_false(self._col.isin(list(values))))
+
+    def between(self, left, right):
+        return self._wrap(null_compare_false(self._col.between(left, right)))
+
+    def where(self, cond, other=None):
+        """Keep values where cond is True, else replace with other (pandas)."""
+        cond_col = cond._col if isinstance(cond, Series) else F.lit(cond)
+        other_col = self._other_col(other) if other is not None else F.lit(None)
+        return self._wrap(F.when(cond_col, self._col).otherwise(other_col))
+
+    def mask(self, cond, other=None):
+        """Replace values where cond is True (inverse of where)."""
+        cond_col = cond._col if isinstance(cond, Series) else F.lit(cond)
+        other_col = self._other_col(other) if other is not None else F.lit(None)
+        return self._wrap(F.when(cond_col, other_col).otherwise(self._col))
+
+    def clip(self, lower=None, upper=None):
+        col = self._col
+        if lower is not None:
+            col = F.greatest(col, F.lit(lower))
+        if upper is not None:
+            col = F.least(col, F.lit(upper))
+        return self._wrap(col)
+
+    # -- casts ----------------------------------------------------------------
+    def astype(self, dtype):
+        return self._wrap(self._col.cast(to_spark_type(dtype)))
+
+    def to_datetime(self, format: str | None = None):
+        fmt = _strftime_to_java(format) if format else None
+        return self._wrap(F.to_timestamp(self._col, fmt) if fmt else F.to_timestamp(self._col))
+
+    # -- accessors --------------------------------------------------------------
+    @property
+    def str(self):
+        from legate_pandas_spark.frontend.accessors import StringMethods
+
+        return StringMethods(self)
+
+    @property
+    def dt(self):
+        from legate_pandas_spark.frontend.accessors import DatetimeMethods
+
+        return DatetimeMethods(self)
+
+    # -- reductions (eager scalars, like the reference's futures) -----------
+    def _reduce(self, agg_col):
+        if self._frame is None:
+            raise ValueError("Series has no parent frame")
+        return self._frame._sdf.select(agg_col.alias("v")).collect()[0][0]
+
+    def sum(self):
+        return self._reduce(F.sum(self._col))
+
+    def mean(self):
+        return self._reduce(F.avg(self._col))
+
+    def min(self):
+        return self._reduce(F.min(self._col))
+
+    def max(self):
+        return self._reduce(F.max(self._col))
+
+    def count(self):
+        return self._reduce(F.count(self._col))
+
+    def var(self, ddof: int = 1):
+        return self._reduce(F.var_samp(self._col) if ddof == 1 else F.var_pop(self._col))
+
+    def std(self, ddof: int = 1):
+        return self._reduce(F.stddev_samp(self._col) if ddof == 1 else F.stddev_pop(self._col))
+
+    def prod(self):
+        return self._reduce(F.product(self._col))
+
+    def any(self):
+        return bool(self._reduce(F.max(self._col.cast("boolean").cast("int"))))
+
+    def all(self):
+        return bool(self._reduce(F.min(self._col.cast("boolean").cast("int"))))
+
+    def nunique(self):
+        return self._reduce(F.countDistinct(self._col))
+
+    def value_counts(self):
+        """Returns a DataFrame facade (value, count) sorted by count desc."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        out = (
+            self._frame._sdf.select(self._col.alias(self.name or "value"))
+            .groupBy(self.name or "value")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"))
+        )
+        return DataFrame(out)
+
+    def to_pandas(self):
+        import pandas as pd
+
+        pdf = self._frame._sdf.select(self._col.alias(self.name or "0")).toPandas()
+        return pdf[pdf.columns[0]]
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """Translate a C strftime format (pandas) into a JVM DateTimeFormatter
+    pattern (reference accepts strftime in str.to_datetime, core/column.py:344)."""
+    table = {
+        "%Y": "yyyy",
+        "%m": "MM",
+        "%d": "dd",
+        "%H": "HH",
+        "%M": "mm",
+        "%S": "ss",
+        "%y": "yy",
+        "%f": "SSSSSS",
+    }
+    out = fmt
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out

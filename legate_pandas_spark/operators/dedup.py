@@ -1,0 +1,247 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (batch pandas only) — these are the first-class
+extension surface for 100 TB corpus curation:
+
+* exact dedup      — hash-groupBy on a content digest (one shuffle on md5(text)).
+* MinHash + LSH    — shingle → k minhashes → banded buckets → candidate self-join →
+                     exact Jaccard verification. The band join bounds candidate
+                     pairs, so cost is O(collisions), never O(n²).
+* SimHash          — per-token hash-bit voting → compact signature; hamming-style
+                     bucketing for near-dup blocking.
+
+Determinism contract with the DuckDB oracles: both sides tokenize with the same
+regex split, shingle with the same 3-gram window, and hash with md5 (identical hex
+output in Spark and DuckDB), so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 rows each
+JACCARD_THRESHOLD = 0.8
+
+
+def tokens_col(text: Column = None) -> Column:
+    return F.split(F.trim(text if text is not None else F.col("text")), r"\s+")
+
+
+def shingles_col(toks: Column) -> Column:
+    """Distinct 3-gram token shingles (array<string>)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+
+
+# DuckDB-side equivalents of the two helpers above (kept adjacent so the contract
+# is reviewable in one place).
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+).format(toks=_SQL_TOKS)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles_col(toks)).alias("s"))
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with N_MINHASH hex minhashes (min of md5('<seed>|'||shingle))."""
+    sh = _doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_MINHASH = f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM documents
+        WHERE len({_SQL_TOKS}) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM d)
+    SELECT doc_id,
+           {", ".join(f"min(md5('{i}|' || s)) AS mh{i}" for i in range(N_MINHASH))}
+    FROM ex GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest + hash-partitioned window picks the canonical (min id)
+    row per content group. At scale this is one shuffle keyed on the digest."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    w = Window.partitionBy(h)
+    canonical = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        h.alias("content_hash"),
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+@query("minhash_signatures", oracle=_SQL_MINHASH)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table (k=8) — explode shingles once, 8 min-aggregates in a
+    single partial+final hash aggregate."""
+    return _minhash_signatures(spark, sf_dir)
+
+
+_SQL_LSH_PAIRS = f"""
+    WITH mh AS ({_SQL_MINHASH}),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, mh{2*b} || mh{2*b+1} AS band_key FROM mh"
+            for b in range(N_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
+        FROM documents WHERE len({_SQL_TOKS}) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.i * 1.0 / (za.n + zb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (za.n + zb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_SQL_LSH_PAIRS)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
+
+    Pipeline: signatures → 4 bands of 2 hashes → self-join per band (candidates
+    only collide on identical band keys, bounding the pair count) → exact 3-gram
+    Jaccard ≥ 0.8 on candidates. The expensive verification only touches the
+    LSH-surfaced pairs — this is the 100 TB scale path (O(n) + O(collisions))."""
+    mh = _minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SQL_SIMHASH = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN ascii(substr(md5(t), {j + 1}, 1)) % 2 = 1 "
+                   f"THEN 1 ELSE -1 END) AS v{j}"
+                   for j in range(_SIMHASH_BITS)
+               )}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" || ".join(
+               f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
+           )} AS simhash
+    FROM votes
+"""
+
+
+@query("simhash_signatures", oracle=_SQL_SIMHASH)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: each distinct token votes ±1 per bit position (bit source =
+    parity of the md5 hex digit at that position); signature bit = sign of the
+    vote sum. One explode + one hash aggregate — linear and shuffle-light."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t")).distinct()
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.md5("t"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    return voted.select("doc_id", F.concat(*bits).alias("simhash"))

@@ -1,0 +1,145 @@
+"""Queries executed THROUGH the pandas-compatible frontend facade.
+
+These prove the frontend (legate_pandas_spark.frontend — the legate.pandas API
+surface) produces correct Spark plans end-to-end: each query here is written in
+pandas idiom (merge/groupby/sort_values/query/str accessor) and hash-checked
+against the same DuckDB oracle machinery as the native-DataFrame catalog.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legate_pandas_spark.operators import query
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str):
+    import os
+
+    from legate_pandas_spark.frontend import read_parquet
+
+    return read_parquet(os.path.join(sf_dir, f"{name}.parquet"), spark=spark)
+
+
+@query(
+    "pd_merge_groupby",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           round(sum(o_totalprice), 2) AS total_sales,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pd_merge_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: merge + groupby.agg + rename (reference
+    frontend/dataframe.py:1168-1231 merge, frontend/groupby.py:88-270 agg)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    merged = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    g = merged.groupby("c_mktsegment").agg({"o_totalprice": ["sum", "size"]})
+    out = g.reset_index()
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice_sum"), 2).alias("total_sales"),
+        F.col("o_totalprice_size").alias("n_orders"),
+    )
+
+
+@query(
+    "pd_filter_sort_head",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def pd_filter_sort_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: boolean-mask filter + sort_values + head (reference
+    core/table.py:1033-1101 compact; core/sort.py sample sort; head limit)."""
+    orders = _read(spark, sf_dir, "orders")
+    flt = orders[orders["o_orderstatus"] == "F"]
+    top = flt.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(25)
+    sdf = top.to_spark()
+    return sdf.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "pd_query_assign",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 40 AND l_discount < 0.05
+    """,
+)
+def pd_query_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: df.query(expr) + column assign (reference query JIT
+    core/query.py:33-311 → translated to Catalyst; __setitem__
+    core/table.py:277-300)."""
+    li = _read(spark, sf_dir, "lineitem")
+    flt = li.query("l_quantity > 40 and l_discount < 0.05")
+    flt["net_price"] = (flt["l_extendedprice"] * (1 - flt["l_discount"])).round(4)
+    sdf = flt[["l_orderkey", "l_linenumber", "net_price"]].to_spark()
+    return sdf
+
+
+@query(
+    "pd_str_dt_accessors",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                   AS prio_upper,
+           contains(o_orderpriority, 'HIGH')        AS is_high,
+           CAST(year(o_orderdate) AS INT)           AS order_year,
+           CAST(month(o_orderdate) AS INT)          AS order_month,
+           CAST(isodow(o_orderdate) - 1 AS INT)     AS order_weekday
+    FROM orders
+    """,
+)
+def pd_str_dt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: .str and .dt accessors (reference frontend/accessors.py)."""
+    orders = _read(spark, sf_dir, "orders")
+    orders["prio_upper"] = orders["o_orderpriority"].str.upper()
+    orders["is_high"] = orders["o_orderpriority"].str.contains("HIGH")
+    orders["order_year"] = orders["o_orderdate"].dt.year
+    orders["order_month"] = orders["o_orderdate"].dt.month
+    orders["order_weekday"] = orders["o_orderdate"].dt.weekday
+    out = orders[
+        ["o_orderkey", "prio_upper", "is_high", "order_year", "order_month", "order_weekday"]
+    ]
+    return out.to_spark()
+
+
+@query(
+    "pd_fillna_astype_concat",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               coalesce(CASE WHEN value < 100 THEN NULL ELSE value END, 0.0) AS filled,
+               CAST(floor(value) AS BIGINT) AS value_int
+        FROM events
+    )
+    SELECT event_id, round(filled, 2) AS filled, value_int FROM base
+    WHERE value_int >= 150
+    UNION ALL
+    SELECT event_id, round(filled, 2) AS filled, value_int FROM base
+    WHERE value_int < 10
+    """,
+)
+def pd_fillna_astype_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: mask→fillna→astype→concat (reference where/fillna/astype/
+    concat per SURVEY §2.2, §2.7, §2.8)."""
+    import legate_pandas_spark as lps
+
+    ev = _read(spark, sf_dir, "events")
+    ev["filled"] = ev["value"].mask(ev["value"] < 100).fillna(0.0).round(2)
+    ev["value_int"] = ev["value"].floor().astype("int64")
+    hi = ev[ev["value_int"] >= 150][["event_id", "filled", "value_int"]]
+    lo = ev[ev["value_int"] < 10][["event_id", "filled", "value_int"]]
+    return lps.concat([hi, lo]).to_spark()

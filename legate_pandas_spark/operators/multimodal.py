@@ -1,0 +1,125 @@
+"""Multimodal (binary) column plumbing.
+
+The engine treats image/audio/video payloads as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines. The testdata
+ships no media files and this container has no codec libraries, so the *decode*
+step is a deterministic fake (documented stub) — but the Spark-side plumbing is
+real: binary encode, schema declaration, Arrow batch transfer, per-batch pandas
+processing, and post-extract relational ops all execute the true production path.
+
+A real deployment swaps ``_fake_decode`` for PIL/ffmpeg calls; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("checksum", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("modality", StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB decode — deterministic stand-in for an image decoder.
+
+    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(payload)).size``;
+    codec libraries are not available in this environment, so dimensions are
+    derived deterministically from the payload length (mirrors the SQL oracle).
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def decode_binary_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over a (doc_id, payload binary) frame."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = payloads.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "fake_width": dims.map(lambda d: d[0]).astype("int32"),
+                    "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                    "modality": ["image"] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(extract, EXTRACT_SCHEMA)
+
+
+@query(
+    "multimodal_decode_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)      AS byte_len,
+           md5(text)                                        AS checksum,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height,
+           'image'                                          AS modality
+    FROM documents
+    """,
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → binary payload → mapInPandas metadata
+    extraction (Arrow batches; decode stubbed deterministically). The DuckDB
+    oracle mirrors the deterministic fake, so the full Python plumbing is
+    hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return decode_binary_metadata(payloads)
+
+
+@query(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, least(byte_len // 100 + 1, 5))) AS BIGINT) AS frame_idx,
+           CAST(byte_len AS BIGINT) AS byte_len
+    FROM meta
+    """,
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video-like payloads: one output row per sampled
+    frame (up to 5, spaced by payload size). Explode keeps this a narrow,
+    pipelined transform — the actual frame decode would be a downstream
+    mapInPandas stage like decode_binary_metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    byte_len = F.length(F.encode("text", "UTF-8")).cast("long")
+    n_frames = F.least(F.floor(byte_len / 100) + 1, F.lit(5)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+        byte_len.alias("byte_len"),
+    )

@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>, 64-dim testdata).
+
+Extension surface beyond the reference (no array types there, SURVEY §1.2):
+
+* brute-force cosine top-k   — exact baseline; broadcast the query vector(s),
+                               one pass over the corpus, TakeOrderedAndProject.
+* multi-query ANN            — row_number window per query id over the scored
+                               cross product (queries broadcast).
+* hyperplane LSH buckets     — deterministic random-hyperplane signatures for
+                               sublinear candidate generation at 100 TB (bucket
+                               join instead of full cross product).
+
+All dot products are computed in double precision in identical element order on
+both the Spark and DuckDB sides, and similarities are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+DIM = 64
+N_HYPERPLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 4) AS cosine_sim
+    FROM e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against one query vector (vec_id=0). The query
+    row is broadcast; scoring is a single JVM-side array fold per row; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "ann_multi_query_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     4) AS cosine_sim
+        FROM e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+    ) <= 5
+    """,
+)
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN for a broadcast batch of query vectors; per-query top-5 via a
+    row_number window partitioned by query id (parallel across queries)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", "cosine_sim")
+    )
+
+
+def _hyperplane(j: int) -> list[int]:
+    """Deterministic integer pseudo-random hyperplane (identical across engines)."""
+    return [((i * 31 + j * 17) % 13) - 6 for i in range(DIM)]
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for j in range(N_HYPERPLANES):
+        plane = ", ".join(f"{w}.0" for w in _hyperplane(j))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_bucket_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, label, {_bucket_sql()} AS bucket FROM e)
+    SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (8 planes → 256 buckets): the scale path
+    for ANN — restrict exact scoring to same-bucket candidates instead of the
+    full cross product. This query materializes bucket occupancy stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = []
+    for j in range(N_HYPERPLANES):
+        plane = F.array(*[F.lit(float(w)) for w in _hyperplane(j)])
+        bits.append(
+            F.when(_dot(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    bucketed = emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm,
+           round(min(sqrt(list_dot_product(v, v))), 4) AS min_norm,
+           round(max(sqrt(list_dot_product(v, v))), 4) AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm stats per label — exercises array math + hash aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators for corpus curation (language ID, quality scoring,
+token counting, fingerprinting, n-gram stats).
+
+Extension surface beyond the reference's str accessor (SURVEY §2.8): everything
+here is pure Catalyst expression work (regex + explode + hash aggregate) — no
+Python UDFs in the hot path, so plans stay inside whole-stage codegen and scale
+linearly with one shuffle per aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_hits(lang: str):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_sql_stopword_hits('en')} AS c_en,
+               {_sql_stopword_hits('de')} AS c_de,
+               {_sql_stopword_hits('es')} AS c_es,
+               {_sql_stopword_hits('fr')} AS c_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(c_en AS BIGINT) AS c_en,
+           CASE
+             WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+             WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+             WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+             WHEN c_fr > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID with a fixed precedence tie-break (en > de >
+    es > fr). One pass, no shuffle — per-row array filter counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = {lang: _stopword_hits(lang) for lang in ("en", "de", "es", "fr")}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] > 0), "en")
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] > 0), "de")
+        .when((c["es"] >= c["fr"]) & (c["es"] > 0), "es")
+        .when(c["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        c["en"].cast("long").alias("c_en"),
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars_txt,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> list_contains(['the','a','of','to','and','is','in'], x))) AS n_stop,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
+           round(n_stop * 1.0 / n_tokens, 4)  AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars_txt, 4) AS punct_ratio,
+           round((n_chars_txt - n_tokens + 1) * 1.0 / n_tokens, 4) AS avg_token_len,
+           round(least(n_tokens / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars_txt), 4)
+               AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality metrics: token count, stopword ratio, punctuation ratio,
+    avg token length, and a combined [0,1] score — the standard pre-training
+    corpus filters, all as Catalyst expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars_txt = F.length("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"([^A-Za-z0-9\s])")))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars_txt.cast("long").alias("n_chars_txt"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_punct / n_chars_txt, 4).alias("punct_ratio"),
+        F.round((n_chars_txt - n_tokens + 1) / n_tokens, 4).alias("avg_token_len"),
+        F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (1.0 - n_punct / n_chars_txt), 4
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex segmentation
+    (letters / digits / single punctuation marks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({_BPE_ISH})"))).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4)
+               AS fp_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over whitespace-normalized lowercase text; the 4-hex
+    prefix doubles as a shard/bucket key for distributed near-dup blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("fp_bucket")
+    )
+
+
+@query(
+    "ngram_top_bigrams",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM d WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams: explode 2-grams → hash aggregate → top-k.
+    Map-side partial aggregation keeps the shuffle tiny (distinct bigrams, not
+    corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -1,0 +1,222 @@
+"""Window / cumulative / event-ordered operators (SURVEY §2.6).
+
+The reference implements only skipna cumulative scans (cumsum/cummax/cummin/cumprod)
+via a two-phase distributed scan with carry propagation (core/column.py:644-687,
+src/reduction/tasks/scan.cc). In Spark the same semantics are a window aggregate
+over the ordering key; ranking/lag/sessionization are free extensions.
+
+Scale note: every window here is PARTITIONED (by user_id / order key) — partitioned
+windows shuffle-by-key and parallelize; an unpartitioned global window would
+single-task at 100 TB and is deliberately avoided (the one global cumsum offered by
+the frontend documents this cost).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+
+@query(
+    "cumsum_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value)  OVER w, 4) AS running_sum,
+           round(max(value)  OVER w, 4) AS running_max,
+           round(min(value)  OVER w, 4) AS running_min,
+           CAST(count(value) OVER w AS BIGINT) AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cumsum_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum/cummax/cummin per user over event time (reference two-phase scan,
+    core/column.py:644-687) — one shuffle on user_id, local sort, single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.round(F.max("value").over(w), 4).alias("running_max"),
+        F.round(F.min("value").over(w), 4).alias("running_min"),
+        F.count("value").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "cumprod_log_trick",
+    oracle="""
+    SELECT event_id, user_id,
+           round(exp(sum(ln(1.0 + value * 0.001)) OVER w), 6) AS running_prod
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cumprod_log_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumprod via exp∘cumsum∘log (positive factors) — the SURVEY §2.6 mapping for
+    the reference's PROD scan without a custom UDAF."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    factor = F.log(F.lit(1.0) + F.col("value") * 0.001)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.exp(F.sum(factor).over(w)), 6).alias("running_prod"),
+    )
+
+
+@query(
+    "window_rank_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT)      AS rn,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+           round(lag(value)  OVER w, 2)             AS prev_value,
+           round(lead(value) OVER w, 2)             AS next_value,
+           round(value - coalesce(lag(value) OVER w, value), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lead/lag — absent in the reference (SURVEY §2.6 'absent' row);
+    first-class Spark extension surface."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wv).cast("long").alias("value_rank"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 2).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative flag sum —
+    the batch analog of the streaming session window; tests the event-pipeline
+    shape the engine targets (no reference analog; batch-only reference)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(wsum).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style wide aggregation per user (Spark groupBy().pivot() semantics,
+    expressed with conditional aggregates for stable column names)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch shape of the
+    Structured Streaming windowed agg in legate_pandas_spark.streaming (absent in
+    the batch-only reference; SURVEY §2.6 extension row)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,63 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same config
+block is what we would ship as ``spark-defaults`` on a real cluster:
+
+* AQE on (runtime re-plan, partition coalescing, skew-join splitting) — replaces the
+  reference's weighted-partition rebalancing (core/runtime.py:1001-1008).
+* Arrow on for any pandas interchange (Pandas UDFs, toPandas).
+* Shuffle partitions sized for the local core count; on a 1000-executor cluster this
+  would be ~2-3x total cores, and AQE coalesces down.
+* ``nanosAsLong`` so parquet TIMESTAMP(NANOS) columns (events.ts) are readable;
+  sources.tables converts them to microsecond timestamps (documented ns→µs
+  truncation, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_TUNED_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "16g",
+}
+
+
+def get_spark(app_name: str = "legate_pandas_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or reuse) a tuned local SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in _TUNED_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Best-effort apply runtime-settable confs to an externally created session
+    (the correctness driver passes its own SparkSession to ``queries()``)."""
+    for k in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        try:
+            spark.conf.set(k, "true")
+        except Exception:
+            pass  # static conf on this build — sources.tables has a fallback

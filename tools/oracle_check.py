@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark and its DuckDB oracle side-by-side at a given
+scale factor, compares row count, column names/dtypes, and an order-insensitive
+value comparison (column-name-sorted, row-sorted). Exit code 0 iff all match.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = pd.to_numeric(av, errors="coerce")
+            bv = pd.to_numeric(bv, errors="coerce")
+            eq = ((av - bv).abs() < 1e-9) | (av.isna() & bv.isna())
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+        if not bool(eq.all()):
+            bad = (~eq).idxmax()
+            problems.append(
+                f"col {c!r}: first mismatch row {bad}: spark={a[c][bad]!r} duck={b[c][bad]!r}"
+                f" ({int((~eq).sum())} rows differ)"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from legate_pandas_spark.operators import QUERIES, ORACLES, load_all
+    from legate_pandas_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("oracle_check")
+
+    con = duckdb.connect()
+    from legate_pandas_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in ORACLES:
+            print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.execute(ORACLES[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
