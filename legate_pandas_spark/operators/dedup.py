@@ -13,18 +13,26 @@ extension surface for 100 TB corpus curation:
 Determinism contract with the DuckDB oracles: both sides tokenize with the same
 regex split, shingle with the same 3-gram window, and hash with md5 (identical hex
 output in Spark and DuckDB), so signatures match bit-for-bit.
+
+Hash budget: the 8 minhash functions are 8-hex (32-bit) slices of TWO md5 digests
+per shingle (h_{k,j}(s) = substr(md5(k||'|'||s), 8j+1, 8)), not 8 separate md5
+passes — 4× less hashing on the hot path. The shared shingle/signature frames are
+persisted because LSH uses them in four plan branches (signatures, both sides of
+the verification join, and set sizes); without it Spark recomputes the explode per
+branch.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from legate_pandas_spark.operators import query
 from legate_pandas_spark.sources.tables import load_table
 
-N_MINHASH = 8
-N_BANDS = 4  # bands of 2 rows each
+N_MINHASH = 8  # 2 md5 digests x 4 slices
+N_BANDS = 4  # bands of 2 minhashes each
 JACCARD_THRESHOLD = 0.8
 
 
@@ -45,44 +53,57 @@ def shingles_col(toks: Column) -> Column:
     )
 
 
-# DuckDB-side equivalents of the two helpers above (kept adjacent so the contract
-# is reviewable in one place).
+# DuckDB-side equivalents of the helpers above (kept adjacent so the contract is
+# reviewable in one place). IMPORTANT: tokens are computed once per row in a
+# subquery — inlining the split expression into the list lambda makes the engine
+# re-split the text per element (O(tokens^2) per doc).
 _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
-_SQL_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
-    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
-).format(toks=_SQL_TOKS)
+_SQL_SH = f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) _t
+        WHERE len(toks) >= 3
+"""
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    return (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles_col(toks)).alias("s"))
+    # materialize the token array once per row; referencing the split expression
+    # inside the shingle lambda would re-split per element
+    tokenized = docs.select("doc_id", tokens_col().alias("_toks"))
+    sh = tokenized.filter(F.size("_toks") >= 3).select(
+        "doc_id", F.explode(shingles_col(F.col("_toks"))).alias("s")
     )
+    return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with N_MINHASH hex minhashes (min of md5('<seed>|'||shingle))."""
-    sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _mh_expr(k: int, j: int) -> Column:
+    return F.min(F.substring(F.col(f"_h{k}"), 8 * j + 1, 8)).alias(f"mh{4 * k + j}")
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One row per doc with N_MINHASH 8-hex minhashes from a shingle frame."""
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0|"), F.col("s"))).alias("_h0"),
+        F.md5(F.concat(F.lit("1|"), F.col("s"))).alias("_h1"),
+    )
+    return hashed.groupBy("doc_id").agg(*[_mh_expr(k, j) for k in (0, 1) for j in range(4)])
 
 
 _SQL_MINHASH = f"""
-    WITH d AS (
-        SELECT doc_id, {_SQL_SHINGLES} AS sh
-        FROM documents
-        WHERE len({_SQL_TOKS}) >= 3
-    ),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM d)
+    WITH ex AS ({_SQL_SH}),
+    hashed AS (
+        SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM ex
+    )
     SELECT doc_id,
-           {", ".join(f"min(md5('{i}|' || s)) AS mh{i}" for i in range(N_MINHASH))}
-    FROM ex GROUP BY doc_id
+           {", ".join(
+               f"min(substr(h{k}, {8 * j + 1}, 8)) AS mh{4 * k + j}"
+               for k in (0, 1) for j in range(4)
+           )}
+    FROM hashed GROUP BY doc_id
 """
 
 
@@ -114,9 +135,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_signatures", oracle=_SQL_MINHASH)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature table (k=8) — explode shingles once, 8 min-aggregates in a
-    single partial+final hash aggregate."""
-    return _minhash_signatures(spark, sf_dir)
+    """MinHash signature table (k=8) — one shingle explode, two md5 passes,
+    eight min-aggregates in a single partial+final hash aggregate."""
+    return _minhash_signatures(_doc_shingles(spark, sf_dir))
 
 
 _SQL_LSH_PAIRS = f"""
@@ -133,10 +154,7 @@ _SQL_LSH_PAIRS = f"""
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
     ),
-    sh AS (
-        SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
-        FROM documents WHERE len({_SQL_TOKS}) >= 3
-    ),
+    sh AS ({_SQL_SH}),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -162,7 +180,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only collide on identical band keys, bounding the pair count) → exact 3-gram
     Jaccard ≥ 0.8 on candidates. The expensive verification only touches the
     LSH-surfaced pairs — this is the 100 TB scale path (O(n) + O(collisions))."""
-    mh = _minhash_signatures(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir, persist=True)
+    mh = _minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
     bands = None
     for b in range(N_BANDS):
         part = mh.select(
@@ -183,7 +202,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -207,16 +225,19 @@ _SIMHASH_BITS = 16
 
 _SQL_SIMHASH = f"""
     WITH tok AS (
-        SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+        -- per-doc distinct via list_distinct: no engine-wide DISTINCT shuffle
+        SELECT doc_id, unnest(list_distinct(toks)) AS t
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) _t
     ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
     votes AS (
         SELECT doc_id,
                {", ".join(
-                   f"sum(CASE WHEN ascii(substr(md5(t), {j + 1}, 1)) % 2 = 1 "
+                   f"sum(CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 "
                    f"THEN 1 ELSE -1 END) AS v{j}"
                    for j in range(_SIMHASH_BITS)
                )}
-        FROM tok GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     )
     SELECT doc_id,
            {" || ".join(
@@ -232,14 +253,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity of the md5 hex digit at that position); signature bit = sign of the
     vote sum. One explode + one hash aggregate — linear and shuffle-light."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t")).distinct()
+    # per-doc distinct in-place (array_distinct) — avoids a global DISTINCT shuffle
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("t"))
+    hashed = tok.select("doc_id", F.md5("t").alias("h"))
     votes = [
         F.sum(
-            F.when(F.ascii(F.substring(F.md5("t"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+            F.when(F.ascii(F.substring("h", j + 1, 1)) % 2 == 1, 1).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(_SIMHASH_BITS)
     ]
-    voted = tok.groupBy("doc_id").agg(*votes)
+    voted = hashed.groupBy("doc_id").agg(*votes)
     bits = [
         F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(_SIMHASH_BITS)
