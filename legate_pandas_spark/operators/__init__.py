@@ -32,6 +32,7 @@ def load_all() -> None:
     """Import every operator module so the registry is fully populated."""
     from legate_pandas_spark.operators import (  # noqa: F401
         relational,
+        subqueries,
         windows,
         dedup,
         similarity,

@@ -196,6 +196,36 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_1h_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS rolling_avg_1h,
+           CAST(count(*)  OVER w AS BIGINT) AS rolling_n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour average per user: RANGE frame over event-time microseconds
+    — the time-based rolling window the reference lacks entirely (SURVEY §2.6
+    'absent' row). Partitioned by user → parallel; frame bounds in µs so both
+    engines cut identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("rolling_n_1h"),
+    )
+
+
+@query(
     "tumbling_window_agg",
     oracle="""
     SELECT user_id,

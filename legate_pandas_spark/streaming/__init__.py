@@ -1,0 +1,8 @@
+from legate_pandas_spark.streaming.events import (  # noqa: F401
+    stream_events,
+    windowed_event_counts,
+    sessionized_event_stats,
+    dedup_stream,
+    stateful_running_totals,
+    run_available_now,
+)

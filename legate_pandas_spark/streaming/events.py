@@ -1,0 +1,141 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2.6: no watermarks/windows/stateful
+streaming) — this module is the streaming extension surface, built on the
+canonical patterns: file-source readStream → event-time watermark → windowed /
+session-window aggregation → sink; plus ``applyInPandasWithState`` for a custom
+stateful operator the built-ins can't express.
+
+Scale notes: every aggregation is keyed (user_id and/or window), so state is
+hash-partitioned across executors; watermarks bound state size; ``availableNow``
+triggers give batch-like backfill runs over historical directories.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files; normalizes
+    the ns-timestamp column exactly like the batch loader (sources/tables.py)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(directory)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark — the
+    streaming twin of the batch ``tumbling_window_agg`` catalog query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_event_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-close semantics) — the streaming-native version of
+    the batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select("user_id", "n_events", "session_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def stateful_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, state carried across micro-batches (the escape
+    hatch for operators Spark's built-in aggs can't express)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain all available input (batch-like backfill) into an in-memory table;
+    returns the StreamingQuery after completion."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,80 @@
+"""Physical-plan audits: the 100 TB guardrails.
+
+Correctness says the query returns the right rows; these tests pin the *plan*
+shape — predicate pushdown reaching the parquet scan, column pruning, broadcast
+joins for dims, TakeOrderedAndProject for top-k, partial aggregation, and no
+accidental cartesian products anywhere in the catalog."""
+
+import pytest
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(em)
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+def test_filter_pushdown_reaches_scan(catalog, spark, sf_dir):
+    plan = plan_text(catalog["filter_project_pushdown"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan or "GreaterThanOrEqual(l_discount,0.05)" in plan
+    # column pruning: scan must not read all 11 lineitem columns
+    assert "l_returnflag" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_partial_aggregation_and_pushdown(catalog, spark, sf_dir):
+    plan = plan_text(catalog["q1_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert "PushedFilters:" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_broadcast_join_for_dims(catalog, spark, sf_dir):
+    plan = plan_text(catalog["join_broadcast_dims"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # both dims must broadcast, no shuffle join
+
+
+def test_topk_is_take_ordered(catalog, spark, sf_dir):
+    plan = plan_text(catalog["sort_topk_nlargest"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort for top-k
+
+
+def test_semi_anti_join_shapes(catalog, spark, sf_dir):
+    semi = plan_text(catalog["semi_join_active_customers"](spark, sf_dir))
+    anti = plan_text(catalog["anti_join_inactive_customers"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_accidental_cartesian(catalog, spark, sf_dir):
+    # crossJoin against a broadcast single-row frame is fine (BroadcastNestedLoop);
+    # a CartesianProduct anywhere means a missing join condition.
+    for name, fn in sorted(catalog.items()):
+        plan = plan_text(fn(spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_window_queries_are_partitioned(catalog, spark, sf_dir):
+    # partitioned windows shuffle by key; an empty PartitionBy would single-task
+    for name in ["cumsum_running_total", "window_rank_lag_lead", "rolling_1h_range_window"]:
+        plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
+        assert "Window" in plan
+        assert "hashpartitioning(user_id" in plan, f"{name} window not key-partitioned"
+
+
+def test_scan_pruning_multikey(catalog, spark, sf_dir):
+    plan = plan_text(catalog["q6_forecast_revenue"](spark, sf_dir))
+    # Q6 needs only 4 columns; ReadSchema must be narrow
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" not in read_schema

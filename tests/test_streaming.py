@@ -1,0 +1,85 @@
+"""Structured Streaming tests: streaming results must match the batch catalog
+queries on the same data (streaming/batch parity), plus custom stateful op."""
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    from legate_pandas_spark.operators import QUERIES, load_all
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    load_all()
+    stream = windowed_event_counts(stream_events(spark, events_dir))
+    run_available_now(stream, "win_counts", output_mode="complete")
+    got = spark.table("win_counts").toPandas()
+    want = QUERIES["tumbling_window_agg"](spark, sf_dir).toPandas()
+    key = ["user_id", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_windows(spark, events_dir):
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        sessionized_event_stats,
+        stream_events,
+    )
+
+    stream = sessionized_event_stats(stream_events(spark, events_dir))
+    run_available_now(stream, "sessions", output_mode="complete")
+    pdf = spark.table("sessions").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_events"] >= 1).all()
+
+
+def test_dedup_stream(spark, events_dir, sf_dir):
+    from legate_pandas_spark.sources.tables import load_table
+    from legate_pandas_spark.streaming import dedup_stream, run_available_now, stream_events
+
+    stream = dedup_stream(stream_events(spark, events_dir))
+    run_available_now(stream, "dedup_ev", output_mode="append")
+    n = spark.table("dedup_ev").count()
+    assert n == load_table(spark, sf_dir, "events").count()  # ids already unique
+
+
+def test_stateful_running_totals(spark, events_dir, sf_dir):
+    from legate_pandas_spark.sources.tables import load_table
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        stateful_running_totals,
+        stream_events,
+    )
+
+    stream = stateful_running_totals(stream_events(spark, events_dir))
+    run_available_now(stream, "running", output_mode="update")
+    got = spark.table("running").toPandas()
+    # final state per user must equal the batch per-user aggregate
+    import pyspark.sql.functions as F
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)[want.columns]
+    want = want.sort_values("user_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
