@@ -99,6 +99,39 @@ class StringMethods:
         return self._s.to_datetime(format)
 
 
+class CategoricalMethods:
+    """``.cat`` accessor (reference frontend/accessors.py:32-39; categories are
+    string-only, common/types.py:181-182).
+
+    The reference replicates the category dictionary to every node
+    (ReplicatedColumn, core/column.py:1300-1341); here the dictionary is
+    collected once (category domains are small by definition) and compiled into
+    the expression — same broadcast effect, zero joins."""
+
+    def __init__(self, series):
+        self._s = series
+
+    @property
+    def categories(self) -> list:
+        rows = (
+            self._s._frame._sdf.select(self._s._col.alias("c"))
+            .filter(F.col("c").isNotNull())
+            .distinct()
+            .orderBy("c")
+            .collect()
+        )
+        return [r["c"] for r in rows]
+
+    @property
+    def codes(self):
+        """int32 codes in sorted-category order; nulls → -1 (pandas)."""
+        cats = self.categories
+        expr = F.lit(-1)
+        for i in reversed(range(len(cats))):
+            expr = F.when(self._s._col == cats[i], F.lit(i)).otherwise(expr)
+        return self._s._wrap(expr.cast("int"))
+
+
 class DatetimeMethods:
     def __init__(self, series):
         self._s = series

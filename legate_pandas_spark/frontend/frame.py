@@ -216,6 +216,46 @@ class DataFrame:
     def nsmallest(self, n: int, columns) -> "DataFrame":
         return self.sort_values(columns, ascending=True).head(n)
 
+    # ------------------------------------------------------------ indexers
+    @property
+    def loc(self):
+        from legate_pandas_spark.frontend.indexing import LocIndexer
+
+        return LocIndexer(self)
+
+    @property
+    def iloc(self):
+        from legate_pandas_spark.frontend.indexing import ILocIndexer
+
+        return ILocIndexer(self)
+
+    @property
+    def at(self):
+        from legate_pandas_spark.frontend.indexing import AtIndexer
+
+        return AtIndexer(self)
+
+    @property
+    def iat(self):
+        from legate_pandas_spark.frontend.indexing import AtIndexer
+
+        return AtIndexer(self, positional=True)
+
+    def insert(self, loc: int, column: str, value) -> None:
+        from legate_pandas_spark.frontend.series import Series
+
+        col = value._col if isinstance(value, Series) else F.lit(value)
+        order = self.columns
+        order.insert(loc, column)
+        sdf = self._sdf.withColumn(column, col)
+        keep = [c for c in sdf.columns if c not in order]
+        self._sdf = sdf.select(*(keep + order))
+
+    def pop(self, column: str):
+        s = self[column]
+        self._sdf = self._sdf.drop(column)
+        return s
+
     # ------------------------------------------------------------ index ops
     def set_index(self, keys, drop: bool = True) -> "DataFrame":
         keys = [keys] if isinstance(keys, str) else list(keys)

@@ -188,6 +188,12 @@ class Series:
 
         return DatetimeMethods(self)
 
+    @property
+    def cat(self):
+        from legate_pandas_spark.frontend.accessors import CategoricalMethods
+
+        return CategoricalMethods(self)
+
     # -- reductions (eager scalars, like the reference's futures) -----------
     def _reduce(self, agg_col):
         if self._frame is None:
