@@ -33,6 +33,7 @@ def load_all() -> None:
     from legate_pandas_spark.operators import (  # noqa: F401
         relational,
         subqueries,
+        mlstats,
         windows,
         dedup,
         similarity,

@@ -117,6 +117,59 @@ def pd_str_dt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pd_mortgage_style_pipeline",
+    oracle="""
+    WITH enriched AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority,
+               CAST(year(o.o_orderdate) AS INT)  AS order_year,
+               CAST(month(o.o_orderdate) AS INT) AS order_month,
+               coalesce(CASE WHEN o.o_totalprice < 50000 THEN NULL
+                             ELSE o.o_totalprice END, -1.0) AS price_filled,
+               n.n_name
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation  n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, order_year,
+           round(sum(price_filled), 2) AS total_filled,
+           count(*) AS n_orders,
+           CAST(max(CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+                    WHEN '4-NOT SPECIFIED' THEN 3 WHEN '5-LOW' THEN 4 ELSE -1 END) AS INT)
+               AS max_prio_code
+    FROM enriched
+    GROUP BY n_name, order_year
+    """,
+)
+def pd_mortgage_style_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mortgage-workflow shape through the facade (reference
+    benchmarks/mortgage/mortgage.py:53-238; FIXTURES.md F6): chained left merges
+    on keys, datetime feature extraction, mask→fillna(-1), categorical codes,
+    multi-key groupby aggregation — the reference's flagship E2E benchmark
+    re-expressed in ~10 facade calls."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    m = orders.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+    m = m.merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="left", broadcast=True)
+    m["order_year"] = m["o_orderdate"].dt.year
+    m["order_month"] = m["o_orderdate"].dt.month
+    m["price_filled"] = m["o_totalprice"].mask(m["o_totalprice"] < 50000).fillna(-1.0)
+    m["prio_code"] = m["o_orderpriority"].cat.codes
+    g = m.groupby(["n_name", "order_year"]).agg(
+        {"price_filled": "sum", "o_orderkey": "size", "prio_code": "max"}
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        "n_name",
+        "order_year",
+        F.round("price_filled", 2).alias("total_filled"),
+        F.col("o_orderkey").alias("n_orders"),
+        F.col("prio_code").cast("int").alias("max_prio_code"),
+    )
+
+
+@query(
     "pd_fillna_astype_concat",
     oracle="""
     WITH base AS (

@@ -172,6 +172,132 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_CENTROIDS = 8
+
+_SQL_IVF_ASSIGN = f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_IVF_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.cid,
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 AS sim
+        FROM e, cent c
+    ),
+    assign AS (
+        SELECT vec_id, label, cid, sim
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    )
+"""
+
+
+@query(
+    "ivf_cluster_assignment",
+    oracle=_SQL_IVF_ASSIGN
+    + """
+    SELECT cid AS cluster, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM assign GROUP BY cid
+    """,
+)
+def ivf_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest of 8 centroids
+    (deterministically seeded from vec_id 0..7 — one k-means assignment step).
+    Centroids broadcast; one pass over the corpus; the inverted lists are the
+    scale path for ANN (search touches one cluster, not the corpus)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cid",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return assign.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_SQL_IVF_ASSIGN
+    + f"""
+    , probes AS (SELECT vec_id AS query_id, cid AS qcid FROM assign WHERE vec_id < 3),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.cid = p.qcid
+        WHERE a.vec_id <> p.query_id
+    ),
+    rescored AS (
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(q.v, x.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))),
+                     4) AS cosine_sim
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e x ON x.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim
+    FROM rescored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe queries search ONLY their own centroid's inverted list,
+    then exact cosine re-scoring + per-query top-5. Sub-linear search — the
+    100 TB path (vs the brute-force baseline ann_cosine_topk)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = assign.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    rescored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cosine_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", "cosine_sim")
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle="""
