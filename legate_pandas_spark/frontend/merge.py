@@ -120,4 +120,7 @@ def merge(
         else:
             out_cols.append(F.col(rpref + c).alias(c))
 
-    return DataFrame(joined.select(*out_cols), ())
+    # index-index joins keep the (shared) index; key joins reset it (pandas:
+    # merge result gets a fresh RangeIndex unless joining on index)
+    out_index = tuple(left._index) if (left_index and right_index) else ()
+    return DataFrame(joined.select(*out_cols), out_index)

@@ -701,6 +701,56 @@ def except_intersect_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.k AS k, round(sum(o_totalprice), 2) AS total_price,
+           round(max(r.revenue), 4) AS key_revenue, count(*) AS n
+    FROM (
+        SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0 ELSE o_orderkey % 100 END AS k,
+               o_totalprice
+        FROM orders
+    ) o
+    JOIN (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k,
+               sum(l_extendedprice) AS revenue
+        FROM lineitem GROUP BY 1
+    ) r ON o.k = r.k
+    GROUP BY o.k
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting: ~70% of left rows share key 0, which
+    would hot-spot one reducer in a plain shuffle join. The left side appends a
+    salt (hash-derived, deterministic), the small right side is replicated across
+    all salt values (explode), and the join key becomes (k, salt) — spreading the
+    hot key over N_SALT reducers. Result is identical to the unsalted join (the
+    oracle). AQE skew-join handles moderate skew automatically; explicit salting
+    is the heavy-artillery variant for extreme single-key skew at 100 TB."""
+    N_SALT = 8
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    skew_key = lambda c: F.when(c % 10 < 7, F.lit(0)).otherwise(c % 100)  # noqa: E731
+    left = orders.select(
+        skew_key(F.col("o_orderkey")).alias("k"),
+        "o_totalprice",
+        (F.crc32(F.col("o_orderkey").cast("string")) % N_SALT).alias("salt"),
+    )
+    right = (
+        li.select(skew_key(F.col("l_orderkey")).alias("k"), "l_extendedprice")
+        .groupBy("k")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = left.join(right, ["k", "salt"])
+    return joined.groupBy("k").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.max("revenue"), 4).alias("key_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "arith_promotion",
     oracle="""
     SELECT l_orderkey, l_linenumber,

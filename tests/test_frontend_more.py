@@ -1,0 +1,193 @@
+"""Second facade differential batch: frame-wide reductions, cumulative ops,
+sort options, frame where/mask, dedup keep variants, concat axis=1, accessor
+breadth — mirroring more of the reference's tests/pandas scripts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import legate_pandas_spark as lps
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.RandomState(7)
+    return pd.DataFrame(
+        {
+            "g": rng.randint(0, 4, 30),
+            "x": rng.randint(-50, 50, 30).astype("int64"),
+            "y": rng.randn(30).round(6),
+            "s": [f"w{i % 7:02d}" for i in range(30)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def ldf(pdf, spark):
+    return lps.from_pandas(pdf, spark=spark)
+
+
+def _match(lps_df, pandas_df, sort=True):
+    got = lps_df.to_pandas().reset_index(drop=True)
+    want = pandas_df.reset_index(drop=True)
+    if sort:
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9)
+
+
+def test_frame_reductions(ldf, pdf):
+    got_sum = ldf.sum()
+    want_sum = pdf[["g", "x", "y"]].sum()
+    for c in want_sum.index:
+        assert abs(got_sum[c] - want_sum[c]) < 1e-6
+    got_mean = ldf.mean()
+    want_mean = pdf[["g", "x", "y"]].mean()
+    for c in want_mean.index:
+        assert abs(got_mean[c] - want_mean[c]) < 1e-9
+    got_std = ldf.std()
+    want_std = pdf[["g", "x", "y"]].std()
+    for c in want_std.index:
+        assert abs(got_std[c] - want_std[c]) < 1e-9
+
+
+def test_frame_cumsum_global(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [10, 20, 30, 40]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.cumsum().to_pandas()
+    want = p.cumsum()
+    # global cumsum preserves row order via the partition-stable key
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_frame_cummax_cumprod(spark):
+    p = pd.DataFrame({"a": [2.0, -1.0, 3.0, 0.5]})
+    l = lps.from_pandas(p, spark=spark)
+    pd.testing.assert_frame_equal(
+        l.cummax().to_pandas(), p.cummax(), check_dtype=False
+    )
+    got = l.cumprod().to_pandas()
+    want = p.cumprod()
+    assert np.allclose(got["a"], want["a"])
+
+
+def test_sort_na_position(spark):
+    p = pd.DataFrame({"a": [3.0, None, 1.0, None, 2.0], "b": list("abcde")})
+    l = lps.from_pandas(p, spark=spark)
+    for na_pos in ("first", "last"):
+        got = l.sort_values("a", na_position=na_pos).to_pandas()
+        want = p.sort_values("a", na_position=na_pos)
+        assert list(got["b"]) == list(want["b"])
+
+
+def test_sort_stability(spark):
+    p = pd.DataFrame({"k": [1, 1, 0, 0, 1], "v": list("abcde")})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.sort_values("k").to_pandas()
+    want = p.sort_values("k", kind="stable")
+    assert list(got["v"]) == list(want["v"])
+
+
+def test_frame_where_mask(ldf, pdf):
+    cond_l = ldf["x"] > 0
+    cond_p = pdf["x"] > 0
+    _match(ldf[["g", "x"]].where(cond_l, -999), pdf[["g", "x"]].where(cond_p, -999))
+    _match(ldf[["g", "x"]].mask(cond_l, -999), pdf[["g", "x"]].mask(cond_p, -999))
+
+
+def test_drop_duplicates_keep_last_and_false(spark):
+    p = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": [10, 11, 20, 30, 31, 32]})
+    l = lps.from_pandas(p, spark=spark)
+    got_last = l.drop_duplicates(subset=["k"], keep="last").to_pandas()
+    want_last = p.drop_duplicates(subset=["k"], keep="last")
+    assert sorted(got_last["v"]) == sorted(want_last["v"])
+    got_none = l.drop_duplicates(subset=["k"], keep=False).to_pandas()
+    want_none = p.drop_duplicates(subset=["k"], keep=False)
+    assert sorted(got_none["v"]) == sorted(want_none["v"])
+
+
+def test_concat_axis1(spark):
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [10.0, 20.0, 30.0]})
+    b = pd.DataFrame({"k": [1, 2, 3], "y": ["a", "b", "c"]})
+    la = lps.from_pandas(a, spark=spark).set_index("k")
+    lb = lps.from_pandas(b, spark=spark).set_index("k")
+    got = lps.concat([la, lb], axis=1).to_pandas().reset_index()
+    want = pd.concat([a.set_index("k"), b.set_index("k")], axis=1).reset_index()
+    _match_df = got.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        _match_df, want.sort_values("k").reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_query_in_list(ldf, pdf):
+    got = ldf.query("g in [1, 3] and x > 0").to_pandas()
+    want = pdf.query("g in [1, 3] and x > 0")
+    assert len(got) == len(want)
+    assert sorted(got["x"]) == sorted(want["x"])
+
+
+def test_str_methods_breadth(spark):
+    p = pd.DataFrame({"s": ["  Hello ", "WORLD", "MiXeD", "a-b-c", ""]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["swap"] = got["s"].str.swapcase()
+    got["strip"] = got["s"].str.strip()
+    got["startswith"] = got["s"].str.startswith("W")
+    got["lens"] = got["s"].str.len()
+    got["repl"] = got["s"].str.replace("-", "_")
+    got["sl"] = got["s"].str.slice(0, 3)
+    want = p.copy()
+    want["swap"] = want["s"].str.swapcase()
+    want["strip"] = want["s"].str.strip()
+    want["startswith"] = want["s"].str.startswith("W")
+    want["lens"] = want["s"].str.len()
+    want["repl"] = want["s"].str.replace("-", "_")
+    want["sl"] = want["s"].str.slice(0, 3)
+    _match(got, want)
+
+
+def test_series_clip_between(ldf, pdf):
+    got = ldf.copy()
+    got["c"] = got["x"].clip(-10, 10)
+    got["b"] = got["x"].between(-10, 10)
+    want = pdf.copy()
+    want["c"] = want["x"].clip(-10, 10)
+    want["b"] = want["x"].between(-10, 10)
+    _match(got, want)
+
+
+def test_series_value_counts(ldf, pdf):
+    got = ldf["s"].value_counts().to_pandas()
+    want = pdf["s"].value_counts().rename_axis("s").reset_index(name="count")
+    got = got.sort_values(["count", "s"], ascending=[False, True]).reset_index(drop=True)
+    want = want.sort_values(["count", "s"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dt_date_and_to_datetime(spark):
+    p = pd.DataFrame({"s": ["2024-01-15 10:30:00", "2023-06-01 00:00:00"]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["ts"] = got["s"].to_datetime("%Y-%m-%d %H:%M:%S")
+    gp = got.to_pandas()
+    want = pd.to_datetime(p["s"], format="%Y-%m-%d %H:%M:%S")
+    assert list(gp["ts"]) == list(want)
+
+
+def test_groupby_sort_flag(ldf, pdf):
+    got = ldf.groupby("g", sort=True).agg({"x": "sum"}).reset_index().to_pandas()
+    want = pdf.groupby("g")["x"].sum().reset_index()
+    # sort=True orders output by keys; verify order AND values
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["x"]) == list(want["x"])
+
+
+def test_nlargest_nsmallest(ldf, pdf):
+    got = ldf.nlargest(5, "x").to_pandas()
+    want = pdf.nlargest(5, "x")
+    assert sorted(got["x"]) == sorted(want["x"])
+    got = ldf.nsmallest(3, "y").to_pandas()
+    want = pdf.nsmallest(3, "y")
+    assert sorted(got["y"].round(6)) == sorted(want["y"].round(6))

@@ -1,0 +1,101 @@
+"""Scale-technique verification: bucketed co-located joins (shuffle elimination),
+approximate aggregates (error-bounded), AQE behavior — the §4 optimizer story."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(em)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Pre-bucketing both join sides on the key removes the per-query Exchange —
+    the Spark analog of the reference's tracked partition keys
+    (reference core/table.py:222-268, reuse check core/merge.py:296-354)."""
+    from legate_pandas_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bkt_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_lineitem")
+        j = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderstatus").count()
+        plan = plan_text(j, mode="simple")
+        assert "SortMergeJoin" in plan
+        # co-located buckets: no shuffle exchange feeding the join
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # correctness unchanged
+        got = {r["o_orderstatus"]: r["count"] for r in j.collect()}
+        want = {
+            r["o_orderstatus"]: r["count"]
+            for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL++ approx distinct within its rsd bound vs the exact count — the
+    100 TB path for nunique (exact countDistinct is oracle-checked instead)."""
+    from legate_pandas_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from legate_pandas_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE replaces the reference's weighted-partition rebalancing
+    (core/runtime.py:1001-1008): tiny shuffle outputs coalesce below the static
+    32-partition setting."""
+    from legate_pandas_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = nation.groupBy("n_regionkey").count()
+    out.collect()
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts < 32, f"AQE did not coalesce: {n_parts} partitions"
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted-join catalog query must not funnel the hot key through one
+    task: its pre-agg join keys include the salt."""
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    plan = plan_text(QUERIES["skew_salted_join"](spark, sf_dir), mode="simple")
+    assert "salt" in plan  # join key includes the salt column
