@@ -20,21 +20,32 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q17_small_quantity_avg",
+    "q19_disjunctive_predicates",
+    "nation_pair_volume",
     "having_big_orders",
     "join_broadcast_dims",
     "join_multikey",
+    "skew_salted_join",
     "sort_topk_nlargest",
     "groupby_multi_agg",
+    "percentile_median_stats",
     "cumsum_running_total",
     "sessionize_events",
     "window_rank_lag_lead",
+    "rolling_1h_range_window",
+    "json_schema_inference",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "simhash_signatures",
     "ann_cosine_topk",
     "ann_multi_query_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "token_count_bpe",
+    "pd_mortgage_style_pipeline",
 ]
 
 

@@ -262,11 +262,17 @@ class DataFrame:
         # index columns stay physically present; only metadata changes
         return DataFrame(self._sdf, tuple(keys))
 
-    def reset_index(self, drop: bool = False) -> "DataFrame":
+    def reset_index(self, level=None, drop: bool = False) -> "DataFrame":
+        if level is None:
+            names = list(self._index)
+        else:
+            levels = [level] if not isinstance(level, (list, tuple)) else list(level)
+            names = [self._index[lv] if isinstance(lv, int) else lv for lv in levels]
+        remaining = tuple(c for c in self._index if c not in names)
         if drop:
-            keep = [c for c in self._sdf.columns if c not in self._index]
-            return DataFrame(self._sdf.select(*keep), ())
-        return DataFrame(self._sdf, ())
+            keep = [c for c in self._sdf.columns if c not in names]
+            return DataFrame(self._sdf.select(*keep), remaining)
+        return DataFrame(self._sdf, remaining)
 
     # ------------------------------------------------------------ relational
     def merge(self, right: "DataFrame", **kwargs) -> "DataFrame":
@@ -286,11 +292,30 @@ class DataFrame:
             suffixes=(lsuffix or "_x", rsuffix or "_y"),
         )
 
-    def groupby(self, by, as_index: bool = True, sort: bool = False):
+    def groupby(self, by=None, level=None, as_index: bool = True, sort: bool = False):
+        """Group by columns or index levels (reference frontend/groupby.py:22-86:
+        level keys get reset_index first — here index cols are physical, so a
+        level is just a key name)."""
         from legate_pandas_spark.frontend.groupby import GroupBy
 
-        keys = [by] if isinstance(by, str) else list(by)
+        if by is None:
+            if level is None:
+                raise TypeError("groupby requires by= or level=")
+            levels = [level] if not isinstance(level, (list, tuple)) else list(level)
+            keys = [self._index[lv] if isinstance(lv, int) else lv for lv in levels]
+            for k in keys:
+                if k not in self._index:
+                    raise KeyError(f"level {k!r} is not an index level of {self._index}")
+        else:
+            keys = [by] if isinstance(by, str) else list(by)
         return GroupBy(self, keys, as_index=as_index, sort=sort)
+
+    def droplevel(self, level) -> "DataFrame":
+        """Remove index level(s) (reference core/index.py MultiIndex ops)."""
+        levels = [level] if not isinstance(level, (list, tuple)) else list(level)
+        names = [self._index[lv] if isinstance(lv, int) else lv for lv in levels]
+        remaining = tuple(c for c in self._index if c not in names)
+        return DataFrame(self._sdf.drop(*names), remaining)
 
     def concat_rows(self, other: "DataFrame") -> "DataFrame":
         return DataFrame(
