@@ -299,6 +299,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine_blocked",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, vec_a, vec_b, cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY label ORDER BY cosine_sim DESC, vec_a, vec_b
+    ) <= 5
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, blocked by label: the pairwise
+    cosine comparison runs only WITHIN each block (the standard scale pattern —
+    block on a cheap key, compare within blocks), surfacing the top-5 most
+    similar pairs per block. With a real near-dup corpus the window filter
+    becomes a `cosine_sim >= threshold` predicate on the same plan."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        F.col("label").alias("_lb"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("_lb")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select(
+        "label",
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("label", "vec_a", "vec_b", "cosine_sim")
+    )
+
+
+@query(
     "embedding_norm_stats",
     oracle="""
     WITH e AS (

@@ -59,7 +59,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         return spark.createDataFrame(pdf)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # integer div, NOT float division: epoch-ns (~1.7e18) exceeds double's
+        # 53-bit mantissa, so ts/1000.0 would drift by up to ~1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -43,9 +43,9 @@ def stream_events(spark: SparkSession, directory: str) -> DataFrame:
     except Exception:
         pass
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(directory)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer div (see sources/tables.py): float division loses µs precision on
+    # epoch-ns magnitudes
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

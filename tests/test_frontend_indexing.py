@@ -152,3 +152,27 @@ def test_insert_pop(ldf, pdf):
     want = want.drop(columns=["c"])
     assert got.columns == list(want.columns)  # insert position preserved
     _match(got, want)
+
+
+def test_read_csv_gzip(tmp_path, spark):
+    import gzip
+
+    f = tmp_path / "z.csv.gz"
+    with gzip.open(f, "wt") as fh:
+        fh.write("a,b\n1,x\n2,y\n3,z\n")
+    got = lps.read_csv(str(f), spark=spark)
+    want = pd.read_csv(str(f))
+    _match(got, want)
+
+
+def test_to_csv_single_file(tmp_path, spark):
+    import os
+
+    p = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    l = lps.from_pandas(p, spark=spark)
+    path = str(tmp_path / "single_csv")
+    l.to_csv(path, single_file=True)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 1  # coalesce(1): reference single-file mode
+    back = lps.read_csv(path, spark=spark)
+    _match(back, p)

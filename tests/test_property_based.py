@@ -1,0 +1,97 @@
+"""Property-based differential tests (hypothesis): random small frames through
+the facade must match real pandas for filter/arith/groupby/merge/sort — breadth
+beyond the hand-written cases (reference relies on fixed random seeds; hypothesis
+explores the space)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import legate_pandas_spark as lps
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def small_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    keys = draw(st.lists(st.integers(min_value=-3, max_value=3), min_size=n, max_size=n))
+    ints = draw(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=n, max_size=n))
+    floats = draw(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame(
+        {"k": np.array(keys, dtype="int64"), "i": np.array(ints, dtype="int64"), "f": floats}
+    )
+
+
+def _sorted(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _cmp(lps_df, pdf):
+    got = _sorted(lps_df.to_pandas())
+    want = _sorted(pdf.reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9, atol=1e-9)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_filter_arith_roundtrip(spark, pdf):
+    l = lps.from_pandas(pdf, spark=spark)
+    got = l[l["i"] > 0]
+    got["z"] = got["i"] * 2 - got["k"]
+    want = pdf[pdf["i"] > 0].copy()
+    want["z"] = want["i"] * 2 - want["k"]
+    _cmp(got, want)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_groupby_sum_count(spark, pdf):
+    l = lps.from_pandas(pdf, spark=spark)
+    got = l.groupby("k").agg({"i": "sum", "f": "count"}).reset_index()
+    want = pdf.groupby("k").agg({"i": "sum", "f": "count"}).reset_index()
+    _cmp(got, want)
+
+
+@given(pdf=small_frame(), how=st.sampled_from(["inner", "left", "outer"]))
+@settings(**_SETTINGS)
+def test_merge_self_key(spark, pdf, how):
+    right = pdf.groupby("k", as_index=False).agg(m=("i", "max"))
+    l = lps.from_pandas(pdf, spark=spark)
+    r = lps.from_pandas(right, spark=spark)
+    got = l.merge(r, on="k", how=how)
+    want = pdf.merge(right, on="k", how=how)
+    _cmp(got, want)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_sort_head_consistent(spark, pdf):
+    l = lps.from_pandas(pdf, spark=spark)
+    got = l.sort_values(["i", "k", "f"]).head(5).to_pandas().reset_index(drop=True)
+    want = pdf.sort_values(["i", "k", "f"], kind="stable").head(5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["i", "k"]], want[["i", "k"]], check_dtype=False
+    )
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_dropna_fillna_roundtrip(spark, pdf):
+    p = pdf.copy()
+    p.loc[p["i"] % 3 == 0, "f"] = np.nan
+    l = lps.from_pandas(p, spark=spark)
+    _cmp(l.dropna(subset=["f"]), p.dropna(subset=["f"]))
+    _cmp(l.fillna({"f": 0.0}), p.fillna({"f": 0.0}))

@@ -83,3 +83,39 @@ def test_stateful_running_totals(spark, events_dir, sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_checkpoint_state_continuity(spark, sf_dir, tmp_path):
+    """Stateful streaming across restarts: batch 1 is processed, the query
+    stops, batch 2 arrives, a NEW query with the same checkpoint resumes state —
+    dedup must not re-emit batch-1 rows."""
+    import shutil
+
+    from legate_pandas_spark.streaming import dedup_stream, stream_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "batch1.parquet")
+
+    def run_once():
+        q = (
+            dedup_stream(stream_events(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    # batch 2 = the SAME file again under a new name → all duplicate ids
+    shutil.copy(f"{sf_dir}/events.parquet", src / "batch2.parquet")
+    run_once()
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+    assert n2 == n1  # resumed state deduplicated every batch-2 row
