@@ -417,6 +417,19 @@ class DataFrame:
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)
 
+    # ------------------------------------------------------------ UDF escape hatch
+    def apply_batches(self, func, schema) -> "DataFrame":
+        """Arrow-batched pandas function over the frame (mapInPandas) — the
+        general-apply escape hatch the reference lacks entirely (SURVEY §2.9).
+        ``func(pdf: pandas.DataFrame) -> pandas.DataFrame`` per batch; prefer
+        built-in expressions whenever they can express the op."""
+
+        def gen(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        return DataFrame(self._sdf.select(*self.columns).mapInPandas(gen, schema), ())
+
     # ------------------------------------------------------------ equality
     def equals(self, other: "DataFrame") -> bool:
         """Exact equality incl. schema (reference EQUALS task tree,

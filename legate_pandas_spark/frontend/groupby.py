@@ -121,6 +121,41 @@ class GroupBy:
     def nunique(self):
         return self._apply_named("nunique")
 
+    def shift(self, periods: int = 1):
+        """Per-group shift over row order (extension; pandas groupby.shift)."""
+        return self._over(lambda c, w: F.lag(c, periods).over(w))
+
+    def diff(self, periods: int = 1):
+        return self._over(lambda c, w: c - F.lag(c, periods).over(w))
+
+    def rolling_sum(self, window: int):
+        return self._over(
+            lambda c, w: F.sum(c).over(w.rowsBetween(-(window - 1), 0)), numeric=True
+        )
+
+    def rolling_mean(self, window: int):
+        return self._over(
+            lambda c, w: F.avg(c).over(w.rowsBetween(-(window - 1), 0)), numeric=True
+        )
+
+    def _over(self, fn, numeric: bool = False):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        sdf = self._df._ordered_sdf()
+        w = Window.partitionBy(*self._keys).orderBy(F.asc(ROW_ORDER))
+        dtypes = dict(sdf.dtypes)
+        sel = []
+        for c in sdf.columns:
+            if c in self._keys or c == ROW_ORDER:
+                sel.append(F.col(c))
+            elif not numeric or is_numeric_spark_type(dtypes[c]):
+                sel.append(fn(F.col(c), w).alias(c))
+            else:
+                sel.append(F.col(c))
+        return DataFrame(sdf.select(*sel), self._df._index)
+
     # distributed cumulative ops: partitioned by group keys → scale path
     def cumsum(self):
         return self._cum(F.sum)

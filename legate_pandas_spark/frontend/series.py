@@ -167,6 +167,14 @@ class Series:
             col = F.least(col, F.lit(upper))
         return self._wrap(col)
 
+    def map(self, mapping: dict, default=None):
+        """Value mapping via a compiled CASE expression (dictionary broadcast in
+        expression form — pandas Series.map with a dict)."""
+        expr = F.lit(default)
+        for k, v in mapping.items():
+            expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
+        return self._wrap(expr)
+
     # -- casts ----------------------------------------------------------------
     def astype(self, dtype):
         return self._wrap(self._col.cast(to_spark_type(dtype)))

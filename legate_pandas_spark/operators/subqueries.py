@@ -306,6 +306,79 @@ def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '2000-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(r.total_rev, 4) AS total_revenue
+    FROM supplier JOIN revenue r ON s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + scalar max subquery (the view is
+    computed once and reused for both the max and the join — exchange reuse)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 10, 2) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY substr(c_name, 10, 2)
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar avg subquery (broadcast) + NOT EXISTS anti-join +
+    substring group key."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 400000),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "nation_pair_volume",
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

@@ -196,6 +196,77 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           round(percent_rank() OVER w, 6)          AS pct_rank,
+           round(cume_dist() OVER w, 6)             AS cume,
+           CAST(ntile(4) OVER w AS INT)             AS quartile,
+           round(first_value(value) OVER wo, 2)     AS first_val,
+           round(last_value(value) OVER wframe, 2)  AS last_val,
+           CAST(dense_rank() OVER w AS BIGINT)      AS drank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+           wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wframe AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile/first/last/
+    dense_rank) — all absent in the reference (SURVEY §2.6), free extensions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wframe = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.first("value").over(wo), 2).alias("first_val"),
+        F.round(F.last("value").over(wframe), 2).alias("last_val"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+@query(
+    "cube_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE with grouping() indicators (extension; SURVEY §2.4 absent row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
     "rolling_1h_range_window",
     oracle="""
     SELECT event_id, user_id,

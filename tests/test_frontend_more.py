@@ -191,3 +191,49 @@ def test_nlargest_nsmallest(ldf, pdf):
     got = ldf.nsmallest(3, "y").to_pandas()
     want = pdf.nsmallest(3, "y")
     assert sorted(got["y"].round(6)) == sorted(want["y"].round(6))
+
+
+def test_groupby_shift_diff(spark):
+    p = pd.DataFrame({"g": [0, 0, 0, 1, 1], "v": [1.0, 3.0, 6.0, 10.0, 14.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.groupby("g").shift(1).to_pandas()
+    want_shift = p.groupby("g")["v"].shift(1)
+    assert sorted(got["v"].fillna(-1)) == sorted(want_shift.fillna(-1))
+    got_d = l.groupby("g").diff(1).to_pandas()
+    want_d = p.groupby("g")["v"].diff(1)
+    assert sorted(got_d["v"].fillna(-1)) == sorted(want_d.fillna(-1))
+
+
+def test_groupby_rolling(spark):
+    p = pd.DataFrame({"g": [0, 0, 0, 0, 1, 1], "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.groupby("g").rolling_sum(2).to_pandas()
+    want = p.groupby("g")["v"].rolling(2, min_periods=1).sum().reset_index(drop=True)
+    assert sorted(got["v"]) == sorted(want)
+    got_m = l.groupby("g").rolling_mean(3).to_pandas()
+    want_m = p.groupby("g")["v"].rolling(3, min_periods=1).mean().reset_index(drop=True)
+    assert sorted(got_m["v"]) == sorted(want_m)
+
+
+def test_series_map_dict(spark):
+    p = pd.DataFrame({"c": ["a", "b", "c", "a"]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["m"] = got["c"].map({"a": 1, "b": 2}, default=-1)
+    gp = got.to_pandas()
+    want = p["c"].map({"a": 1, "b": 2}).fillna(-1)
+    assert list(gp["m"]) == list(want)
+
+
+def test_apply_batches_mapinpandas(spark):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    p = pd.DataFrame({"x": [1, 2, 3, 4]})
+    l = lps.from_pandas(p, spark=spark)
+
+    def double_it(pdf):
+        return pd.DataFrame({"x": pdf["x"], "y": pdf["x"] * 2.5})
+
+    schema = StructType([StructField("x", LongType()), StructField("y", DoubleType())])
+    got = l.apply_batches(double_it, schema).to_pandas()
+    assert sorted(got["y"]) == [2.5, 5.0, 7.5, 10.0]
