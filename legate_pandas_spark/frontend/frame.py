@@ -417,6 +417,31 @@ class DataFrame:
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)
 
+    def describe(self):
+        """pandas-style describe: count/mean/std/min/25%/50%/75%/max for numeric
+        columns, returned as a pandas frame (driver-side, like the reference's
+        scalar futures). Exact interpolated percentiles."""
+        import pandas as pd
+
+        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        cols = [c for c, t in self._sdf.dtypes if c in self.columns and is_numeric_spark_type(t)]
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"{c}__count"),
+                F.avg(c).alias(f"{c}__mean"),
+                F.stddev_samp(c).alias(f"{c}__std"),
+                F.min(c).alias(f"{c}__min"),
+                F.percentile(c, 0.25).alias(f"{c}__25%"),
+                F.percentile(c, 0.5).alias(f"{c}__50%"),
+                F.percentile(c, 0.75).alias(f"{c}__75%"),
+                F.max(c).alias(f"{c}__max"),
+            ]
+        row = self._sdf.agg(*aggs).collect()[0]
+        return pd.DataFrame(
+            {c: [row[f"{c}__{s}"] for s in stats] for c in cols}, index=stats
+        )
+
     # ------------------------------------------------------------ UDF escape hatch
     def apply_batches(self, func, schema) -> "DataFrame":
         """Arrow-batched pandas function over the frame (mapInPandas) — the

@@ -81,16 +81,27 @@ def read_csv(
         for c, t in mapping.items():
             sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
     if true_values or false_values:
+        # pandas: a column whose non-null values all match the custom tokens
+        # becomes boolean (reference read_csv_custom_values fixture). Token-set
+        # membership requires a (tiny, eager) distinct check per string column.
+        tv = set(true_values or [])
+        fv = set(false_values or [])
+        tokens = tv | fv
         for c, t in sdf.dtypes:
-            if t == "string":
-                expr = F.col(c)
-                if true_values:
-                    for v in true_values:
-                        expr = F.when(F.col(c) == v, F.lit(True).cast("string")).otherwise(expr)
-                if false_values:
-                    for v in false_values:
-                        expr = F.when(F.col(c) == v, F.lit(False).cast("string")).otherwise(expr)
-                sdf = sdf.withColumn(c, expr)
+            if t != "string":
+                continue
+            distinct = {
+                r["v"]
+                for r in sdf.select(F.col(c).alias("v")).distinct().collect()
+                if r["v"] is not None
+            }
+            if distinct and distinct <= tokens:
+                sdf = sdf.withColumn(
+                    c,
+                    F.when(F.col(c).isin(list(tv)), F.lit(True))
+                    .when(F.col(c).isin(list(fv)), F.lit(False))
+                    .otherwise(F.lit(None).cast("boolean")),
+                )
     if parse_dates:
         cols = parse_dates if isinstance(parse_dates, (list, tuple)) else [parse_dates]
         fmt = _strftime_to_java(date_format) if date_format else None

@@ -167,6 +167,52 @@ class Series:
             col = F.least(col, F.lit(upper))
         return self._wrap(col)
 
+    # -- ordered ops (window over the frame's row-order key) -----------------
+    def _ordered_window(self):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        self._frame._sdf = self._frame._ordered_sdf()
+        return (
+            Window.orderBy(F.asc(ROW_ORDER))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def cumsum(self):
+        """Global cumulative sum (reference two-phase scan, core/column.py:644-687).
+        NOTE: unpartitioned window — use groupby(...).cumsum() for the
+        distributed path."""
+        return self._wrap(F.sum(self._col).over(self._ordered_window()))
+
+    def cummax(self):
+        return self._wrap(F.max(self._col).over(self._ordered_window()))
+
+    def cummin(self):
+        return self._wrap(F.min(self._col).over(self._ordered_window()))
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        """Rank values (extension): 'min' = SQL rank, 'dense', 'first'=row_number."""
+        from pyspark.sql.window import Window
+
+        order = self._col.asc() if ascending else self._col.desc()
+        w = Window.orderBy(order)
+        fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
+        return self._wrap(fn().over(w).cast("double"))
+
+    def shift(self, periods: int = 1):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        self._frame._sdf = self._frame._ordered_sdf()
+        w = Window.orderBy(F.asc(ROW_ORDER))
+        return self._wrap(F.lag(self._col, periods).over(w))
+
+    def diff(self, periods: int = 1):
+        shifted = self.shift(periods)
+        return self._wrap(self._col - shifted._col)
+
     def map(self, mapping: dict, default=None):
         """Value mapping via a compiled CASE expression (dictionary broadcast in
         expression form — pandas Series.map with a dict)."""

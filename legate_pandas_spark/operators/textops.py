@@ -175,6 +175,73 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_pipeline",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                                  '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_filter(toks, x -> NOT list_contains(
+                   ['the','a','of','to','and','is','in'], x)), ' ') AS normalized,
+           CAST(len(list_filter(toks, x -> NOT list_contains(
+                   ['the','a','of','to','and','is','in'], x))) AS BIGINT) AS n_kept,
+           CAST(len(toks) AS BIGINT) AS n_orig
+    FROM t
+    """,
+)
+def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pipeline: lowercase → strip non-alphanumerics →
+    tokenize → stopword removal → re-join. The canonical dedup/training-prep
+    preprocessing, entirely as JVM array expressions (zero UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " ")
+    toks = F.split(F.trim(cleaned), r"\s+")
+    kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS["en"]))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("normalized"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(toks).cast("long").alias("n_orig"),
+    )
+
+
+@query(
+    "union_by_name_missing_cols",
+    oracle="""
+    SELECT o_orderkey AS key, round(o_totalprice, 2) AS totalprice,
+           CAST(NULL AS DOUBLE) AS quantity, 'orders' AS src
+    FROM orders WHERE o_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey AS key, CAST(NULL AS DOUBLE) AS totalprice,
+           round(l_quantity, 2) AS quantity, 'lineitem' AS src
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat of frames with mismatched columns (pandas fills missing with NULL)
+    — unionByName(allowMissingColumns=True), the §2.7 concat contract extended."""
+    from legate_pandas_spark.operators.relational import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.lit("orders").alias("src"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100).select(
+        F.col("l_orderkey").alias("key"),
+        F.round("l_quantity", 2).alias("quantity"),
+        F.lit("lineitem").alias("src"),
+    )
+    return orders.unionByName(li, allowMissingColumns=True).select(
+        "key", "totalprice", "quantity", "src"
+    )
+
+
+@query(
     "ngram_top_bigrams",
     oracle="""
     WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),

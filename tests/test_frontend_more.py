@@ -237,3 +237,45 @@ def test_apply_batches_mapinpandas(spark):
     schema = StructType([StructField("x", LongType()), StructField("y", DoubleType())])
     got = l.apply_batches(double_it, schema).to_pandas()
     assert sorted(got["y"]) == [2.5, 5.0, 7.5, 10.0]
+
+
+def test_series_cumsum_shift_rank(spark):
+    # id column: window sorts may reorder returned rows; compare row-matched
+    p = pd.DataFrame({"id": [0, 1, 2, 3, 4], "v": [3.0, 1.0, 4.0, 1.0, 5.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["cs"] = got["v"].cumsum()
+    got["cm"] = got["v"].cummax()
+    got["sh"] = got["v"].shift(1)
+    got["df_"] = got["v"].diff(1)
+    got["rk"] = got["v"].rank(method="min")
+    gp = got.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(gp["cs"]) == list(p["v"].cumsum())
+    assert list(gp["cm"]) == list(p["v"].cummax())
+    assert list(gp["sh"].fillna(-9)) == list(p["v"].shift(1).fillna(-9))
+    assert list(gp["df_"].fillna(-9)) == list(p["v"].diff(1).fillna(-9))
+    assert list(gp["rk"]) == list(p["v"].rank(method="min"))
+
+
+def test_describe(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [10, 20, 30, 40]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.describe()
+    want = p.describe()
+    for c in ["a", "b"]:
+        for s in ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]:
+            assert abs(got.loc[s, c] - want.loc[s, c]) < 1e-9, (c, s)
+
+
+def test_read_csv_true_false_values(tmp_path, spark):
+    f = tmp_path / "tf.csv"
+    f.write_text("a,b\nthis is true,1\nthis is false,2\nthis is true,3\n")
+    got = lps.read_csv(
+        str(f), true_values=["this is true"], false_values=["this is false"], spark=spark
+    )
+    want = pd.read_csv(
+        str(f), true_values=["this is true"], false_values=["this is false"]
+    )
+    gp = got.to_pandas()
+    assert gp["a"].dtype.kind == "b"
+    assert list(gp["a"]) == list(want["a"])
