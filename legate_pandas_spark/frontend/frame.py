@@ -55,6 +55,13 @@ class DataFrame:
     def copy(self, deep: bool = True) -> "DataFrame":
         return DataFrame(self._sdf, self._index)
 
+    def squeeze(self):
+        """1-column frame → Series (reference core/table.py:315-316)."""
+        cols = self.columns
+        if len(cols) != 1:
+            return self
+        return self[cols[0]]
+
     def _replace(self, sdf: SparkDF, index=None) -> "DataFrame":
         return DataFrame(sdf, self._index if index is None else tuple(index))
 

@@ -176,3 +176,21 @@ def test_to_csv_single_file(tmp_path, spark):
     assert len(parts) == 1  # coalesce(1): reference single-file mode
     back = lps.read_csv(path, spark=spark)
     _match(back, p)
+
+
+def test_squeeze(ldf):
+    s = ldf[["v"]].squeeze()
+    assert s.name == "v"
+    assert abs(s.sum() - ldf["v"].sum()) < 1e-9
+
+
+def test_to_parquet_partitioned(tmp_path, spark):
+    p = pd.DataFrame({"part": ["a", "a", "b"], "v": [1, 2, 3]})
+    l = lps.from_pandas(p, spark=spark)
+    path = str(tmp_path / "pp")
+    l.to_parquet(path, partition_cols=["part"])
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == ["part=a", "part=b"]
+    back = lps.read_parquet(path, spark=spark).to_pandas()
+    assert sorted(back["v"]) == [1, 2, 3]

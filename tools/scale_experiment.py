@@ -1,0 +1,111 @@
+"""10× scale experiment: synthesize an sf1-equivalent dataset from sf0.1
+(10 copies of each fact table with shifted keys; dims unchanged — the realistic
+fact-growth shape) and compare per-query wall time at sf0.1 vs sf1.
+
+Near-linear scaling (ratio ≈ 10× data → ≲10× time on fixed cores) is the
+evidence that plans have no super-linear hotspots (cartesians, broadcast
+overflows, single-task windows). Writes results as JSON to stdout.
+
+Usage: python tools/scale_experiment.py [out_dir=/tmp/sfscale10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+COPIES = 10
+SRC = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_multikey",
+    "skew_salted_join",
+    "sort_topk_nlargest",
+    "groupby_multi_agg",
+    "cumsum_running_total",
+    "sessionize_events",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "ann_multi_query_topk",
+    "ann_ivf_topk",
+    "text_quality_score",
+]
+
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": [],  # vec_id NOT shifted for copies>0 would break centroid
+}
+
+
+def build(spark, out_dir: str) -> None:
+    from legate_pandas_spark.sources.tables import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        df = load_table(spark, SRC, name)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if name in ("region", "nation", "customer", "supplier", "part"):
+            df.write.mode("overwrite").parquet(path)
+            continue
+        keys = SHIFT_KEYS.get(name, [])
+        if name == "embeddings":
+            # shift vec_id except copy 0 keeps originals (centroids/probes)
+            keys = ["vec_id"]
+        base = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * base[k]))
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(path)
+        print(f"built {name}: x{COPIES}", file=sys.stderr)
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale10"
+    from legate_pandas_spark.operators import QUERIES as CATALOG, load_all
+    from legate_pandas_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("scale_experiment")
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        build(spark, out_dir)
+
+    results = {}
+    for name in QUERIES:
+        fn = CATALOG[name]
+        times = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1", out_dir)]:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            times[label] = round(best, 3)
+        times["ratio"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 2)
+        results[name] = times
+        print(f"{name}: {times}", file=sys.stderr)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
