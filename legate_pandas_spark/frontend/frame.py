@@ -424,6 +424,28 @@ class DataFrame:
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)
 
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        """Value replacement (scalar→scalar or dict) across data columns."""
+        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        sdf = self._sdf
+        dtypes = dict(sdf.dtypes)
+        for c in self.columns:
+            expr = F.col(c)
+            changed = False
+            for old, new in mapping.items():
+                if isinstance(old, str) != (dtypes[c] == "string"):
+                    continue
+                expr = F.when(F.col(c) == F.lit(old), F.lit(new)).otherwise(expr)
+                changed = True
+            if changed:
+                sdf = sdf.withColumn(c, expr)
+        return self._replace(sdf)
+
+    def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "DataFrame":
+        """Bernoulli row sampling (distributed; deterministic under a seed for a
+        fixed partition layout)."""
+        return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
+
     def describe(self):
         """pandas-style describe: count/mean/std/min/25%/50%/75%/max for numeric
         columns, returned as a pandas frame (driver-side, like the reference's

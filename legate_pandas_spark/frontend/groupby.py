@@ -121,6 +121,11 @@ class GroupBy:
     def nunique(self):
         return self._apply_named("nunique")
 
+    def pivot(self, column: str, values: list) -> "PivotedGroupBy":
+        """Pivot on a column with an EXPLICIT value list (stable output schema —
+        at scale an implicit pivot would need a distinct-value pre-pass)."""
+        return PivotedGroupBy(self, column, values)
+
     def shift(self, periods: int = 1):
         """Per-group shift over row order (extension; pandas groupby.shift)."""
         return self._over(lambda c, w: F.lag(c, periods).over(w))
@@ -187,3 +192,21 @@ class GroupBy:
             else:
                 sel.append(F.col(c))
         return DataFrame(sdf.select(*sel), self._df._index)
+
+
+class PivotedGroupBy:
+    def __init__(self, gb: GroupBy, column: str, values: list):
+        self._gb = gb
+        self._column = column
+        self._values = values
+
+    def agg(self, spec: dict):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        (col, op), = spec.items()
+        pivoted = (
+            self._gb._df._sdf.groupBy(*self._gb._keys)
+            .pivot(self._column, self._values)
+            .agg(_AGG_FNS[op](F.col(col)))
+        )
+        return DataFrame(pivoted, tuple(self._gb._keys) if self._gb._as_index else ())

@@ -4,5 +4,6 @@ from legate_pandas_spark.streaming.events import (  # noqa: F401
     sessionized_event_stats,
     dedup_stream,
     stateful_running_totals,
+    purchase_click_attribution,
     run_available_now,
 )

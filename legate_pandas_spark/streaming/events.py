@@ -127,6 +127,45 @@ def stateful_running_totals(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def purchase_click_attribution(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the same user's clicks in
+    the preceding hour. Both sides carry watermarks and the join has an explicit
+    event-time range — the two conditions that let Spark bound join state at
+    scale (state ∝ watermark window, not stream length)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain all available input (batch-like backfill) into an in-memory table;
     returns the StreamingQuery after completion."""

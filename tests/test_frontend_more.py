@@ -279,3 +279,35 @@ def test_read_csv_true_false_values(tmp_path, spark):
     gp = got.to_pandas()
     assert gp["a"].dtype.kind == "b"
     assert list(gp["a"]) == list(want["a"])
+
+
+def test_groupby_pivot(spark):
+    p = pd.DataFrame(
+        {"g": [0, 0, 1, 1, 1], "c": ["a", "b", "a", "a", "b"], "v": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    l = lps.from_pandas(p, spark=spark)
+    got = l.groupby("g").pivot("c", ["a", "b"]).agg({"v": "sum"}).reset_index().to_pandas()
+    want = p.pivot_table(index="g", columns="c", values="v", aggfunc="sum").reset_index()
+    want.columns = ["g", "a", "b"]
+    got = got.sort_values("g").reset_index(drop=True)[["g", "a", "b"]]
+    pd.testing.assert_frame_equal(got, want.sort_values("g").reset_index(drop=True), check_dtype=False)
+
+
+def test_frame_replace(spark):
+    p = pd.DataFrame({"s": ["a", "b", "a"], "n": [1, 2, 3]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.replace({"a": "z"}).to_pandas()
+    want = p.replace({"a": "z"})
+    assert sorted(got["s"]) == sorted(want["s"])
+    got2 = l.replace({1: 100}).to_pandas()
+    want2 = p.replace({1: 100})
+    assert sorted(got2["n"]) == sorted(want2["n"])
+
+
+def test_frame_sample(spark):
+    p = pd.DataFrame({"x": range(100)})
+    l = lps.from_pandas(p, spark=spark)
+    s1 = l.sample(0.3, seed=42).to_pandas()
+    s2 = l.sample(0.3, seed=42).to_pandas()
+    assert list(s1["x"]) == list(s2["x"])  # deterministic under a seed
+    assert 5 < len(s1) < 60

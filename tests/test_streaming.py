@@ -119,3 +119,55 @@ def test_checkpoint_state_continuity(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(out_dir).count()
     assert n1 > 0
     assert n2 == n1  # resumed state deduplicated every batch-2 row
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream purchase←click attribution must equal the equivalent batch
+    join on the same data."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.sources.tables import load_table
+    from legate_pandas_spark.streaming import (
+        purchase_click_attribution,
+        run_available_now,
+        stream_events,
+    )
+
+    stream = purchase_click_attribution(stream_events(spark, events_dir))
+    run_available_now(stream, "attribution", output_mode="append")
+    got = spark.table("attribution").toPandas()
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .toPandas()
+    )
+    key = ["purchase_id", "click_id"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
