@@ -17,6 +17,7 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     DataFrame,
     Series,
     concat,
+    merge_asof,
     read_csv,
     read_parquet,
     from_pandas,

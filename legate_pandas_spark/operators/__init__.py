@@ -34,6 +34,7 @@ def load_all() -> None:
         relational,
         subqueries,
         mlstats,
+        asof,
         windows,
         dedup,
         similarity,

@@ -311,3 +311,63 @@ def test_frame_sample(spark):
     s2 = l.sample(0.3, seed=42).to_pandas()
     assert list(s1["x"]) == list(s2["x"])  # deterministic under a seed
     assert 5 < len(s1) < 60
+
+
+def test_merge_asof_vs_pandas(spark):
+    left = pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:30",
+                 "2024-01-01 09:00", "2024-01-01 11:00"]
+            ),
+            "g": [1, 1, 1, 2, 2],
+            "lv": [100.0, 101.0, 102.0, 200.0, 201.0],
+        }
+    ).sort_values("t")
+    right = pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2024-01-01 09:58", "2024-01-01 10:20", "2024-01-01 10:50"]
+            ),
+            "g": [1, 1, 2],
+            "rv": [7.0, 8.0, 9.0],
+        }
+    ).sort_values("t")
+    got = (
+        lps.merge_asof(
+            lps.from_pandas(left, spark=spark), lps.from_pandas(right, spark=spark),
+            on="t", by="g",
+        )
+        .to_pandas()
+        .sort_values(["g", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(left, right, on="t", by="g")
+        .sort_values(["g", "t"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_merge_asof_tolerance(spark):
+    left = pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00"]), "g": [1, 1],
+         "lv": [1.0, 2.0]}
+    )
+    right = pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01 09:59"]), "g": [1], "rv": [5.0]}
+    )
+    got = (
+        lps.merge_asof(
+            lps.from_pandas(left, spark=spark), lps.from_pandas(right, spark=spark),
+            on="t", by="g", tolerance_seconds=300,
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left, right, on="t", by="g", tolerance=pd.Timedelta(seconds=300)
+    ).sort_values("t").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
