@@ -46,6 +46,11 @@ HEADLINE = [
     "text_quality_score",
     "token_count_bpe",
     "pd_mortgage_style_pipeline",
+    "asof_join_last_click",
+    "interval_join_attribution",
+    "window_distribution_funcs",
+    "cube_grouping_sets",
+    "text_normalize_pipeline",
 ]
 
 
