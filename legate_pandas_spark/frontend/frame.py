@@ -299,7 +299,10 @@ class DataFrame:
             suffixes=(lsuffix or "_x", rsuffix or "_y"),
         )
 
-    def groupby(self, by=None, level=None, as_index: bool = True, sort: bool = False):
+    def groupby(
+        self, by=None, level=None, as_index: bool = True, sort: bool = False,
+        dropna: bool = True,
+    ):
         """Group by columns or index levels (reference frontend/groupby.py:22-86:
         level keys get reset_index first — here index cols are physical, so a
         level is just a key name)."""
@@ -315,7 +318,7 @@ class DataFrame:
                     raise KeyError(f"level {k!r} is not an index level of {self._index}")
         else:
             keys = [by] if isinstance(by, str) else list(by)
-        return GroupBy(self, keys, as_index=as_index, sort=sort)
+        return GroupBy(self, keys, as_index=as_index, sort=sort, dropna=dropna)
 
     def droplevel(self, level) -> "DataFrame":
         """Remove index level(s) (reference core/index.py MultiIndex ops)."""

@@ -40,7 +40,26 @@ _NUMERIC_ONLY = {"sum", "mean", "avg", "var", "std", "prod", "product"}
 
 
 class GroupBy:
-    def __init__(self, df, keys: list[str], as_index: bool = True, sort: bool = False):
+    def __init__(
+        self,
+        df,
+        keys: list[str],
+        as_index: bool = True,
+        sort: bool = False,
+        dropna: bool = True,
+    ):
+        # pandas semantics: rows with null group keys are EXCLUDED by default
+        # (reference cudf null_policy::EXCLUDE, src/groupby/groupby_reduce_gpu.cc:76-77);
+        # Spark's groupBy would emit a null group — filter first.
+        if dropna:
+            cond = None
+            for k in keys:
+                c = F.col(k).isNotNull()
+                cond = c if cond is None else (cond & c)
+            if cond is not None:
+                from legate_pandas_spark.frontend.frame import DataFrame
+
+                df = DataFrame(df._sdf.filter(cond), df._index)
         self._df = df
         self._keys = keys
         self._as_index = as_index

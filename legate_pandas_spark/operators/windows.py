@@ -196,6 +196,83 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "share_of_total_window",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, sum(o_totalprice) AS nation_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           round(nation_rev, 2) AS nation_rev,
+           round(100.0 * nation_rev / sum(nation_rev) OVER (), 6) AS pct_of_total
+    FROM rev
+    """,
+)
+def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-nation revenue share via a window over the
+    AGGREGATED frame (25 rows) — the global window is applied post-aggregation,
+    so the single-task stage touches group-cardinality rows, never the fact
+    table (the correct way to use an unpartitioned window at 100 TB)."""
+    from legate_pandas_spark.sources.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    cust = _lt(spark, sf_dir, "customer")
+    nation = _lt(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w_all = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(100.0 * F.col("nation_rev") / F.sum("nation_rev").over(w_all), 6).alias(
+            "pct_of_total"
+        ),
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH buckets AS (
+        SELECT user_id, value,
+               unnest(list_filter(
+                   list_transform(range(0, 4),
+                       k -> time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE),
+                   b -> ts >= b AND ts < b + INTERVAL 1 HOUR)) AS win_start
+        FROM events
+    )
+    SELECT user_id,
+           strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM buckets
+    GROUP BY user_id, win_start
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): each event lands in
+    4 overlapping windows (Spark's window() emits them natively; the oracle
+    reconstructs the same buckets by explicit enumeration)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "window_distribution_funcs",
     oracle="""
     SELECT event_id, user_id,

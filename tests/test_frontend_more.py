@@ -371,3 +371,18 @@ def test_merge_asof_tolerance(spark):
         left, right, on="t", by="g", tolerance=pd.Timedelta(seconds=300)
     ).sort_values("t").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_groupby_dropna_null_keys(spark):
+    """pandas excludes null group keys by default (reference cudf
+    null_policy::EXCLUDE); dropna=False keeps them."""
+    p = pd.DataFrame({"k": ["a", None, "a", None, "b"], "v": [1, 2, 3, 4, 5]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.groupby("k").agg({"v": "sum"}).reset_index().to_pandas()
+    want = p.groupby("k")["v"].sum().reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got_keep = l.groupby("k", dropna=False).agg({"v": "sum"}).reset_index().to_pandas()
+    want_keep = p.groupby("k", dropna=False)["v"].sum().reset_index()
+    assert len(got_keep) == len(want_keep) == 3
