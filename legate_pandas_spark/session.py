@@ -50,14 +50,18 @@ def get_spark(app_name: str = "legate_pandas_spark", cpus: int | None = None) ->
 def ensure_runtime_conf(spark: SparkSession) -> None:
     """Best-effort apply runtime-settable confs to an externally created session
     (the correctness driver passes its own SparkSession to ``queries()``)."""
-    for k in (
-        "spark.sql.legacy.parquet.nanosAsLong",
-        "spark.sql.adaptive.enabled",
-        "spark.sql.adaptive.coalescePartitions.enabled",
-        "spark.sql.adaptive.skewJoin.enabled",
-        "spark.sql.execution.arrow.pyspark.enabled",
-    ):
+    settings = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # local[k] test scale: 200 default shuffle partitions is pure overhead
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+    }
+    for k, v in settings.items():
         try:
-            spark.conf.set(k, "true")
+            spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — sources.tables has a fallback
