@@ -95,6 +95,21 @@ class StringMethods:
     def split(self, pat: str = r"\s+"):
         return self._wrap(F.split(self._s._col, pat))
 
+    def extract(self, pat: str, group: int = 1):
+        """First regex group match (pandas str.extract with one group)."""
+        matched = F.regexp_extract(self._s._col, pat, group)
+        return self._wrap(F.when(matched == "", F.lit(None)).otherwise(matched))
+
+    def count(self, pat: str):
+        """Count regex matches per value (pandas str.count)."""
+        return self._wrap(
+            F.size(F.regexp_extract_all(self._s._col, F.lit(f"({pat})"))).cast("long")
+        )
+
+    def find(self, sub: str):
+        """Position of substring (0-based; -1 if absent) — pandas str.find."""
+        return self._wrap((F.instr(self._s._col, sub) - 1).cast("long"))
+
     def to_datetime(self, format: str | None = None):
         return self._s.to_datetime(format)
 

@@ -287,6 +287,21 @@ class Series:
     def nunique(self):
         return self._reduce(F.countDistinct(self._col))
 
+    def _idx_reduce(self, descending: bool):
+        if not self._frame._index:
+            raise ValueError("idxmax/idxmin require a stored index (set_index first)")
+        idx = self._frame._index[0]
+        order = self._col.desc() if descending else self._col.asc()
+        row = self._frame._sdf.orderBy(order).select(idx).limit(1).collect()
+        return row[0][0] if row else None
+
+    def idxmax(self):
+        """Index label of the maximum (TakeOrderedAndProject — no global sort)."""
+        return self._idx_reduce(descending=True)
+
+    def idxmin(self):
+        return self._idx_reduce(descending=False)
+
     def value_counts(self):
         """Returns a DataFrame facade (value, count) sorted by count desc."""
         from legate_pandas_spark.frontend.frame import DataFrame

@@ -379,6 +379,93 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1), 4) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE contains(p_name, 'widget')
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and order year over a 5-way
+    join with a substring predicate on the part dim (filter applied before the
+    broadcast, so the build side shrinks first)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+        FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM flagged f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier s  ON f.l_suppkey = s.s_suppkey
+    WHERE f.is_late AND p.n_supp > 1 AND p.n_late_supp = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins) rewritten as one
+    grouped pass: per-order distinct-supplier and distinct-late-supplier counts
+    replace the two correlated subqueries — one shuffle on orderkey instead of
+    two extra self-joins of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        flagged.join(per_order, "l_orderkey")
+        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
     "nation_pair_volume",
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

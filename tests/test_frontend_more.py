@@ -386,3 +386,26 @@ def test_groupby_dropna_null_keys(spark):
     got_keep = l.groupby("k", dropna=False).agg({"v": "sum"}).reset_index().to_pandas()
     want_keep = p.groupby("k", dropna=False)["v"].sum().reset_index()
     assert len(got_keep) == len(want_keep) == 3
+
+
+def test_str_extract_count_find(spark):
+    p = pd.DataFrame({"s": ["abc123def", "xy99", "nodigits", "7a8b9"]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["num"] = got["s"].str.extract(r"([0-9]+)")
+    got["ndig"] = got["s"].str.count(r"[0-9]")
+    got["pos"] = got["s"].str.find("b")
+    gp = got.to_pandas()
+    want_num = p["s"].str.extract(r"([0-9]+)")[0]
+    want_cnt = p["s"].str.count(r"[0-9]")
+    want_pos = p["s"].str.find("b")
+    assert list(gp["num"].fillna("~")) == list(want_num.fillna("~"))
+    assert list(gp["ndig"]) == list(want_cnt)
+    assert list(gp["pos"]) == list(want_pos)
+
+
+def test_idxmax_idxmin(spark):
+    p = pd.DataFrame({"k": [10, 20, 30], "v": [5.0, 9.0, 1.0]})
+    l = lps.from_pandas(p, spark=spark).set_index("k")
+    assert l["v"].idxmax() == p.set_index("k")["v"].idxmax()
+    assert l["v"].idxmin() == p.set_index("k")["v"].idxmin()
