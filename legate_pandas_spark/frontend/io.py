@@ -60,6 +60,9 @@ def read_csv(
     reader = (
         ss.read.option("sep", sep)
         .option("quote", quotechar)
+        # RFC-4180 doubled-quote escaping (pandas doublequote=True default);
+        # Spark's default escape is backslash
+        .option("escape", quotechar)
         .option("mode", "PERMISSIVE")
     )
     # pandas: header='infer' means first row is a header unless names= is given
