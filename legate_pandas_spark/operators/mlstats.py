@@ -64,6 +64,113 @@ def corr_covar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "group_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def group_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (listagg): collect_list → array_sort
+    → array_join gives a deterministic concatenation without requiring input
+    order (shuffle-order-proof — collect_list alone is nondeterministic)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "array_position_stats",
+    oracle=f"""
+    SELECT label,
+           {", ".join(
+               f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 4) AS avg_d{i}"
+               for i in range(1, 9)
+           )},
+           count(*) AS n
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def array_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise array statistics: per-label mean of the first 8 embedding
+    dimensions (array subscripting stays columnar — no explode needed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = [
+        F.round(F.avg(F.element_at("embedding", i).cast("double")), 4).alias(f"avg_d{i}")
+        for i in range(1, 9)
+    ]
+    return emb.groupBy("label").agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE contains(p_name, 'widget')
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 2000
+    )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped+HAVING subquery → semi-join against
+    the aggregated supplier list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2000)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        F.broadcast(qualified), supp.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT user_id,
+           round(nth_value(value, 2) OVER w, 2)  AS second_value,
+           round(nth_value(value, 3) OVER w, 2)  AS third_value,
+           event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame (absent in the reference)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.round(F.nth_value("value", 2).over(w), 2).alias("second_value"),
+        F.round(F.nth_value("value", 3).over(w), 2).alias("third_value"),
+        "event_id",
+    )
+
+
+@query(
     "json_extract_props",
     oracle="""
     SELECT event_id,

@@ -756,7 +756,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_quantity + 1, 4)            AS qty_plus,
            round(l_quantity / 7, 6)            AS true_div,
-           floor(l_quantity / 7)               AS floor_div,
+           CAST(floor(l_quantity / 7) AS DOUBLE) AS floor_div,
            round(l_quantity % 7, 4)            AS mod7,
            round(power(1 + l_discount, 2), 6)  AS pow2,
            round(-l_quantity, 4)               AS neg_qty,
@@ -776,7 +776,7 @@ def arith_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(q + 1, 4).alias("qty_plus"),
         F.round(q / 7, 6).alias("true_div"),
-        F.floor(q / 7).alias("floor_div"),
+        F.floor(q / 7).cast("double").alias("floor_div"),
         F.round(q % 7, 4).alias("mod7"),
         F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("pow2"),
         F.round(-q, 4).alias("neg_qty"),

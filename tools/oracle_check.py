@@ -37,6 +37,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if sc != dc:
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
+    # dtype-family check (mirror a strict driver schema compare): int vs float
+    # disagreements are flagged even when the values coincide
+    for c in sc:
+        ka, kb = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        fam = lambda k: {"i": "num_i", "u": "num_i", "f": "num_f", "b": "bool"}.get(k, "obj")
+        if fam(ka) != fam(kb) and not (len(spark_pdf) == 0 or len(duck_pdf) == 0):
+            problems.append(f"dtype family {c!r}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}")
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
