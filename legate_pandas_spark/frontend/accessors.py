@@ -190,3 +190,23 @@ class DatetimeMethods:
     @property
     def date(self):
         return self._wrap(F.to_date(self._s._col))
+
+    @property
+    def quarter(self):
+        return self._wrap(F.quarter(self._s._col))
+
+    @property
+    def dayofyear(self):
+        return self._wrap(F.dayofyear(self._s._col))
+
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._s._col) == 1)
+
+    @property
+    def is_month_end(self):
+        return self._wrap(F.last_day(self._s._col) == F.to_date(self._s._col))
+
+    @property
+    def days_in_month(self):
+        return self._wrap(F.dayofmonth(F.last_day(self._s._col)))

@@ -427,6 +427,44 @@ class DataFrame:
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)
 
+    def melt(self, id_vars, value_vars, var_name: str = "variable",
+             value_name: str = "value") -> "DataFrame":
+        """Wide→long unpivot (Spark stack expression — one narrow pass)."""
+        id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        value_vars = [value_vars] if isinstance(value_vars, str) else list(value_vars)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
+        stacked = F.expr(
+            f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
+        )
+        return DataFrame(self._sdf.select(*id_vars, stacked), ())
+
+    def duplicated(self, subset=None, keep: str | bool = "first"):
+        """Boolean Series marking duplicate rows (reference dedup keep
+        semantics, config.py:152-155)."""
+        from legate_pandas_spark.frontend.series import Series
+
+        subset = [subset] if isinstance(subset, str) else list(subset or self.columns)
+        sdf = self._ordered_sdf()
+        if keep is False:
+            w = Window.partitionBy(*subset)
+            flag = F.count(F.lit(1)).over(w) > 1
+        else:
+            order = F.asc(ROW_ORDER) if keep == "first" else F.desc(ROW_ORDER)
+            w = Window.partitionBy(*subset).orderBy(order)
+            flag = F.row_number().over(w) > 1
+        out = DataFrame(sdf.withColumn("__dup__", flag), self._index)
+        return Series(out, F.col("__dup__"), "__dup__")
+
+    def resample(self, freq: str, on: str) -> "Resampler":
+        """Time-bucket resampling (pandas resample → groupBy time window).
+        freq: pandas-style offset ('1H', '15min', '1D')."""
+        return Resampler(self, freq, on)
+
+    def rolling(self, window: int):
+        """Global rolling window object (pandas df.rolling(n)); partitioned
+        rolling lives on groupby(...).rolling_*() — the scale path."""
+        return Rolling(self, window)
+
     def replace(self, to_replace, value=None) -> "DataFrame":
         """Value replacement (scalar→scalar or dict) across data columns."""
         mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
@@ -525,6 +563,96 @@ class DataFrame:
 
     def __repr__(self) -> str:
         return f"DataFrame[cols={self.columns}, index={list(self._index)}]"
+
+
+_FREQ_MAP = {"h": "hour", "min": "minute", "t": "minute", "d": "day", "s": "second"}
+
+
+def _freq_to_interval(freq: str) -> str:
+    import re
+
+    m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+    if not m:
+        raise ValueError(f"cannot parse frequency: {freq!r}")
+    n = int(m.group(1) or 1)
+    unit = _FREQ_MAP.get(m.group(2).lower())
+    if unit is None:
+        raise ValueError(f"unsupported frequency unit: {freq!r}")
+    return f"{n} {unit}{'s' if n != 1 else ''}"
+
+
+class Resampler:
+    def __init__(self, df: DataFrame, freq: str, on: str):
+        self._df = df
+        self._interval = _freq_to_interval(freq)
+        self._on = on
+
+    def _agg(self, fn) -> DataFrame:
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+
+        sdf = self._df._sdf
+        dtypes = dict(sdf.dtypes)
+        aggs = [
+            fn(F.col(c)).alias(c)
+            for c in self._df.columns
+            if c != self._on and is_numeric_spark_type(dtypes[c])
+        ]
+        out = (
+            sdf.groupBy(F.window(self._on, self._interval).alias("__win__"))
+            .agg(*aggs)
+            .withColumn(self._on, F.col("__win__.start"))
+            .drop("__win__")
+        )
+        return DataFrame(out, (self._on,))
+
+    def sum(self):
+        return self._agg(F.sum)
+
+    def mean(self):
+        return self._agg(F.avg)
+
+    def count(self):
+        return self._agg(F.count)
+
+    def max(self):
+        return self._agg(F.max)
+
+    def min(self):
+        return self._agg(F.min)
+
+
+class Rolling:
+    def __init__(self, df: DataFrame, window: int):
+        self._df = df
+        self._n = window
+
+    def _apply(self, fn) -> DataFrame:
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+
+        sdf = self._df._ordered_sdf()
+        w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(-(self._n - 1), 0)
+        dtypes = dict(sdf.dtypes)
+        sel = []
+        for c in sdf.columns:
+            if c == ROW_ORDER or c in self._df._index:
+                sel.append(F.col(c))
+            elif is_numeric_spark_type(dtypes[c]):
+                sel.append(fn(F.col(c)).over(w).alias(c))
+            else:
+                sel.append(F.col(c))
+        return DataFrame(sdf.select(*sel), self._df._index)
+
+    def sum(self):
+        return self._apply(F.sum)
+
+    def mean(self):
+        return self._apply(F.avg)
+
+    def max(self):
+        return self._apply(F.max)
+
+    def min(self):
+        return self._apply(F.min)
 
 
 def concat(objs, axis: int = 0) -> DataFrame:

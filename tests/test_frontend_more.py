@@ -409,3 +409,72 @@ def test_idxmax_idxmin(spark):
     l = lps.from_pandas(p, spark=spark).set_index("k")
     assert l["v"].idxmax() == p.set_index("k")["v"].idxmax()
     assert l["v"].idxmin() == p.set_index("k")["v"].idxmin()
+
+
+def test_melt_unpivot(spark):
+    p = pd.DataFrame({"id": [1, 2], "a": [10.0, 20.0], "b": [0.1, 0.2]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.melt(id_vars="id", value_vars=["a", "b"]).to_pandas()
+    want = p.melt(id_vars="id", value_vars=["a", "b"])
+    key = ["id", "variable"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duplicated_flags(spark):
+    p = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": range(6)})
+    l = lps.from_pandas(p, spark=spark)
+    for keep in ["first", "last", False]:
+        got = l.duplicated(subset=["k"], keep=keep)
+        n_dups = int(got._frame._sdf.filter(got._col).count())
+        want = int(p.duplicated(subset=["k"], keep=keep).sum())
+        assert n_dups == want, keep
+
+
+def test_resample_sum(spark):
+    p = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10", "2024-01-01 03:59"]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    l = lps.from_pandas(p, spark=spark)
+    got = l.resample("1H", on="ts").sum().reset_index().to_pandas()
+    want = p.resample("1h", on="ts").sum().reset_index()
+    want = want[want["v"] > 0]  # Spark windows skip empty buckets; pandas keeps them
+    got = got.sort_values("ts").reset_index(drop=True)[["ts", "v"]]
+    want = want.sort_values("ts").reset_index(drop=True)[["ts", "v"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_object(spark):
+    p = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.rolling(3).sum().to_pandas()
+    want = p.rolling(3, min_periods=1).sum()
+    assert list(got["v"]) == list(want["v"])
+    got_m = l.rolling(2).mean().to_pandas()
+    want_m = p.rolling(2, min_periods=1).mean()
+    assert list(got_m["v"]) == list(want_m["v"])
+
+
+def test_dt_extras(spark):
+    p = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01", "2024-02-29", "2024-03-31", "2024-12-15"])}
+    )
+    l = lps.from_pandas(p, spark=spark)
+    got = l.copy()
+    got["q"] = got["ts"].dt.quarter
+    got["doy"] = got["ts"].dt.dayofyear
+    got["ms"] = got["ts"].dt.is_month_start
+    got["me"] = got["ts"].dt.is_month_end
+    got["dim"] = got["ts"].dt.days_in_month
+    gp = got.to_pandas()
+    assert list(gp["q"]) == list(p["ts"].dt.quarter)
+    assert list(gp["doy"]) == list(p["ts"].dt.dayofyear)
+    assert list(gp["ms"]) == list(p["ts"].dt.is_month_start)
+    assert list(gp["me"]) == list(p["ts"].dt.is_month_end)
+    assert list(gp["dim"]) == list(p["ts"].dt.days_in_month)
