@@ -438,6 +438,14 @@ class DataFrame:
         )
         return DataFrame(self._sdf.select(*id_vars, stacked), ())
 
+    def explode(self, column: str) -> "DataFrame":
+        """One row per array element (pandas explode; empty/null arrays keep a
+        null row, matching pandas)."""
+        others = [c for c in self._sdf.columns if c != column]
+        return self._replace(
+            self._sdf.select(*others, F.explode_outer(column).alias(column))
+        )
+
     def duplicated(self, subset=None, keep: str | bool = "first"):
         """Boolean Series marking duplicate rows (reference dedup keep
         semantics, config.py:152-155)."""

@@ -302,17 +302,27 @@ class Series:
     def idxmin(self):
         return self._idx_reduce(descending=False)
 
-    def value_counts(self):
-        """Returns a DataFrame facade (value, count) sorted by count desc."""
+    def value_counts(self, normalize: bool = False):
+        """Returns a DataFrame facade (value, count) sorted by count desc;
+        normalize=True emits proportions (window-over-aggregate, tiny input)."""
+        from pyspark.sql.window import Window
+
         from legate_pandas_spark.frontend.frame import DataFrame
 
+        name = self.name or "value"
         out = (
-            self._frame._sdf.select(self._col.alias(self.name or "value"))
-            .groupBy(self.name or "value")
+            self._frame._sdf.select(self._col.alias(name))
+            .groupBy(name)
             .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"))
         )
-        return DataFrame(out)
+        if normalize:
+            out = out.select(
+                name,
+                (F.col("count") / F.sum("count").over(Window.partitionBy())).alias(
+                    "proportion"
+                ),
+            )
+        return DataFrame(out.orderBy(F.desc("proportion" if normalize else "count")))
 
     def to_pandas(self):
         import pandas as pd

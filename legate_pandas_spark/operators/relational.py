@@ -701,6 +701,30 @@ def except_intersect_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "melt_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS quantity, l_discount AS discount, l_tax AS tax
+        FROM lineitem WHERE l_orderkey < 100
+    ) UNPIVOT (val FOR measure IN (quantity, discount, tax))
+    """,
+)
+def melt_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (pandas melt / SQL UNPIVOT) via a stack expression —
+    row count triples but stays a narrow, pipelined transform."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    stacked = F.expr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) "
+        "as (measure, val)"
+    )
+    return li.select("l_orderkey", "l_linenumber", stacked).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val", 4).alias("val")
+    )
+
+
+@query(
     "skew_salted_join",
     oracle="""
     SELECT o.k AS k, round(sum(o_totalprice), 2) AS total_price,

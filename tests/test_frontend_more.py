@@ -478,3 +478,16 @@ def test_dt_extras(spark):
     assert list(gp["ms"]) == list(p["ts"].dt.is_month_start)
     assert list(gp["me"]) == list(p["ts"].dt.is_month_end)
     assert list(gp["dim"]) == list(p["ts"].dt.days_in_month)
+
+
+def test_explode_and_value_counts_normalize(spark):
+    p = pd.DataFrame({"id": [1, 2, 3], "arr": [[1, 2], [3], []]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.explode("arr").to_pandas()
+    want = p.explode("arr")
+    assert sorted(got["arr"].fillna(-1)) == sorted(want["arr"].fillna(-1).astype(float))
+    p2 = pd.DataFrame({"c": ["x", "x", "y", "z"]})
+    l2 = lps.from_pandas(p2, spark=spark)
+    got_n = l2["c"].value_counts(normalize=True).to_pandas()
+    want_n = p2["c"].value_counts(normalize=True)
+    assert abs(got_n.set_index("c")["proportion"]["x"] - want_n["x"]) < 1e-12

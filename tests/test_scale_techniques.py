@@ -99,3 +99,36 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     load_all()
     plan = plan_text(QUERIES["skew_salted_join"](spark, sf_dir), mode="simple")
     assert "salt" in plan  # join key includes the salt column
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir, duck):
+    """LSH near-dup recall: with b=4 bands of r=2, a pair at jaccard>=0.8 is
+    caught with prob 1-(1-j^2)^4 >= 98%; assert >=90% recall of the brute-force
+    ground truth (and 100% precision — every emitted pair is verified exact)."""
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    truth = duck.execute("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks)-1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+                FROM t WHERE len(toks) >= 3),
+        pairs AS (
+            SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh0 a JOIN sh0 b USING (s) WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) n FROM sh0 GROUP BY 1)
+        SELECT ia, ib FROM pairs
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+    """).fetchall()
+    truth = {(int(a), int(b)) for a, b in truth}
+    assert got <= truth  # 100% precision (exact verification stage)
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
