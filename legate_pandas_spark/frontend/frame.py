@@ -113,6 +113,15 @@ class DataFrame:
         index = tuple((columns or {}).get(c, c) for c in self._index)
         return DataFrame(sdf, index)
 
+    def set_axis(self, labels, axis=1) -> "DataFrame":
+        """Replace all column labels (reference df_set_axis)."""
+        if axis not in (1, "columns"):
+            raise NotImplementedError("set_axis over rows: use set_index")
+        cols = self.columns
+        if len(labels) != len(cols):
+            raise ValueError(f"expected {len(cols)} labels, got {len(labels)}")
+        return self.rename(columns=dict(zip(cols, labels)))
+
     def add_prefix(self, prefix: str) -> "DataFrame":
         return self.rename(columns={c: prefix + c for c in self.columns})
 
@@ -688,4 +697,11 @@ def from_pandas(pdf, spark=None) -> DataFrame:
     from legate_pandas_spark.session import get_spark
 
     spark = spark or get_spark()
+    if len(pdf) == 0:
+        # empty frames carry schema via dtypes (reference df_create_empty);
+        # Spark cannot infer a schema from zero rows
+        from legate_pandas_spark.frontend.dtypes import to_spark_type
+
+        fields = ", ".join(f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items())
+        return DataFrame(spark.createDataFrame([], schema=fields))
     return DataFrame(spark.createDataFrame(pdf))

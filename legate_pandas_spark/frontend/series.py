@@ -302,6 +302,22 @@ class Series:
     def idxmin(self):
         return self._idx_reduce(descending=False)
 
+    def groupby(self, by):
+        """Series groupby (reference sr_groupby): group this column by a key
+        column of the same frame (name or aligned Series)."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        if isinstance(by, Series):
+            key_col, key_name = by._col, by.name or "key"
+        else:
+            key_col, key_name = F.col(by), by
+        base = DataFrame(
+            self._frame._sdf.select(
+                key_col.alias(key_name), self._col.alias(self.name or "value")
+            )
+        )
+        return base.groupby(key_name)
+
     def value_counts(self, normalize: bool = False):
         """Returns a DataFrame facade (value, count) sorted by count desc;
         normalize=True emits proportions (window-over-aggregate, tiny input)."""

@@ -1,0 +1,95 @@
+"""Targeted parity tests for the remaining reference test-corpus shapes
+(reference tests/pandas/: df_set_axis, sr_groupby, df_query_with_null,
+df_create_empty, df_binary_unaligned_column, df_fill_datetime,
+tests/io/read_csv_index)."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import legate_pandas_spark as lps
+
+
+def test_set_axis(spark):
+    p = pd.DataFrame({"a": [1, 2], "b": [3.0, 4.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.set_axis(["x", "y"])
+    want = p.set_axis(["x", "y"], axis=1)
+    assert got.columns == list(want.columns)
+    assert sorted(got.to_pandas()["x"]) == sorted(want["x"])
+
+
+def test_series_groupby(spark):
+    p = pd.DataFrame({"k": [0, 1, 0, 1, 0], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l["v"].groupby("k").sum().reset_index().to_pandas().sort_values("k")
+    want = p["v"].groupby(p["k"]).sum().reset_index().sort_values("k")
+    assert list(got["v"]) == list(want["v"])
+    # grouping by an aligned Series expression
+    got2 = (
+        l["v"].groupby(l["k"] * 10).sum().reset_index().to_pandas().sort_values("k")
+    )
+    want2 = p["v"].groupby(p["k"] * 10).sum().reset_index().sort_values("k")
+    assert list(got2["v"]) == list(want2["v"])
+
+
+def test_query_with_null(spark):
+    """pandas query excludes rows where the comparison involves NaN — Spark's
+    SQL NULL filtering matches (reference df_query_with_null)."""
+    p = pd.DataFrame({"a": [1.0, None, 3.0, None], "b": [10, 20, 30, 40]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.query("a > 1").to_pandas()
+    want = p.query("a > 1")
+    assert sorted(got["b"]) == sorted(want["b"])
+
+
+def test_empty_frame_ops(spark):
+    p = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="float64")})
+    l = lps.from_pandas(p, spark=spark)
+    assert len(l) == 0
+    assert len(l[l["a"] > 0]) == 0
+    assert len(l.head(5)) == 0
+    g = l.groupby("a").agg({"b": "sum"}).reset_index()
+    assert len(g) == 0
+    assert sorted(g.columns) == ["a", "b"]
+
+
+def test_filter_to_empty_then_ops(spark):
+    p = pd.DataFrame({"a": [1, 2, 3]})
+    l = lps.from_pandas(p, spark=spark)
+    empty = l[l["a"] > 100]
+    assert len(empty) == 0
+    assert len(empty.sort_values("a").head(3)) == 0
+    assert empty["a"].sum() is None  # Spark sum of empty = NULL (pandas: 0) — documented
+
+
+def test_binary_unaligned_raises(spark):
+    a = lps.from_pandas(pd.DataFrame({"x": [1, 2]}), spark=spark)
+    b = lps.from_pandas(pd.DataFrame({"x": [3, 4]}), spark=spark)
+    with pytest.raises(ValueError, match="aligned"):
+        _ = a["x"] + b["x"]  # reference raises on unaligned frames too
+
+
+def test_fill_datetime_scalar(spark):
+    p = pd.DataFrame({"a": [1, 2]})
+    l = lps.from_pandas(p, spark=spark)
+    stamp = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    l["ts"] = stamp
+    got = l.to_pandas()
+    assert list(got["ts"]) == [stamp, stamp]
+    assert dict(l._sdf.dtypes)["ts"] == "timestamp"
+
+
+def test_read_csv_index_col(tmp_path, spark):
+    f = tmp_path / "idx.csv"
+    f.write_text("id,v\n10,a\n20,b\n30,c\n")
+    got = lps.read_csv(str(f), index_col="id", spark=spark)
+    want = pd.read_csv(str(f), index_col="id")
+    assert got.index_names == ("id",)
+    gp = got.to_pandas()
+    assert list(gp.index.name and [gp.index.name])[0] == "id"
+    assert sorted(gp["v"]) == sorted(want["v"])
+    # label-based loc works against the csv-derived index
+    assert got.loc[20:30].to_pandas()["v"].tolist() == ["b", "c"]
