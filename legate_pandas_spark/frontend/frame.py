@@ -85,11 +85,36 @@ class DataFrame:
             return self._replace(self._sdf.filter(key._col))
         raise TypeError(f"unsupported key type: {type(key)!r}")
 
-    def __setitem__(self, name: str, value) -> None:
+    def __setitem__(self, name, value) -> None:
+        if isinstance(name, list):
+            # multi-column assignment (reference df_swap):
+            # df[["a","b"]] = df[["b","a"]] maps positionally
+            if not isinstance(value, DataFrame) or len(name) != len(value.columns):
+                raise ValueError("multi-column assignment needs a DataFrame of equal width")
+            srcs = [F.col(c) for c in value.columns]
+            sdf = self._sdf
+            tmp = [f"__swap_{i}__" for i in range(len(name))]
+            for t, src in zip(tmp, srcs):
+                sdf = sdf.withColumn(t, src)
+            for target, t in zip(name, tmp):
+                sdf = sdf.withColumn(target, F.col(t))
+            self._sdf = sdf.drop(*tmp)
+            return
         if isinstance(value, Series):
             self._sdf = self._sdf.withColumn(name, value._col)
         else:
+            if hasattr(value, "item") and not isinstance(value, (str, bytes)):
+                value = value.item()  # numpy typed scalars (reference df_fill)
             self._sdf = self._sdf.withColumn(name, F.lit(value))
+
+    def __getattr__(self, name: str):
+        # attribute-style column access (df.col1), after normal lookup fails
+        if name.startswith("_"):
+            raise AttributeError(name)
+        sdf = self.__dict__.get("_sdf")
+        if sdf is not None and name in sdf.columns:
+            return self[name]
+        raise AttributeError(name)
 
     def assign(self, **kwargs) -> "DataFrame":
         sdf = self._sdf

@@ -331,11 +331,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    # scalar-subquery formulation would scan lineitem twice (max branch + join
+    # branch); a window max over the 10-row aggregate is one pass
+    from pyspark.sql.window import Window
+
+    top = revenue.withColumn(
+        "_m", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("_m"))
     supp = _t(spark, sf_dir, "supplier")
     return (
-        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
-        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_revenue"))
     )
 

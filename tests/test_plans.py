@@ -78,3 +78,27 @@ def test_scan_pruning_multikey(catalog, spark, sf_dir):
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_orderkey" not in read_schema
     assert "l_returnflag" not in read_schema
+
+
+def test_plan_inspect_utilities(catalog, spark, sf_dir):
+    from legate_pandas_spark.plans import (
+        assert_no_cartesian,
+        pushed_filters,
+        scan_read_schema,
+    )
+
+    df = catalog["filter_project_pushdown"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_discount" in f for f in filters)
+    schema_cols = scan_read_schema(df)
+    assert "l_returnflag" not in schema_cols  # pruning
+    assert_no_cartesian(df)
+
+
+def test_q15_single_fact_scan(catalog, spark, sf_dir):
+    """Q15 must not scan/aggregate lineitem twice: the max-revenue filter is a
+    window over the aggregate, so exactly one lineitem FileScan appears."""
+    from legate_pandas_spark.plans import explain_text
+
+    plan = explain_text(catalog["q15_top_supplier"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1

@@ -93,3 +93,35 @@ def test_read_csv_index_col(tmp_path, spark):
     assert sorted(gp["v"]) == sorted(want["v"])
     # label-based loc works against the csv-derived index
     assert got.loc[20:30].to_pandas()["v"].tolist() == ["b", "c"]
+
+
+def test_column_swap_multi_assign(spark):
+    """reference df_swap: df[["col2","col1"]] = df[["col1","col2"]]."""
+    p = pd.DataFrame({"col1": [1, 2, 3], "col2": [4, 5, 6]})
+    l = lps.from_pandas(p, spark=spark)
+    l[["col2", "col1"]] = l[["col1", "col2"]]
+    got = l.to_pandas()
+    assert l.columns == ["col1", "col2"]
+    assert list(got["col1"]) == [4, 5, 6]
+    assert list(got["col2"]) == [1, 2, 3]
+
+
+def test_attribute_column_access(spark):
+    p = pd.DataFrame({"col1": [1, 2, 3]})
+    l = lps.from_pandas(p, spark=spark)
+    assert l.col1.sum() == 6
+    with pytest.raises(AttributeError):
+        _ = l.not_a_column
+
+
+def test_fill_numpy_typed_scalars(spark):
+    """reference df_fill: broadcast-fill with typed numpy scalars."""
+    p = pd.DataFrame({"c0": [1, 2, 3]})
+    l = lps.from_pandas(p, spark=spark)
+    l["c1"] = np.int32(7)
+    l["c2"] = np.float32(2.5)
+    l["c3"] = np.int64(9)
+    got = l.to_pandas()
+    assert list(got["c1"]) == [7, 7, 7]
+    assert list(got["c2"]) == [2.5, 2.5, 2.5]
+    assert list(got["c3"]) == [9, 9, 9]
