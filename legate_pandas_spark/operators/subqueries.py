@@ -185,13 +185,15 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part avg) de-correlated
     into a grouped subquery join — the plan Catalyst would also rewrite to; no
     per-row subquery execution at scale."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg")
-    )
+    # per-part avg as a window over the fact table: ONE lineitem scan and one
+    # shuffle on l_partkey (the grouped-subquery join would scan twice)
+    half_avg = 0.5 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
-        li.join(avg_qty, li.l_partkey == avg_qty.pk)
-        .filter(F.col("l_quantity") < F.col("half_avg"))
+        li.withColumn("_half_avg", half_avg)
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
@@ -283,14 +285,15 @@ def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated comparison against a per-group aggregate (orders above their
     customer's average) — grouped-subquery join, shuffle shared on o_custkey."""
+    from pyspark.sql.window import Window
+
     orders = _t(spark, sf_dir, "orders")
-    avg_by_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.avg("o_totalprice").alias("cust_avg"),
-        F.sum("o_totalprice").alias("cust_sum"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
+    # per-customer stats as windows: one orders scan, one shuffle on o_custkey
+    w = Window.partitionBy("o_custkey")
     return (
-        orders.join(avg_by_cust, orders.o_custkey == avg_by_cust.ck)
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .withColumn("cust_sum", F.sum("o_totalprice").over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select(
             "o_orderkey",

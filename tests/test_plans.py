@@ -102,3 +102,16 @@ def test_q15_single_fact_scan(catalog, spark, sf_dir):
 
     plan = explain_text(catalog["q15_top_supplier"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_decorrelated_queries_single_scan(catalog, spark, sf_dir):
+    """De-correlated per-group-aggregate comparisons must not scan the fact
+    table twice — window formulation keeps one scan."""
+    from legate_pandas_spark.plans import explain_text
+
+    assert explain_text(catalog["q17_small_quantity_avg"](spark, sf_dir)).count(
+        "lineitem.parquet"
+    ) == 1
+    assert explain_text(catalog["above_customer_avg_orders"](spark, sf_dir)).count(
+        "orders.parquet"
+    ) == 1
