@@ -529,6 +529,17 @@ class DataFrame:
         fixed partition layout)."""
         return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
+    def random_split(self, weights, seed: int | None = None) -> list["DataFrame"]:
+        """Train/validation/test split (weights normalized; distributed
+        Bernoulli assignment — the standard training-data partitioning)."""
+        parts = self._sdf.randomSplit(list(weights), seed=seed)
+        return [self._replace(p) for p in parts]
+
+    def sample_by(self, column: str, fractions: dict, seed: int | None = None) -> "DataFrame":
+        """Stratified sampling: per-stratum fractions (class rebalancing for
+        training pipelines; distributed, no collect)."""
+        return self._replace(self._sdf.sampleBy(column, fractions, seed=seed))
+
     def describe(self):
         """pandas-style describe: count/mean/std/min/25%/50%/75%/max for numeric
         columns, returned as a pandas frame (driver-side, like the reference's

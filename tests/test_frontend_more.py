@@ -491,3 +491,22 @@ def test_explode_and_value_counts_normalize(spark):
     got_n = l2["c"].value_counts(normalize=True).to_pandas()
     want_n = p2["c"].value_counts(normalize=True)
     assert abs(got_n.set_index("c")["proportion"]["x"] - want_n["x"]) < 1e-12
+
+
+def test_random_split_and_sample_by(spark):
+    p = pd.DataFrame({"cls": ["a"] * 80 + ["b"] * 20, "v": range(100)})
+    l = lps.from_pandas(p, spark=spark)
+    train, test = l.random_split([0.75, 0.25], seed=7)
+    n_train, n_test = len(train), len(test)
+    assert n_train + n_test == 100
+    assert 50 < n_train < 95  # probabilistic split around 75
+    # no overlap, union covers everything
+    overlap = train.to_spark().intersect(test.to_spark()).count()
+    assert overlap == 0
+    # stratified downsampling of the majority class
+    balanced = l.sample_by("cls", {"a": 0.25, "b": 1.0}, seed=7)
+    counts = (
+        balanced.groupby("cls").size().reset_index().to_pandas().set_index("cls")["size"]
+    )
+    assert counts.get("b", 0) == 20  # fraction 1.0 keeps all
+    assert 5 <= counts.get("a", 0) <= 40  # ~20 expected
