@@ -221,6 +221,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CONNECTED = f"""
+    WITH RECURSIVE pairs AS (
+        {_SQL_LSH_PAIRS}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+"""
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    A genuinely iterative operator (no single SQL plan): each round every node
+    adopts the minimum label in its neighborhood; convergence is checked with a
+    driver-side changed-count (one scalar per round — the standard Pregel-style
+    driver loop; rounds needed = graph diameter, tiny for dedup clusters).
+    localCheckpoint truncates lineage so plans don't grow with iterations."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+@query("dedup_connected_components", oracle=_SQL_CONNECTED)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH near-dup pairs → undirected graph →
+    connected components (min doc_id as the canonical/component id). This is
+    the final step of a corpus dedup pipeline — keep one doc per component."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
 _SIMHASH_BITS = 16
 
 _SQL_SIMHASH = f"""
