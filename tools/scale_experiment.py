@@ -39,6 +39,10 @@ QUERIES = [
     "ann_multi_query_topk",
     "ann_ivf_topk",
     "text_quality_score",
+    "q17_small_quantity_avg",
+    "asof_join_last_click",
+    "interval_join_attribution",
+    "dedup_connected_components",
 ]
 
 SHIFT_KEYS = {
