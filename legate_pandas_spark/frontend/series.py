@@ -302,6 +302,48 @@ class Series:
     def idxmin(self):
         return self._idx_reduce(descending=False)
 
+    def unique(self) -> list:
+        """Distinct values (driver-side list, like pandas ndarray result)."""
+        return [
+            r["v"] for r in self._frame._sdf.select(self._col.alias("v")).distinct().collect()
+        ]
+
+    def dropna(self):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        name = self.name or "value"
+        out = DataFrame(
+            self._frame._sdf.select(self._col.alias(name)).filter(F.col(name).isNotNull())
+        )
+        return out[name]
+
+    def sort_values(self, ascending: bool = True):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        name = self.name or "value"
+        out = DataFrame(
+            self._frame._sdf.select(self._col.alias(name)).orderBy(
+                F.asc(name) if ascending else F.desc(name)
+            )
+        )
+        return out[name]
+
+    def head(self, n: int = 5):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        name = self.name or "value"
+        out = DataFrame(self._frame._sdf.select(self._col.alias(name)).limit(n))
+        return out[name]
+
+    def nlargest(self, n: int):
+        return self.sort_values(ascending=False).head(n)
+
+    def nsmallest(self, n: int):
+        return self.sort_values(ascending=True).head(n)
+
+    def tolist(self) -> list:
+        return list(self.to_pandas())
+
     def groupby(self, by):
         """Series groupby (reference sr_groupby): group this column by a key
         column of the same frame (name or aligned Series)."""

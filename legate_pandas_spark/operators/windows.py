@@ -196,6 +196,43 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_rollup_multigrain",
+    oracle="""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')  AS day,
+           coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+           CAST(grouping(date_trunc('day', ts)) AS INT)  AS g_day,
+           CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (date_trunc('day', ts), date_trunc('hour', ts)),
+        (date_trunc('day', ts)),
+        ()
+    )
+    """,
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup: hour, day, and grand-total grains in
+    ONE pass via GROUPING SETS (the Expand operator replicates rows per grain —
+    one scan instead of a union of per-grain aggregations)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rollup__")
+    return spark.sql("""
+        SELECT coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL')  AS day,
+               coalesce(date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss'), 'ALL') AS hour,
+               CAST(grouping(date_trunc('day', ts)) AS INT)  AS g_day,
+               CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM __events_rollup__
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('hour', ts)),
+            (date_trunc('day', ts)),
+            ()
+        )
+    """)
+
+
+@query(
     "share_of_total_window",
     oracle="""
     WITH rev AS (

@@ -510,3 +510,12 @@ def test_random_split_and_sample_by(spark):
     )
     assert counts.get("b", 0) == 20  # fraction 1.0 keeps all
     assert 5 <= counts.get("a", 0) <= 40  # ~20 expected
+
+
+def test_series_unique_dropna_sort_head(spark):
+    p = pd.DataFrame({"v": [3.0, 1.0, None, 3.0, 2.0]})
+    l = lps.from_pandas(p, spark=spark)
+    assert sorted(x for x in l["v"].unique() if pd.notna(x)) == [1.0, 2.0, 3.0]
+    assert sorted(l["v"].dropna().tolist()) == [1.0, 2.0, 3.0, 3.0]
+    assert l["v"].nlargest(2).tolist() == [3.0, 3.0]
+    assert l["v"].nsmallest(1).tolist() == [1.0]
