@@ -321,11 +321,9 @@ class Series:
         from legate_pandas_spark.frontend.frame import DataFrame
 
         name = self.name or "value"
-        out = DataFrame(
-            self._frame._sdf.select(self._col.alias(name)).orderBy(
-                F.asc(name) if ascending else F.desc(name)
-            )
-        )
+        # pandas puts NaN last regardless of direction (na_position='last')
+        order = F.asc_nulls_last(name) if ascending else F.desc_nulls_last(name)
+        out = DataFrame(self._frame._sdf.select(self._col.alias(name)).orderBy(order))
         return out[name]
 
     def head(self, n: int = 5):
