@@ -28,8 +28,23 @@ ROW_ORDER = "__row_order__"
 
 
 class DataFrame:
-    def __init__(self, sdf: SparkDF, index: tuple[str, ...] = ()):
-        self._sdf = sdf
+    def __init__(self, data, index: tuple[str, ...] = (), spark=None):
+        """Accepts a Spark DataFrame (internal), a pandas DataFrame, or a dict
+        of columns — the reference's tests construct frames as
+        ``lp.DataFrame(pandas_df)`` (e.g. tests/pandas/df_create.py), so the
+        drop-in surface must too."""
+        if isinstance(data, SparkDF):
+            self._sdf = data
+        else:
+            import pandas as pd
+
+            if isinstance(data, dict):
+                data = pd.DataFrame(data)
+            if isinstance(data, pd.DataFrame):
+                converted = from_pandas(data, spark=spark)
+                self._sdf = converted._sdf
+            else:
+                raise TypeError(f"cannot construct DataFrame from {type(data)!r}")
         self._index = tuple(index)
 
     # ------------------------------------------------------------------ basics

@@ -24,7 +24,19 @@ from legate_pandas_spark.frontend.dtypes import (
 
 
 class Series:
-    def __init__(self, frame, col: Column, name: str):
+    def __init__(self, frame, col: Column = None, name: str = None):
+        """Internal form: (parent frame, column expr, name). Convenience form
+        (reference sr_create): ``Series(list_or_pandas_series, name=...)``."""
+        if col is None and not hasattr(frame, "_sdf"):
+            import pandas as pd
+
+            from legate_pandas_spark.frontend.frame import from_pandas
+
+            data = frame
+            name = name or (data.name if isinstance(data, pd.Series) else None) or "0"
+            pdf = pd.DataFrame({name: data})
+            parent = from_pandas(pdf)
+            frame, col = parent, F.col(name)
         self._frame = frame  # parent DataFrame facade (lineage anchor)
         self._col = col
         self.name = name

@@ -125,3 +125,23 @@ def test_fill_numpy_typed_scalars(spark):
     assert list(got["c1"]) == [7, 7, 7]
     assert list(got["c2"]) == [2.5, 2.5, 2.5]
     assert list(got["c3"]) == [9, 9, 9]
+
+
+def test_dataframe_ctor_pandas_and_dict(spark):
+    """reference df_create: lp.DataFrame(pandas_df) drop-in constructor."""
+    p = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    l = lps.DataFrame(p, spark=spark)
+    assert sorted(l.to_pandas()["a"]) == [1, 2, 3]
+    l2 = lps.DataFrame({"c": [1.5, 2.5]}, spark=spark)
+    assert sorted(l2.to_pandas()["c"]) == [1.5, 2.5]
+
+
+def test_series_ctor_list(spark):
+    """reference sr_create: lp.Series([...])."""
+    s = lps.Series([3, 1, 2], name="v")
+    assert s.sum() == 6
+    assert s.name == "v"
+    ps = pd.Series([1.0, 2.0], name="w")
+    s2 = lps.Series(ps)
+    assert s2.name == "w"
+    assert abs(s2.mean() - 1.5) < 1e-12
