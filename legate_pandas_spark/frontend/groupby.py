@@ -73,7 +73,14 @@ class GroupBy:
         index = tuple(self._keys) if self._as_index else ()
         return DataFrame(sdf, index)
 
-    def agg(self, spec) -> "DataFrame":
+    def agg(self, spec=None, **named) -> "DataFrame":
+        """dict spec ({col: op|[ops]}), a single op name, or pandas named
+        aggregation: ``agg(total=("col", "sum"), n=("col", "size"))``."""
+        if named and spec is None:
+            exprs = []
+            for out_name, (col, op) in named.items():
+                exprs.append(_AGG_FNS[op](F.col(col)).alias(out_name))
+            return self._finish(self._df._sdf.groupBy(*self._keys).agg(*exprs))
         if isinstance(spec, str):
             return self._apply_named(spec)
         exprs = []

@@ -91,7 +91,10 @@ def merge(
     else:
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = lsdf[lk] == rsdf[rpref + rk]
+            # pandas matches NaN keys to each other (reference
+            # df_merge_with_null tests this against real pandas) — null-safe
+            # equality, still a hash-joinable equi-key in Spark
+            c = lsdf[lk].eqNullSafe(rsdf[rpref + rk])
             cond = c if cond is None else (cond & c)
         joined = lsdf.join(rsdf, cond, _HOW_MAP[how])
 

@@ -145,3 +145,54 @@ def test_series_ctor_list(spark):
     s2 = lps.Series(ps)
     assert s2.name == "w"
     assert abs(s2.mean() - 1.5) < 1e-12
+
+
+def test_groupby_named_aggregation(spark):
+    p = pd.DataFrame({"k": [0, 0, 1], "v": [1.0, 2.0, 3.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = (
+        l.groupby("k")
+        .agg(total=("v", "sum"), biggest=("v", "max"), n=("v", "size"))
+        .reset_index()
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        p.groupby("k")
+        .agg(total=("v", "sum"), biggest=("v", "max"), n=("v", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_merge_null_keys_match_pandas(spark):
+    """pandas matches NaN join keys to each other (unlike SQL) — the facade
+    uses null-safe equality (reference df_merge_with_null semantics)."""
+    a = pd.DataFrame({"k": [1.0, None, 3.0], "x": [10, 20, 30]})
+    b = pd.DataFrame({"k": [1.0, None], "y": [100, 200]})
+    got = (
+        lps.from_pandas(a, spark=spark)
+        .merge(lps.from_pandas(b, spark=spark), on="k", how="inner")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    want = a.merge(b, on="k", how="inner").sort_values("x").reset_index(drop=True)
+    assert len(got) == len(want) == 2
+    assert list(got["y"]) == list(want["y"])
+
+
+def test_error_paths(spark):
+    from legate_pandas_spark.frontend.query import QueryTranslationError
+
+    a = lps.from_pandas(pd.DataFrame({"x": [1]}), spark=spark)
+    b = lps.from_pandas(pd.DataFrame({"y": [2]}), spark=spark)
+    with pytest.raises(ValueError, match="no common columns"):
+        a.merge(b)
+    with pytest.raises(ValueError, match="invalid how"):
+        a.merge(b, left_on="x", right_on="y", how="sideways")
+    with pytest.raises(QueryTranslationError):
+        a.query("x.method()")  # unsupported call syntax
+    with pytest.raises(ValueError, match="left_on and right_on"):
+        a.merge(b, left_on="x")
