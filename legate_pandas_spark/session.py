@@ -30,6 +30,9 @@ _TUNED_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "32",
+    # timestamps in the testdata are naive wall times stored as UTC-epoch
+    # nanos; rendering/extraction must not shift with the host timezone
+    "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "16g",
 }
@@ -59,6 +62,7 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
         # local[k] test scale: 200 default shuffle partitions is pure overhead
         "spark.sql.shuffle.partitions": "32",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.session.timeZone": "UTC",
     }
     for k, v in settings.items():
         try:
