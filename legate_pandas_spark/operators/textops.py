@@ -242,6 +242,77 @@ def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunking_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               unnest(range(1, len(toks) + 1, 25)) AS start
+        FROM t
+    )
+    SELECT c.doc_id,
+           CAST((c.start - 1) / 25 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(t.toks, c.start, least(c.start + 49, c.n_toks)), ' ')
+               AS chunk_text,
+           CAST(least(c.start + 49, c.n_toks) - c.start + 1 AS BIGINT) AS chunk_tokens
+    FROM chunks c JOIN t USING (doc_id)
+    """,
+)
+def doc_chunking_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding/training pipelines: 50-token chunks with
+    stride 25 (50% overlap). Chunk boundaries are computed per row as an array
+    expression and exploded — narrow and pipelined, no shuffle until whatever
+    consumes the chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tokenized = docs.select("doc_id", toks.alias("_toks"), F.size(toks).alias("_n"))
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(25))
+    chunked = tokenized.select(
+        "doc_id", "_toks", "_n", F.explode(starts).alias("start")
+    )
+    chunk_len = F.least(F.col("start") + 49, F.col("_n")) - F.col("start") + 1
+    return chunked.select(
+        "doc_id",
+        ((F.col("start") - 1) / 25).cast("long").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("_toks"), F.col("start"), chunk_len), " ").alias(
+            "chunk_text"
+        ),
+        chunk_len.cast("long").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "build_token_vocab",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ),
+    counted AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+           n
+    FROM counted
+    """,
+)
+def build_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus token frequencies ranked into stable ids
+    (count desc, token asc). The global ranking window runs over the DISTINCT
+    token table (vocab-sized, not corpus-sized) — the standard tokenizer-prep
+    reduction."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    counted = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counted.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("token_id"), "n"
+    )
+
+
+@query(
     "ngram_top_bigrams",
     oracle="""
     WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
