@@ -284,6 +284,72 @@ def doc_chunking_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_training_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               unnest(range(1, len(toks) + 1, 25)) AS start
+        FROM t
+    ),
+    sized AS (
+        SELECT doc_id, CAST((start - 1) / 25 AS BIGINT) AS chunk_idx,
+               least(start + 49, n_toks) - start + 1 AS chunk_tokens
+        FROM chunks
+    ),
+    packed AS (
+        SELECT doc_id, chunk_idx, chunk_tokens,
+               CAST((sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - chunk_tokens) // 1024 AS BIGINT) AS seq_id
+        FROM sized
+    )
+    SELECT seq_id, count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM packed GROUP BY seq_id
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-budget (1024-token) training
+    sequences by exclusive prefix sum over a deterministic chunk order —
+    the concat-and-split packing used to build pretraining batches. The global
+    cumulative window runs over chunk-count rows (not tokens); per-partition
+    pre-aggregation + carry would distribute it at extreme scale (the
+    reference's own two-phase scan trick, core/column.py:644-687)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tokenized = docs.select("doc_id", F.size(toks).alias("_n"))
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(25))
+    sized = tokenized.select(
+        "doc_id", "_n", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / 25).cast("long").alias("chunk_idx"),
+        (F.least(F.col("start") + 49, F.col("_n")) - F.col("start") + 1).alias(
+            "chunk_tokens"
+        ),
+    )
+    w = (
+        Window.orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / 1024).cast("long"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
     "build_token_vocab",
     oracle="""
     WITH tok AS (
