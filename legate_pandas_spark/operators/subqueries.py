@@ -387,6 +387,74 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer (LEFT join so
+    zero-order customers count), then the distribution of those counts. The
+    second groupBy runs over customer-cardinality rows, the first is the only
+    fact-sized shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n ON s_nationkey = n.n_nationkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total revenue per order year —
+    ratio of conditional aggregates over a multi-join (single pass; the CASE
+    splits the numerator, no second scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
     "q9_product_profit",
     oracle="""
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
