@@ -19,6 +19,7 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     concat,
     merge_asof,
     read_csv,
+    read_json,
     read_parquet,
     from_pandas,
 )

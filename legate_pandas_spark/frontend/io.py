@@ -34,6 +34,14 @@ def read_parquet(path, columns=None, index_col=None, spark=None) -> DataFrame:
     return df
 
 
+def read_json(path, lines: bool = True, spark=None) -> DataFrame:
+    """JSON reader (extension; newline-delimited by default — the layout that
+    splits across workers; multiline JSON cannot parallelize a single file)."""
+    ss = _session(spark)
+    sdf = ss.read.option("multiLine", not lines).json(path)
+    return DataFrame(sdf)
+
+
 def read_csv(
     path,
     sep: str = ",",

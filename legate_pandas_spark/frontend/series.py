@@ -225,6 +225,21 @@ class Series:
         shifted = self.shift(periods)
         return self._wrap(self._col - shifted._col)
 
+    def apply(self, func, dtype="double"):
+        """Arrow-vectorized pandas UDF over this column (the Series-level
+        escape hatch; §2.9). ``func(pandas.Series) -> pandas.Series``; prefer
+        built-in expressions wherever they exist — this forces a Python hop."""
+        from pyspark.sql.functions import pandas_udf
+
+        from legate_pandas_spark.frontend.dtypes import to_spark_type
+
+        try:
+            spark_type = to_spark_type(dtype)
+        except TypeError:
+            spark_type = dtype  # already a Spark type name
+        udf = pandas_udf(func, spark_type)
+        return self._wrap(udf(self._col))
+
     def map(self, mapping: dict, default=None):
         """Value mapping via a compiled CASE expression (dictionary broadcast in
         expression form — pandas Series.map with a dict)."""

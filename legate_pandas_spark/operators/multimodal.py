@@ -97,6 +97,45 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-user z-score normalization
+    computed in pandas per group, Arrow-batched — the §2.9 grouped-apply escape
+    hatch, hash-checked against the equivalent window SQL. Prefer the pure
+    window expression in production (the oracle IS that plan); this query
+    exists to exercise and verify the UDF path itself."""
+    from pyspark.sql.types import DoubleType
+
+    from legate_pandas_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(zscore, schema)
+
+
+@query(
     "multimodal_frame_sample_plan",
     oracle="""
     WITH meta AS (

@@ -196,3 +196,20 @@ def test_error_paths(spark):
         a.query("x.method()")  # unsupported call syntax
     with pytest.raises(ValueError, match="left_on and right_on"):
         a.merge(b, left_on="x")
+
+
+def test_series_apply_pandas_udf(spark):
+    p = pd.DataFrame({"x": [1.0, 4.0, 9.0]})
+    l = lps.from_pandas(p, spark=spark)
+    l["r"] = l["x"].apply(lambda s: s**0.5, dtype="double")
+    got = l.to_pandas()
+    assert sorted(got["r"]) == [1.0, 2.0, 3.0]
+
+
+def test_read_json_lines(tmp_path, spark):
+    f = tmp_path / "data.jsonl"
+    f.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    got = lps.read_json(str(f), spark=spark).to_pandas()
+    want = pd.read_json(str(f), lines=True)
+    assert sorted(got["a"]) == sorted(want["a"])
+    assert sorted(got["b"]) == sorted(want["b"])
