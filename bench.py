@@ -51,6 +51,11 @@ HEADLINE = [
     "window_distribution_funcs",
     "cube_grouping_sets",
     "text_normalize_pipeline",
+    "q13_customer_order_distribution",
+    "doc_chunking_sliding",
+    "pack_training_sequences",
+    "grouped_map_zscore",
+    "dedup_connected_components",
 ]
 
 

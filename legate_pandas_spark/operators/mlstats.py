@@ -171,6 +171,30 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_fixed_bins",
+    oracle="""
+    SELECT least(CAST(floor(value / 10) AS BIGINT), 19) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events
+    GROUP BY least(CAST(floor(value / 10) AS BIGINT), 19)
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of width 10, last bin open-ended): a
+    single hash aggregate over computed bin ids — the distributed histogram
+    primitive (shuffle ∝ bin count, not row count)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(19).cast("long"))
+    return ev.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+@query(
     "json_extract_props",
     oracle="""
     SELECT event_id,
