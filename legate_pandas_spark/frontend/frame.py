@@ -376,6 +376,30 @@ class DataFrame:
         remaining = tuple(c for c in self._index if c not in names)
         return DataFrame(self._sdf.drop(*names), remaining)
 
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """Fill this frame's nulls from another frame aligned on the stored
+        index (pandas combine_first): full outer index join + per-column
+        coalesce(self, other)."""
+        if not self._index or self._index != other._index:
+            raise ValueError("combine_first requires matching stored indexes")
+        idx = list(self._index)
+        rpref = "__cf__"
+        osdf = other._sdf.select(
+            *[F.col(c).alias(rpref + c if c not in idx else c) for c in idx + other.columns]
+        )
+        cond = None
+        for k in idx:
+            c = self._sdf[k].eqNullSafe(osdf[k])
+            cond = c if cond is None else (cond & c)
+        joined = self._sdf.join(osdf, cond, "full_outer")
+        sel = [F.coalesce(self._sdf[k], osdf[k]).alias(k) for k in idx]
+        all_cols = list(dict.fromkeys(self.columns + other.columns))
+        for c in all_cols:
+            mine = F.col(c) if c in self.columns else F.lit(None)
+            theirs = F.col(rpref + c) if c in other.columns else F.lit(None)
+            sel.append(F.coalesce(mine, theirs).alias(c))
+        return DataFrame(joined.select(*sel), tuple(idx))
+
     def concat_rows(self, other: "DataFrame") -> "DataFrame":
         return DataFrame(
             self._sdf.unionByName(other._sdf, allowMissingColumns=True), self._index

@@ -36,6 +36,7 @@ def merge(
     right_index: bool = False,
     suffixes: tuple[str, str] = ("_x", "_y"),
     broadcast: bool = False,
+    indicator: bool = False,
 ):
     from legate_pandas_spark.frontend.frame import DataFrame
 
@@ -82,6 +83,10 @@ def merge(
     rpref = "__r__"
     lsdf = left._sdf.select(*lcols)
     rsdf = right._sdf.select(*[F.col(c).alias(rpref + c) for c in rcols])
+    if indicator:
+        # pandas indicator: presence markers survive the outer join as flags
+        lsdf = lsdf.withColumn("__from_left__", F.lit(True))
+        rsdf = rsdf.withColumn("__from_right__", F.lit(True))
     if broadcast:
         # reference method='broadcast' (core/merge.py:639-643) → Catalyst hint
         rsdf = F.broadcast(rsdf)
@@ -123,6 +128,16 @@ def merge(
         else:
             out_cols.append(F.col(rpref + c).alias(c))
 
+    if indicator:
+        out_cols.append(
+            F.when(
+                F.col("__from_left__").isNotNull() & F.col("__from_right__").isNotNull(),
+                "both",
+            )
+            .when(F.col("__from_left__").isNotNull(), "left_only")
+            .otherwise("right_only")
+            .alias("_merge")
+        )
     # index-index joins keep the (shared) index; key joins reset it (pandas:
     # merge result gets a fresh RangeIndex unless joining on index)
     out_index = tuple(left._index) if (left_index and right_index) else ()

@@ -213,3 +213,27 @@ def test_read_json_lines(tmp_path, spark):
     want = pd.read_json(str(f), lines=True)
     assert sorted(got["a"]) == sorted(want["a"])
     assert sorted(got["b"]) == sorted(want["b"])
+
+
+def test_merge_indicator(spark):
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
+    b = pd.DataFrame({"k": [2, 3, 4], "y": [200, 300, 400]})
+    got = (
+        lps.from_pandas(a, spark=spark)
+        .merge(lps.from_pandas(b, spark=spark), on="k", how="outer", indicator=True)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = a.merge(b, on="k", how="outer", indicator=True).sort_values("k").reset_index(drop=True)
+    assert list(got["_merge"]) == [str(v) for v in want["_merge"]]
+
+
+def test_combine_first(spark):
+    a = pd.DataFrame({"k": [1, 2, 3], "v": [None, 20.0, None], "w": ["a", None, "c"]})
+    b = pd.DataFrame({"k": [2, 3, 4], "v": [99.0, 30.0, 40.0], "w": ["zz", "cc", "dd"]})
+    la = lps.from_pandas(a, spark=spark).set_index("k")
+    lb = lps.from_pandas(b, spark=spark).set_index("k")
+    got = la.combine_first(lb).to_pandas().sort_index()
+    want = a.set_index("k").combine_first(b.set_index("k")).sort_index()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
