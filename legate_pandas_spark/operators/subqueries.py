@@ -387,6 +387,41 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_stock",
+    oracle="""
+    WITH sup_val AS (
+        SELECT l_suppkey, sum(l_quantity * p_retailprice) AS inv_value
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_suppkey
+    ),
+    total AS (SELECT sum(inv_value) AS t FROM sup_val)
+    SELECT s.l_suppkey AS suppkey, round(s.inv_value, 4) AS inv_value
+    FROM sup_val s, total
+    WHERE s.inv_value > 0.011 * total.t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the GLOBAL
+    aggregate — window-sum over the grouped frame (supplier-cardinality rows),
+    one fact scan, no scalar-subquery recompute."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup_val = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("inv_value"))
+    )
+    total = F.sum("inv_value").over(Window.partitionBy())
+    return (
+        sup_val.withColumn("_t", total)
+        .filter(F.col("inv_value") > 0.011 * F.col("_t"))
+        .select(F.col("l_suppkey").alias("suppkey"), F.round("inv_value", 4).alias("inv_value"))
+    )
+
+
+@query(
     "q13_customer_order_distribution",
     oracle="""
     WITH per_cust AS (
