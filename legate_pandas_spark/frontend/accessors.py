@@ -119,32 +119,52 @@ class CategoricalMethods:
     string-only, common/types.py:181-182).
 
     The reference replicates the category dictionary to every node
-    (ReplicatedColumn, core/column.py:1300-1341); here the dictionary is
-    collected once (category domains are small by definition) and compiled into
-    the expression — same broadcast effect, zero joins."""
+    (ReplicatedColumn, core/column.py:1300-1341); here the dictionary is a
+    lazy distinct+rank frame broadcast-joined against the data — nothing is
+    collected to the driver and the plan size is independent of the category
+    cardinality (a driver-compiled CASE chain would OOM on high-cardinality
+    domains)."""
+
+    _seq = __import__("itertools").count()
 
     def __init__(self, series):
         self._s = series
 
+    def _dictionary(self):
+        """Lazy (value, code) dictionary frame: distinct values ranked in
+        sorted order. The rank window runs over the already-distinct dictionary
+        — tiny by definition of a categorical domain — which is the Spark
+        analog of the reference's replicated dictionary column."""
+        from pyspark.sql.window import Window
+
+        val = "__cat_val__"
+        cats = (
+            self._s._frame._sdf.select(self._s._col.alias(val))
+            .filter(F.col(val).isNotNull())
+            .distinct()
+        )
+        code = f"__cat_code_{next(self._seq)}__"
+        w = Window.orderBy(val)
+        return cats.select(val, (F.row_number().over(w) - 1).cast("int").alias(code)), val, code
+
     @property
     def categories(self) -> list:
-        rows = (
-            self._s._frame._sdf.select(self._s._col.alias("c"))
-            .filter(F.col("c").isNotNull())
-            .distinct()
-            .orderBy("c")
-            .collect()
-        )
-        return [r["c"] for r in rows]
+        dict_df, val, _ = self._dictionary()
+        return [r[val] for r in dict_df.orderBy(val).collect()]
 
     @property
     def codes(self):
-        """int32 codes in sorted-category order; nulls → -1 (pandas)."""
-        cats = self.categories
-        expr = F.lit(-1)
-        for i in reversed(range(len(cats))):
-            expr = F.when(self._s._col == cats[i], F.lit(i)).otherwise(expr)
-        return self._s._wrap(expr.cast("int"))
+        """int32 codes in sorted-category order; nulls → -1 (pandas).
+
+        Broadcast-joins the dictionary into the parent frame's plan (mutating
+        its lineage like the ordered-op materializers do) so the code column is
+        a plain expression on the frame — zero driver collect."""
+        dict_df, val, code = self._dictionary()
+        frame = self._s._frame
+        frame._sdf = frame._sdf.join(
+            F.broadcast(dict_df), self._s._col == F.col(val), "left"
+        ).drop(val)
+        return self._s._wrap(F.coalesce(F.col(code), F.lit(-1)).cast("int"))
 
 
 class DatetimeMethods:

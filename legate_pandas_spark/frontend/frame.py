@@ -50,7 +50,13 @@ class DataFrame:
     # ------------------------------------------------------------------ basics
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._sdf.columns if c not in self._index and c != ROW_ORDER]
+        # dunder-wrapped names are engine-internal (row-order key, broadcast
+        # dictionary codes, position columns) — never user-visible
+        return [
+            c
+            for c in self._sdf.columns
+            if c not in self._index and not (c.startswith("__") and c.endswith("__"))
+        ]
 
     @property
     def dtypes(self) -> dict[str, str]:

@@ -6,18 +6,71 @@ The reference binary-searches index bounds then range-slices regions
 * label slicing (loc) on a stored index → a pushed-down range filter (no binary
   search needed — parquet min/max stats prune row groups, which IS the
   distributed binary search).
-* positional slicing (iloc) needs a global row number — materialized with a
-  window over the partition-stable row-order key. This single-tasks the ordering
-  at scale and exists for API parity; at 100 TB use loc on an index instead
-  (same guidance the reference gives for its RangeIndex laziness).
+* positional slicing (iloc) → partition-offset arithmetic, the reference's
+  FIND_BOUNDS + weighted-partition design (core/table.py:629-772,
+  core/runtime.py:1001-1008): one tiny aggregate computes per-partition row
+  counts, the driver prefix-sums them into offsets (num_partitions scalars),
+  and position = partition offset + partition-local rank. Every stage stays
+  partition-parallel — no global (unpartitioned) window anywhere.
 * scatter updates (``df.loc[mask, col] = v``) → copy-on-write conditional
   projection (reference scatter_by_mask, core/table.py:697-762).
 """
 
 from __future__ import annotations
 
+import itertools
+
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
+
+# monotonically_increasing_id layout (stable, documented): partition id in the
+# upper bits, per-partition record counter in the lower 33 bits.
+_PID_BITS = 33
+_pos_seq = itertools.count()
+
+
+def _attach_positions(sdf, fresh: bool, pos_name: str = "__pos__"):
+    """Return (sdf + global position column, total row count).
+
+    Mirrors the reference's FIND_BOUNDS: per-partition counts (one cheap
+    aggregate whose result is num_partitions scalars) → driver prefix-sum →
+    broadcast-joined offsets; position = offset[pid] + local rank. When the
+    order key was attached fresh on this plan (``fresh``) the local counter in
+    the id's low bits is contiguous, so the rank is pure arithmetic; after
+    filters it is a rank over a window PARTITIONED by pid (parallel, never a
+    single task).
+    """
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    spark = sdf.sparkSession
+    pid = F.shiftright(F.col(ROW_ORDER), _PID_BITS)
+    if fresh:
+        local = F.col(ROW_ORDER) - F.shiftleft(pid, _PID_BITS)
+    else:
+        w = Window.partitionBy(pid).orderBy(F.asc(ROW_ORDER))
+        local = F.row_number().over(w) - 1
+    counts = (
+        sdf.groupBy(pid.alias("__pid__"))
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .orderBy("__pid__")
+        .collect()
+    )
+    offsets, total = [], 0
+    for r in counts:
+        offsets.append((r["__pid__"], total))
+        total += r["__cnt__"]
+    if not offsets:
+        offsets = [(0, 0)]
+    uniq = next(_pos_seq)
+    pid_col, off_col = f"__pid_{uniq}__", f"__off_{uniq}__"
+    off = spark.createDataFrame(offsets, schema=f"{pid_col} long, {off_col} long")
+    out = (
+        sdf.withColumn(pid_col, pid)
+        .join(F.broadcast(off), pid_col, "left")
+        .withColumn(pos_name, (local + F.coalesce(F.col(off_col), F.lit(0))).cast("long"))
+        .drop(pid_col, off_col)
+    )
+    return out, total
 
 
 class LocIndexer:
@@ -83,20 +136,23 @@ class ILocIndexer:
         cols = None
         if isinstance(key, tuple):
             key, cols = key
+        fresh = ROW_ORDER not in df._sdf.columns
         sdf = df._ordered_sdf()
-        pos = F.row_number().over(Window.orderBy(F.asc(ROW_ORDER))) - 1
-        with_pos = sdf.withColumn("__pos__", pos)
+        with_pos, total = _attach_positions(sdf, fresh)
         if isinstance(key, slice):
             start = key.start or 0
+            if start < 0:
+                start = max(total + start, 0)
+            stop = key.stop
+            if stop is not None and stop < 0:
+                stop = total + stop
             cond = F.col("__pos__") >= start
-            if key.stop is not None:
-                cond = cond & (F.col("__pos__") < key.stop)  # iloc stop exclusive
+            if stop is not None:
+                cond = cond & (F.col("__pos__") < stop)  # iloc stop exclusive
             out = DataFrame(with_pos.filter(cond).drop("__pos__"), df._index)
         elif isinstance(key, int):
-            n = None
             if key < 0:
-                n = sdf.count()
-                key = n + key
+                key = total + key  # total came free with the offsets aggregate
             out = DataFrame(with_pos.filter(F.col("__pos__") == key).drop("__pos__"), df._index)
         else:
             raise TypeError(f"unsupported iloc key: {type(key)!r}")

@@ -95,6 +95,39 @@ def test_plan_inspect_utilities(catalog, spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_iloc_plan_partition_offset_no_global_window(spark):
+    """iloc must use partition-offset arithmetic (per-partition counts +
+    broadcast offsets), never an unpartitioned row_number window that would
+    serialize the frame through one task (reference FIND_BOUNDS design,
+    core/table.py:629-772)."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    ldf = lps.from_pandas(pd.DataFrame({"a": range(200)}), spark=spark)
+    sub = ldf.iloc[10:20]
+    plan = plan_text(sub._sdf, mode="simple")
+    assert "Window" not in plan  # fresh order key → pure arithmetic, no window
+    assert "BroadcastHashJoin" in plan  # offsets joined, not driver-compiled
+
+
+def test_cat_codes_plan_broadcast_dictionary(spark):
+    """cat.codes must broadcast-join a lazy rank dictionary — no driver collect
+    of the domain, no N-way CASE chain (reference replicated dictionary,
+    core/column.py:1300-1341)."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame({"c": [f"cat{i % 7}" for i in range(100)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    codes = ldf["c"].cat.codes
+    plan = plan_text(codes._frame._sdf, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # a collected CASE chain would appear as one CASE WHEN branch per category
+    assert plan.count("CASE WHEN") <= 1
+
+
 def test_q15_single_fact_scan(catalog, spark, sf_dir):
     """Q15 must not scan/aggregate lineitem twice: the max-revenue filter is a
     window over the aggregate, so exactly one lineitem FileScan appears."""
