@@ -243,40 +243,72 @@ _SQL_CONNECTED = f"""
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
 
-    A genuinely iterative operator (no single SQL plan): each round every node
-    adopts the minimum label in its neighborhood; convergence is checked with a
-    driver-side changed-count (one scalar per round — the standard Pregel-style
-    driver loop; rounds needed = graph diameter, tiny for dedup clusters).
-    localCheckpoint truncates lineage so plans don't grow with iterations."""
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    Each round flattens trees toward the component minimum, so convergence
+    takes O(log n) rounds instead of graph-diameter rounds of plain min-label
+    propagation — the 100 TB path. Convergence is one driver-side scalar per
+    round (edge count + coordinate checksums): the signature job is a single
+    tiny aggregate, far cheaper than the ~5 shuffles a wasted extra round
+    costs; localCheckpoint truncates lineage so plans don't grow with
+    iterations.
+
+    * large-star: every node u sends m = min(N(u) ∪ {u}) to its larger
+      neighbors — emit (v, m) for v ∈ N(u), v > u.
+    * small-star: edges directed large→small; every node u with smaller
+      neighborhood N = {v ≤ u} emits (v, m) and (u, m) for m = min(N ∪ {u}).
+
+    At the fixed point every edge is (node → component-min): a star forest.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
-    for _ in range(max_iterations):
-        neighbor_min = (
-            both.join(labels, both.b == labels.node)
-            .groupBy(F.col("a").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+    prev_sig = None
+    for i in range(max_iterations):
+        # large-star: neighborhoods from both directions
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on large→small directed edges (u > v invariant)
+        e2 = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("u"), F.lit(0)).alias("su"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("sv"),
+        ).collect()[0]
+        sig = (row["n"], row["su"], row["sv"])
+        if sig == prev_sig:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+        prev_sig = sig
+    # star forest → labels: members point at the root; roots label themselves
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return members.unionByName(roots)
 
 
 @query("dedup_connected_components", oracle=_SQL_CONNECTED)
