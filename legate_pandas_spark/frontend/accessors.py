@@ -149,16 +149,21 @@ class CategoricalMethods:
 
     @property
     def categories(self) -> list:
+        if self._s._cat is not None and self._s._cat.categories is not None:
+            return list(self._s._cat.categories)
         dict_df, val, _ = self._dictionary()
         return [r[val] for r in dict_df.orderBy(val).collect()]
 
     @property
     def codes(self):
-        """int32 codes in sorted-category order; nulls → -1 (pandas).
-
-        Broadcast-joins the dictionary into the parent frame's plan (mutating
-        its lineage like the ordered-op materializers do) so the code column is
-        a plain expression on the frame — zero driver collect."""
+        """int32 codes; nulls → -1 (pandas). Declared categories (an explicit
+        CategoricalDtype) compile straight to an array_position expression —
+        the dictionary is user-supplied, nothing touches the cluster. Inferred
+        categories broadcast-join a lazy distinct+rank dictionary into the
+        parent frame's plan (mutating its lineage like the ordered-op
+        materializers do) — zero driver collect either way."""
+        if self._s._cat is not None and self._s._cat.categories is not None:
+            return self._s._wrap(self._s._cat.code_expr(self._s._col))
         dict_df, val, code = self._dictionary()
         frame = self._s._frame
         frame._sdf = frame._sdf.join(

@@ -57,6 +57,41 @@ def is_numeric_spark_type(spark_type: str) -> bool:
     return base in _NUMERIC_SPARK
 
 
+class CatMeta:
+    """Categorical dtype metadata (reference CategoricalDtype,
+    common/types.py:135-190; categories are string-only, :181-182).
+
+    Physical storage stays StringType (SURVEY §1.1); this records the logical
+    dictionary. ``categories=None`` = inferred domain (lazy — derived from
+    distinct values only when an op needs it, via the broadcast-dictionary
+    join); a declared list is the reference's replicated dictionary
+    (core/column.py:1300-1341) and compiles straight into expressions with no
+    driver collect (the user supplied the list)."""
+
+    __slots__ = ("categories", "ordered")
+
+    def __init__(self, categories: list | None = None, ordered: bool = False):
+        self.categories = list(categories) if categories is not None else None
+        self.ordered = bool(ordered)
+
+    def code_expr(self, col: Column) -> Column:
+        """0-based code in declared-category order; nulls/unknowns → -1."""
+        if self.categories is None:
+            raise ValueError("code_expr requires declared categories")
+        arr = F.array(*[F.lit(c) for c in self.categories])
+        return (F.coalesce(F.array_position(arr, col), F.lit(0)) - 1).cast("int")
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CatMeta)
+            and self.categories == other.categories
+            and self.ordered == other.ordered
+        )
+
+    def __repr__(self):
+        return f"CatMeta(categories={self.categories!r}, ordered={self.ordered})"
+
+
 def null_compare_false(cmp: Column) -> Column:
     """pandas comparison semantics: NULL operands compare False, result is
     non-nullable boolean (reference core/runtime.py:142)."""

@@ -46,6 +46,8 @@ class DataFrame:
             else:
                 raise TypeError(f"cannot construct DataFrame from {type(data)!r}")
         self._index = tuple(index)
+        # column name → CatMeta for columns carrying the categorical dtype
+        self._cat_meta: dict = dict(getattr(data, "_cat_meta", {}) or {})
 
     # ------------------------------------------------------------------ basics
     @property
@@ -74,7 +76,9 @@ class DataFrame:
         return (len(self), len(self.columns))
 
     def copy(self, deep: bool = True) -> "DataFrame":
-        return DataFrame(self._sdf, self._index)
+        out = DataFrame(self._sdf, self._index)
+        out._cat_meta = dict(self._cat_meta)
+        return out
 
     def squeeze(self):
         """1-column frame → Series (reference core/table.py:315-316)."""
@@ -84,7 +88,9 @@ class DataFrame:
         return self[cols[0]]
 
     def _replace(self, sdf: SparkDF, index=None) -> "DataFrame":
-        return DataFrame(sdf, self._index if index is None else tuple(index))
+        out = DataFrame(sdf, self._index if index is None else tuple(index))
+        out._cat_meta = dict(self._cat_meta)
+        return out
 
     def _ordered_sdf(self) -> SparkDF:
         """Attach a partition-stable row-order key if not present (virtual
@@ -96,7 +102,9 @@ class DataFrame:
     # ------------------------------------------------------------ projection
     def __getitem__(self, key):
         if isinstance(key, str):
-            return Series(self, F.col(key), key)
+            s = Series(self, F.col(key), key)
+            s._cat = self._cat_meta.get(key)
+            return s
         if isinstance(key, list):
             keep = [c for c in self._index if c not in key]
             if ROW_ORDER in self._sdf.columns:
@@ -123,6 +131,10 @@ class DataFrame:
             return
         if isinstance(value, Series):
             self._sdf = self._sdf.withColumn(name, value._col)
+            if value._cat is not None:
+                self._cat_meta[name] = value._cat
+            else:
+                self._cat_meta.pop(name, None)
         else:
             if hasattr(value, "item") and not isinstance(value, (str, bytes)):
                 value = value.item()  # numpy typed scalars (reference df_fill)
@@ -230,11 +242,22 @@ class DataFrame:
         return self._replace(self._sdf.select(*sel))
 
     def astype(self, dtype) -> "DataFrame":
+        import pandas as pd
+
         mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in self.columns}
         sdf = self._sdf
+        meta = dict(self._cat_meta)
         for c, t in mapping.items():
-            sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
-        return self._replace(sdf)
+            if isinstance(t, pd.CategoricalDtype) or str(t) == "category":
+                s = self[c].astype(t)  # Series owns the categorical rules
+                sdf = sdf.withColumn(c, s._col)
+                meta[c] = s._cat
+            else:
+                sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
+                meta.pop(c, None)
+        out = self._replace(sdf)
+        out._cat_meta = meta
+        return out
 
     def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
         """Keep cells where cond holds, else `other` (reference copy_if_else,
@@ -258,10 +281,16 @@ class DataFrame:
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
         cols = []
         for c, a in zip(by, asc):
+            key = F.col(c)
+            cat = self._cat_meta.get(c)
+            if cat is not None and cat.categories is not None:
+                # categorical keys sort by declared code order, not lexicographic
+                code = cat.code_expr(key)
+                key = F.when(code >= 0, code)
             if a:
-                cols.append(F.asc_nulls_last(c) if na_position == "last" else F.asc_nulls_first(c))
+                cols.append(F.asc_nulls_last(key) if na_position == "last" else F.asc_nulls_first(key))
             else:
-                cols.append(F.desc_nulls_last(c) if na_position == "last" else F.desc_nulls_first(c))
+                cols.append(F.desc_nulls_last(key) if na_position == "last" else F.desc_nulls_first(key))
         if ROW_ORDER in self._sdf.columns:
             cols.append(F.asc(ROW_ORDER))  # stability tiebreaker (stable sort contract)
         return self._replace(self._sdf.orderBy(*cols))
@@ -640,8 +669,18 @@ class DataFrame:
         return self._sdf.select(*self.columns)
 
     def to_pandas(self):
+        import pandas as pd
+
         cols = list(self._index) + self.columns
         pdf = self._sdf.select(*cols).toPandas()
+        for c, cat in self._cat_meta.items():
+            if c in pdf.columns:
+                if cat.categories is not None:
+                    pdf[c] = pdf[c].astype(
+                        pd.CategoricalDtype(cat.categories, ordered=cat.ordered)
+                    )
+                else:
+                    pdf[c] = pdf[c].astype("category")
         if self._index:
             pdf = pdf.set_index(list(self._index))
         return pdf
@@ -775,14 +814,30 @@ def concat(objs, axis: int = 0) -> DataFrame:
 
 
 def from_pandas(pdf, spark=None) -> DataFrame:
+    import pandas as pd
+
+    from legate_pandas_spark.frontend.dtypes import CatMeta
     from legate_pandas_spark.session import get_spark
 
     spark = spark or get_spark()
+    # categorical columns: ship as plain strings, keep the dictionary as meta
+    # (reference CategoryColumn = codes + replicated dictionary)
+    cat_meta = {}
+    cat_cols = [c for c in pdf.columns if isinstance(pdf[c].dtype, pd.CategoricalDtype)]
+    if cat_cols:
+        pdf = pdf.copy()
+        for c in cat_cols:
+            dt = pdf[c].dtype
+            cat_meta[c] = CatMeta([str(x) for x in dt.categories], bool(dt.ordered))
+            pdf[c] = pdf[c].astype(object)
     if len(pdf) == 0:
         # empty frames carry schema via dtypes (reference df_create_empty);
         # Spark cannot infer a schema from zero rows
         from legate_pandas_spark.frontend.dtypes import to_spark_type
 
         fields = ", ".join(f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items())
-        return DataFrame(spark.createDataFrame([], schema=fields))
-    return DataFrame(spark.createDataFrame(pdf))
+        out = DataFrame(spark.createDataFrame([], schema=fields))
+    else:
+        out = DataFrame(spark.createDataFrame(pdf))
+    out._cat_meta = cat_meta
+    return out

@@ -141,4 +141,12 @@ def merge(
     # index-index joins keep the (shared) index; key joins reset it (pandas:
     # merge result gets a fresh RangeIndex unless joining on index)
     out_index = tuple(left._index) if (left_index and right_index) else ()
-    return DataFrame(joined.select(*out_cols), out_index)
+    out = DataFrame(joined.select(*out_cols), out_index)
+    # categorical dtype survives the merge on columns that keep their name
+    # (pandas: shared categorical keys stay categorical)
+    lmeta = getattr(left, "_cat_meta", {})
+    rmeta = getattr(right, "_cat_meta", {})
+    for c, m in {**rmeta, **lmeta}.items():
+        if c in out._sdf.columns:
+            out._cat_meta[c] = m
+    return out

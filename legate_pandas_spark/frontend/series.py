@@ -40,6 +40,7 @@ class Series:
         self._frame = frame  # parent DataFrame facade (lineage anchor)
         self._col = col
         self.name = name
+        self._cat = None  # CatMeta when this column carries a categorical dtype
 
     # -- plumbing ----------------------------------------------------------
     def _other_col(self, other):
@@ -151,7 +152,16 @@ class Series:
     notnull = notna
 
     def fillna(self, value):
-        return self._wrap(F.coalesce(self._col, F.lit(value)))
+        if self._cat is not None and self._cat.categories is not None:
+            # pandas: categorical fill values must be existing categories
+            # (reference fillna on CategoryColumn, core/column.py:530-556)
+            if value not in self._cat.categories:
+                raise TypeError(
+                    f"Cannot setitem on a Categorical with a new category ({value!r})"
+                )
+        out = self._wrap(F.coalesce(self._col, F.lit(value)))
+        out._cat = self._cat
+        return out
 
     def isin(self, values):
         return self._wrap(null_compare_false(self._col.isin(list(values))))
@@ -250,7 +260,28 @@ class Series:
 
     # -- casts ----------------------------------------------------------------
     def astype(self, dtype):
-        return self._wrap(self._col.cast(to_spark_type(dtype)))
+        """Cast, including to/from the modeled categorical dtype (reference
+        astype-to-category, core/column.py:334-388; categories string-only,
+        common/types.py:181-182)."""
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.dtypes import CatMeta
+
+        if isinstance(dtype, pd.CategoricalDtype):
+            if dtype.categories is None:
+                return self.astype("category")
+            cats = [str(c) for c in dtype.categories]
+            # pandas: values outside the declared categories become null
+            expr = F.when(self._col.cast("string").isin(cats), self._col.cast("string"))
+            out = self._wrap(expr)
+            out._cat = CatMeta(cats, bool(dtype.ordered))
+            return out
+        if str(dtype) == "category":
+            out = self._wrap(self._col.cast("string"))
+            out._cat = self._cat or CatMeta(None, False)  # no-op if already categorical
+            return out
+        out = self._wrap(self._col.cast(to_spark_type(dtype)))
+        return out  # leaving the categorical dtype drops the dictionary (pandas)
 
     def to_datetime(self, format: str | None = None):
         fmt = _strftime_to_java(format) if format else None
@@ -344,14 +375,24 @@ class Series:
         )
         return out[name]
 
-    def sort_values(self, ascending: bool = True):
+    def sort_values(self, ascending: bool = True, ignore_index: bool = False):
         from legate_pandas_spark.frontend.frame import DataFrame
 
         name = self.name or "value"
+        sel = self._frame._sdf.select(self._col.alias(name))
+        if self._cat is not None and self._cat.categories is not None:
+            # categorical sorts by CODE order (declared dictionary), not
+            # lexicographic (reference sort on CategoryColumn uses codes)
+            key = self._cat.code_expr(F.col(name))
+            key = F.when(key >= 0, key)  # unknown/null → null → sorts last
+        else:
+            key = F.col(name)
         # pandas puts NaN last regardless of direction (na_position='last')
-        order = F.asc_nulls_last(name) if ascending else F.desc_nulls_last(name)
-        out = DataFrame(self._frame._sdf.select(self._col.alias(name)).orderBy(order))
-        return out[name]
+        order = F.asc_nulls_last(key) if ascending else F.desc_nulls_last(key)
+        out = DataFrame(sel.orderBy(order))
+        s = out[name]
+        s._cat = self._cat
+        return s
 
     def head(self, n: int = 5):
         from legate_pandas_spark.frontend.frame import DataFrame
@@ -411,7 +452,15 @@ class Series:
         import pandas as pd
 
         pdf = self._frame._sdf.select(self._col.alias(self.name or "0")).toPandas()
-        return pdf[pdf.columns[0]]
+        s = pdf[pdf.columns[0]]
+        if self._cat is not None:
+            if self._cat.categories is not None:
+                s = s.astype(
+                    pd.CategoricalDtype(self._cat.categories, ordered=self._cat.ordered)
+                )
+            else:
+                s = s.astype("category")
+        return s
 
 
 def _strftime_to_java(fmt: str) -> str:

@@ -170,6 +170,65 @@ def pd_mortgage_style_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pd_categorical_key_merge",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                    THEN o_orderpriority END AS prio
+        FROM orders
+    ), dim AS (
+        SELECT '1-URGENT' AS prio, CAST(10 AS BIGINT) AS weight
+        UNION ALL SELECT '2-HIGH', 20
+        UNION ALL SELECT '3-MEDIUM', 30
+    )
+    SELECT d.prio AS prio, d.weight AS weight,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price,
+           CAST(max(CASE o.prio WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                    WHEN '3-MEDIUM' THEN 2 ELSE -1 END) AS INT) AS prio_code
+    FROM o JOIN dim d ON o.prio = d.prio
+    GROUP BY d.prio, d.weight
+    """,
+)
+def pd_categorical_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-dtype join key through the facade (reference
+    df_merge_category.py; CategoryColumn merge, core/merge.py:256-294): an
+    explicit CategoricalDtype restricting the key domain (out-of-dictionary
+    values → null, dropped by the inner join), declared-dictionary codes (pure
+    expression, no collect), and a broadcast dim keyed on the categorical."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    cat = pd.CategoricalDtype(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    orders = _read(spark, sf_dir, "orders")
+    orders["prio"] = orders["o_orderpriority"].astype(cat)
+    orders["prio_code"] = orders["prio"].cat.codes
+    dim = lps.from_pandas(
+        pd.DataFrame(
+            {
+                "prio": pd.Series(["1-URGENT", "2-HIGH", "3-MEDIUM"], dtype=cat),
+                "weight": pd.Series([10, 20, 30], dtype="int64"),
+            }
+        ),
+        spark=spark,
+    )
+    merged = orders.merge(dim, on="prio", broadcast=True)
+    g = merged.groupby(["prio", "weight"]).agg(
+        {"o_orderkey": "size", "o_totalprice": "sum", "prio_code": "max"}
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        "prio",
+        "weight",
+        F.col("o_orderkey").alias("n_orders"),
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("prio_code").cast("int").alias("prio_code"),
+    )
+
+
+@query(
     "pd_fillna_astype_concat",
     oracle="""
     WITH base AS (
