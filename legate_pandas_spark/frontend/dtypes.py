@@ -43,8 +43,16 @@ _NUMERIC_SPARK = {"tinyint", "smallint", "int", "bigint", "long", "float", "doub
 
 
 def to_spark_type(dtype) -> str:
-    """Map a pandas dtype (string or numpy dtype) to a Spark SQL type name."""
+    """Map a pandas dtype (string, numpy dtype, or numpy scalar type like
+    ``np.int64``) to a Spark SQL type name."""
     name = str(dtype)
+    if name not in PANDAS_TO_SPARK and isinstance(dtype, type):
+        import numpy as np
+
+        try:
+            name = str(np.dtype(dtype))  # np.int64 → 'int64'
+        except TypeError:
+            pass
     if name in PANDAS_TO_SPARK:
         return PANDAS_TO_SPARK[name]
     if name.startswith("datetime64"):

@@ -156,13 +156,50 @@ class DataFrame:
             sdf = sdf.withColumn(name, col)
         return self._replace(sdf)
 
-    def drop(self, labels=None, columns=None, axis=0) -> "DataFrame":
+    def drop(self, labels=None, columns=None, index=None, axis=0, level=None) -> "DataFrame":
+        """Drop columns by name or rows by index label (reference
+        frontend/frame.py:614-710: row drops become an index filter)."""
+        if labels is not None and (columns is not None or index is not None):
+            raise ValueError("cannot combine labels with columns/index")
         if columns is None and axis in (1, "columns"):
             columns = labels
-        if columns is None:
-            raise NotImplementedError("row drops by label: use boolean filtering")
-        cols = [columns] if isinstance(columns, str) else list(columns)
-        return self._replace(self._sdf.drop(*cols))
+        if index is None and labels is not None and axis in (0, "index"):
+            index = labels
+        out = self
+        if index is not None:
+            out = out._drop_rows(index, level)
+        if columns is not None:
+            cols = [columns] if isinstance(columns, str) else list(columns)
+            missing = [c for c in cols if c not in out.columns]
+            if missing:
+                raise KeyError(f"columns not found: {missing}")
+            out = out._replace(out._sdf.drop(*cols))
+        return out
+
+    def _drop_rows(self, labels, level=None) -> "DataFrame":
+        """Row drop by index label → an anti-filter on the index column(s);
+        null index values are never dropped (pandas)."""
+        if not self._index:
+            raise ValueError("row drops by label require a stored index (set_index first)")
+        if level is not None:
+            name = self._index[level] if isinstance(level, int) else level
+            if name not in self._index:
+                raise KeyError(f"level {name!r} is not an index level of {self._index}")
+            vals = labels if isinstance(labels, (list, tuple)) else [labels]
+            cond = ~F.coalesce(F.col(name).isin(list(vals)), F.lit(False))
+            return self._replace(self._sdf.filter(cond))
+        if isinstance(labels, tuple) and len(self._index) > 1:
+            # full or prefix MultiIndex label
+            if len(labels) > len(self._index):
+                raise KeyError(f"too many levels in label {labels!r}")
+            match = None
+            for lv, v in zip(self._index, labels):
+                c = F.coalesce(F.col(lv) == F.lit(v), F.lit(False))
+                match = c if match is None else (match & c)
+            return self._replace(self._sdf.filter(~match))
+        vals = labels if isinstance(labels, (list, tuple)) else [labels]
+        cond = ~F.coalesce(F.col(self._index[0]).isin(list(vals)), F.lit(False))
+        return self._replace(self._sdf.filter(cond))
 
     def rename(self, columns: dict | None = None) -> "DataFrame":
         sdf = self._sdf
@@ -259,21 +296,162 @@ class DataFrame:
         out._cat_meta = meta
         return out
 
-    def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+    # ---------------------------------------------------- frame-level binops
+    def _binop(self, fn, name: str) -> "DataFrame":
+        """Frame ⊗ scalar element-wise op over numeric columns (reference
+        BROADCAST_BINARY_OP, core/table.py:478-535). The result records its
+        lineage (parent + per-column expressions) so where/mask can align it
+        back to the parent without a join — the reference's aligned-only
+        contract (README.md:208-218)."""
+        dtypes = dict(self._sdf.dtypes)
+        # lineage composes transitively: (df % 2) == 0 anchors to df, with the
+        # composed expression, so where/mask can align any derived chain
+        root = getattr(self, "_lineage_parent", None) or self
+        base = getattr(self, "_lineage_exprs", None) or {}
+        exprs, sel = {}, []
+        for c in self._sdf.columns:
+            if c in self._index or (c.startswith("__") and c.endswith("__")):
+                sel.append(F.col(c))
+            elif is_numeric_spark_type(dtypes[c]) or name in ("eq", "ne", "lt", "le", "gt", "ge"):
+                exprs[c] = fn(base.get(c, F.col(c)))
+                sel.append(fn(F.col(c)).alias(c))
+            else:
+                raise TypeError(f"{name} not supported for column {c!r} ({dtypes[c]})")
+        out = self._replace(self._sdf.select(*sel))
+        out._lineage_parent = root
+        out._lineage_exprs = exprs
+        return out
+
+    def __add__(self, other):
+        return self._binop(lambda c: c + F.lit(other), "add")
+
+    def __sub__(self, other):
+        return self._binop(lambda c: c - F.lit(other), "sub")
+
+    def __mul__(self, other):
+        return self._binop(lambda c: c * F.lit(other), "mul")
+
+    def __truediv__(self, other):
+        from legate_pandas_spark.frontend.dtypes import truediv
+
+        return self._binop(lambda c: truediv(c, F.lit(other)), "div")
+
+    def __mod__(self, other):
+        return self._binop(lambda c: c % F.lit(other), "mod")
+
+    def __pow__(self, other):
+        return self._binop(lambda c: F.pow(c, F.lit(other)), "pow")
+
+    def __neg__(self):
+        return self._binop(lambda c: -c, "neg")
+
+    def __eq__(self, other):  # type: ignore[override]
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c == F.lit(other)), "eq")
+
+    def __ne__(self, other):  # type: ignore[override]
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c != F.lit(other)), "ne")
+
+    def __lt__(self, other):
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c < F.lit(other)), "lt")
+
+    def __le__(self, other):
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c <= F.lit(other)), "le")
+
+    def __gt__(self, other):
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c > F.lit(other)), "gt")
+
+    def __ge__(self, other):
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        return self._binop(lambda c: null_compare_false(c >= F.lit(other)), "ge")
+
+    __hash__ = object.__hash__  # __eq__ override must not break hashing
+
+    def _aligned_exprs(self, other: "DataFrame") -> dict:
+        """Per-column expressions of ``other`` valid over self._sdf, or raise.
+        Aligned = other IS self, or other was derived from self by frame-level
+        ops (lineage-tracked) — the reference's aligned-only support
+        (core/index.py:87-102 raises on unaligned partitions)."""
+        if other is self:
+            return {c: F.col(c) for c in self.columns}
+        if getattr(other, "_lineage_parent", None) is self:
+            return dict(other._lineage_exprs)
+        raise ValueError(
+            "frame operands must be aligned with this frame (same frame or "
+            "derived from it by element-wise ops); merge/join explicitly "
+            "otherwise (reference README.md:208-218)"
+        )
+
+    def where(self, cond, other=None, axis=None) -> "DataFrame":
         """Keep cells where cond holds, else `other` (reference copy_if_else,
-        frontend/frame.py:218-277). cond may be a boolean Series (row-wise)."""
+        frontend/dataframe.py:478-573, src/copy/tasks/copy_if_else.cc).
+
+        cond: boolean Series (row-wise) or aligned boolean DataFrame
+        (cell-wise; missing columns / null cond → replaced, like pandas).
+        other: scalar, Series (row-wise broadcast, axis=0), or aligned
+        DataFrame (cell-wise)."""
         if isinstance(cond, Series):
-            o = F.lit(other) if not isinstance(other, Series) else other._col
-            sel = list(self._index) + [
-                F.when(cond._col, F.col(c)).otherwise(o).alias(c) for c in self.columns
+            cond_exprs = {c: cond._col for c in self.columns}
+        elif isinstance(cond, DataFrame):
+            ce = self._aligned_exprs(cond)
+            # cells with no cond column or null cond are False (pandas)
+            cond_exprs = {
+                c: F.coalesce(ce[c], F.lit(False)) if c in ce else F.lit(False)
+                for c in self.columns
+            }
+        else:
+            raise TypeError(f"unsupported cond type: {type(cond)!r}")
+        if isinstance(other, DataFrame):
+            oe = self._aligned_exprs(other)
+            other_exprs = {c: oe.get(c, F.lit(None)) for c in self.columns}
+        elif isinstance(other, Series):
+            other_exprs = {c: other._col for c in self.columns}
+        else:
+            other_exprs = {c: F.lit(other) for c in self.columns}
+        keep = [c for c in self._sdf.columns if c in self._index or (c.startswith("__") and c.endswith("__"))]
+        sel = [F.col(c) for c in keep] + [
+            F.when(cond_exprs[c], F.col(c)).otherwise(other_exprs[c]).alias(c)
+            for c in self.columns
+        ]
+        return self._replace(self._sdf.select(*sel))
+
+    def mask(self, cond, other=None, axis=None) -> "DataFrame":
+        """Replace cells where cond holds (inverse of where); null cond cells
+        are kept (pandas: mask only replaces where cond is True)."""
+        if isinstance(cond, Series):
+            inv = ~cond
+        elif isinstance(cond, DataFrame):
+            ce = self._aligned_exprs(cond)
+            inv_exprs = {
+                c: ~F.coalesce(ce[c], F.lit(False)) if c in ce else F.lit(True)
+                for c in self.columns
+            }
+            if isinstance(other, DataFrame):
+                oe = self._aligned_exprs(other)
+                other_exprs = {c: oe.get(c, F.lit(None)) for c in self.columns}
+            elif isinstance(other, Series):
+                other_exprs = {c: other._col for c in self.columns}
+            else:
+                other_exprs = {c: F.lit(other) for c in self.columns}
+            keep = [c for c in self._sdf.columns if c in self._index or (c.startswith("__") and c.endswith("__"))]
+            sel = [F.col(c) for c in keep] + [
+                F.when(inv_exprs[c], F.col(c)).otherwise(other_exprs[c]).alias(c)
+                for c in self.columns
             ]
             return self._replace(self._sdf.select(*sel))
-        raise NotImplementedError("frame-shaped cond: align first")
-
-    def mask(self, cond, other=None) -> "DataFrame":
-        if isinstance(cond, Series):
-            return self.where(~cond, other)
-        raise NotImplementedError("frame-shaped cond: align first")
+        else:
+            raise TypeError(f"unsupported cond type: {type(cond)!r}")
+        return self.where(inv, other, axis=axis)
 
     # ------------------------------------------------------------ sorting
     def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":

@@ -111,18 +111,22 @@ class LocIndexer:
         return out
 
     def __setitem__(self, key, value) -> None:
-        """Scatter update: df.loc[mask, col] = scalar/Series (copy-on-write
-        conditional projection, reference scatter_by_mask.cc)."""
+        """Scatter update: ``df.loc[mask, col] = scalar/Series`` (reference
+        scatter_by_mask.cc) or ``df.loc[label, col] = scalar`` (reference
+        write_at, core/table.py:697-762) — both copy-on-write conditional
+        projections."""
         from legate_pandas_spark.frontend.series import Series
 
         if not (isinstance(key, tuple) and len(key) == 2):
-            raise NotImplementedError("loc assignment requires df.loc[mask, column] = value")
-        mask, col = key
-        if not isinstance(mask, Series):
-            raise NotImplementedError("loc assignment mask must be a boolean Series")
+            raise NotImplementedError("loc assignment requires df.loc[rows, column] = value")
+        rows, col = key
+        if isinstance(rows, Series):
+            cond = rows._col
+        else:  # scalar index label
+            cond = F.col(self._index_col()) == F.lit(rows)
         val = value._col if isinstance(value, Series) else F.lit(value)
         base = F.col(col) if col in self._df._sdf.columns else F.lit(None)
-        self._df._sdf = self._df._sdf.withColumn(col, F.when(mask._col, val).otherwise(base))
+        self._df._sdf = self._df._sdf.withColumn(col, F.when(cond, val).otherwise(base))
 
 
 class ILocIndexer:
@@ -167,7 +171,8 @@ class ILocIndexer:
 
 
 class AtIndexer:
-    """Scalar read (reference read_at task, src/copy/tasks/read_at.cc)."""
+    """Scalar read/write (reference read_at/write_at tasks,
+    src/copy/tasks/read_at.cc, write_at.cc; core/table.py:697-762)."""
 
     def __init__(self, df, positional: bool = False):
         self._df = df
@@ -185,3 +190,32 @@ class AtIndexer:
         if not vals:
             raise KeyError(f"no row for {key!r}")
         return vals[0][0]
+
+    def __setitem__(self, key, value) -> None:
+        """Scalar write: copy-on-write conditional projection on the one
+        matching row (reference write_at copies all pieces and updates one,
+        src/copy/tasks/write_at.cc — here a single ``when`` over the plan)."""
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("at/iat require (row, column)")
+        row, col = key
+        df = self._df
+        if self._positional:
+            from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+            name = df.columns[col] if isinstance(col, int) else col
+            fresh = ROW_ORDER not in df._sdf.columns
+            sdf = df._ordered_sdf()
+            with_pos, total = _attach_positions(sdf, fresh)
+            if row < 0:
+                row = total + row
+            df._sdf = with_pos.withColumn(
+                name, F.when(F.col("__pos__") == row, F.lit(value)).otherwise(F.col(name))
+            ).drop("__pos__")
+        else:
+            name = col
+            idx = df._index[0] if df._index else None
+            if idx is None:
+                raise ValueError("at requires a stored index (set_index first)")
+            df._sdf = df._sdf.withColumn(
+                name, F.when(F.col(idx) == F.lit(row), F.lit(value)).otherwise(F.col(name))
+            )
