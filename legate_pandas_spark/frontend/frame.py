@@ -35,6 +35,13 @@ class DataFrame:
         drop-in surface must too."""
         if isinstance(data, SparkDF):
             self._sdf = data
+        elif isinstance(data, DataFrame):
+            # copy-construct (reference tests/interop/df_from_numpy.py:
+            # lp.DataFrame(lp.DataFrame(...)))
+            self._sdf = data._sdf
+            self._index = tuple(index) or data._index
+            self._cat_meta = dict(data._cat_meta)
+            return
         else:
             import pandas as pd
 
@@ -845,6 +852,18 @@ class DataFrame:
     # ------------------------------------------------------------ export
     def to_spark(self) -> SparkDF:
         return self._sdf.select(*self.columns)
+
+    def to_numpy(self):
+        """2-D ndarray of the column values (reference
+        tests/interop/df_from_numpy.py; runtime.py:531-758 maps stores to
+        ndarrays). An action: materializes to the driver via Arrow."""
+        return self.to_pandas().to_numpy()
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+
+        arr = self.to_numpy()
+        return np.asarray(arr, dtype=dtype) if dtype is not None else arr
 
     def to_pandas(self):
         import pandas as pd

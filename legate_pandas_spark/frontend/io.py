@@ -93,26 +93,34 @@ def read_csv(
             sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(t)))
     if true_values or false_values:
         # pandas: a column whose non-null values all match the custom tokens
-        # becomes boolean (reference read_csv_custom_values fixture). Token-set
-        # membership requires a (tiny, eager) distinct check per string column.
+        # becomes boolean (reference read_csv_custom_values fixture). The
+        # type-sniff is ONE aggregate pass over all string columns (map-side
+        # partial agg, num_string_cols×2 scalars to the driver) — never a
+        # distinct/collect per column.
         tv = set(true_values or [])
         fv = set(false_values or [])
-        tokens = tv | fv
-        for c, t in sdf.dtypes:
-            if t != "string":
-                continue
-            distinct = {
-                r["v"]
-                for r in sdf.select(F.col(c).alias("v")).distinct().collect()
-                if r["v"] is not None
-            }
-            if distinct and distinct <= tokens:
-                sdf = sdf.withColumn(
-                    c,
-                    F.when(F.col(c).isin(list(tv)), F.lit(True))
-                    .when(F.col(c).isin(list(fv)), F.lit(False))
-                    .otherwise(F.lit(None).cast("boolean")),
+        tokens = list(tv | fv)
+        str_cols = [c for c, t in sdf.dtypes if t == "string"]
+        if str_cols:
+            probes = []
+            for c in str_cols:
+                probes.append(
+                    F.max(
+                        F.when(F.col(c).isNotNull() & ~F.col(c).isin(tokens), 1).otherwise(0)
+                    ).alias(f"bad_{c}")
                 )
+                probes.append(
+                    F.max(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(f"any_{c}")
+                )
+            stats = sdf.agg(*probes).collect()[0]
+            for c in str_cols:
+                if stats[f"any_{c}"] == 1 and stats[f"bad_{c}"] == 0:
+                    sdf = sdf.withColumn(
+                        c,
+                        F.when(F.col(c).isin(list(tv)), F.lit(True))
+                        .when(F.col(c).isin(list(fv)), F.lit(False))
+                        .otherwise(F.lit(None).cast("boolean")),
+                    )
     if parse_dates:
         cols = parse_dates if isinstance(parse_dates, (list, tuple)) else [parse_dates]
         fmt = _strftime_to_java(date_format) if date_format else None
@@ -122,15 +130,15 @@ def read_csv(
                 name, F.to_timestamp(F.col(name), fmt) if fmt else F.to_timestamp(F.col(name))
             )
     if skiprows:
-        # row-order-dependent option: only meaningful for small single files
+        # positional skip via partition-offset arithmetic (same FIND_BOUNDS
+        # design as iloc, indexing._attach_positions): per-partition counts →
+        # driver prefix-sum → partition-local range filter. No global sort.
         from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
 
-        sdf = (
-            sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
-            .orderBy(ROW_ORDER)
-            .offset(skiprows)
-            .drop(ROW_ORDER)
-        )
+        sdf = sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+        with_pos, _total = _attach_positions(sdf, fresh=True)
+        sdf = with_pos.filter(F.col("__pos__") >= skiprows).drop("__pos__", ROW_ORDER)
     if nrows is not None:
         sdf = sdf.limit(nrows)
     if usecols is not None:

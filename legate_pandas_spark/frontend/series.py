@@ -448,6 +448,50 @@ class Series:
             )
         return DataFrame(out.orderBy(F.desc("proportion" if normalize else "count")))
 
+    def equals(self, other) -> bool:
+        """Element-wise null-safe equality (reference EQUALS,
+        core/table.py:963-981; tests/interop/sr_from_numpy.py). Same-frame
+        series compare in one aggregate; cross-frame series are positionally
+        zipped via partition-offset arithmetic (no global sort)."""
+        if not isinstance(other, Series):
+            other = Series(other)
+        if self._frame is other._frame or self._frame._sdf is other._frame._sdf:
+            row = (
+                self._frame._sdf.agg(
+                    F.min(self._col.eqNullSafe(other._col).cast("int")).alias("eq")
+                ).collect()[0]
+            )
+            return row["eq"] != 0  # vacuously true on empty
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        def _positioned(s, alias):
+            sdf = s._frame._sdf.select(s._col.alias(alias))
+            sdf = sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+            with_pos, total = _attach_positions(sdf, fresh=True)
+            return with_pos.drop(ROW_ORDER), total
+
+        a, na = _positioned(self, "__a__")
+        b, nb = _positioned(other, "__b__")
+        if na != nb:
+            return False
+        if dict(a.dtypes)["__a__"] != dict(b.dtypes)["__b__"]:
+            return False  # pandas equals requires matching element dtype
+        joined = a.join(b, "__pos__", "inner")
+        row = joined.agg(
+            F.min(F.col("__a__").eqNullSafe(F.col("__b__")).cast("int")).alias("eq")
+        ).collect()[0]
+        return row["eq"] != 0
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+
+        arr = self.to_numpy()
+        return np.asarray(arr, dtype=dtype) if dtype is not None else arr
+
     def to_pandas(self):
         import pandas as pd
 
