@@ -20,6 +20,7 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     merge_asof,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     from_pandas,
 )

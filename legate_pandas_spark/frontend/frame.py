@@ -329,25 +329,184 @@ class DataFrame:
         out._lineage_exprs = exprs
         return out
 
+    def _binop_frame(self, other: "DataFrame", fn, name: str, fill_value=None) -> "DataFrame":
+        """Frame ⊗ frame element-wise op with pandas alignment semantics
+        (extension beyond the reference's aligned-only contract,
+        README.md:208-218 — pandas users expect ``df1 + df2`` to align).
+
+        Three physical strategies, cheapest applicable wins:
+        1. lineage-aligned (other is self or derived from it) → column zip,
+           zero shuffle;
+        2. both frames carry the same stored index → full-outer equi-join on
+           the index columns (distributed hash join; duplicate labels get the
+           pandas cartesian-per-label semantics for free);
+        3. both virtual RangeIndex → positional full-outer join via
+           partition-offset positions (no global sort).
+        fill_value: pandas rule — fill where exactly one side is missing
+        (absent label or null value); missing in both stays null."""
+        cols_self, cols_other = self.columns, other.columns
+        if cols_self == cols_other:
+            out_cols = list(cols_self)
+        else:
+            out_cols = sorted(set(cols_self) | set(cols_other))
+        fv = None if fill_value is None else F.lit(fill_value)
+
+        def cell(left, right):
+            if left is None and right is None:
+                return F.lit(None).cast("double")
+            l2 = left if left is not None else F.lit(None)
+            r2 = right if right is not None else F.lit(None)
+            if fv is not None:
+                return F.when(l2.isNull() & r2.isNull(), F.lit(None)).otherwise(
+                    fn(F.coalesce(l2, fv), F.coalesce(r2, fv))
+                )
+            return fn(l2, r2)
+
+        def _root(f):
+            return getattr(f, "_lineage_parent", None) or f
+
+        root = _root(self)
+        if root is _root(other):
+            # both sides are the root or lineage-derived from it: evaluate both
+            # expression sets over the root plan — column zip, zero shuffle
+            se = dict(self._lineage_exprs) if self is not root else {c: F.col(c) for c in cols_self}
+            oe = dict(other._lineage_exprs) if other is not root else {c: F.col(c) for c in other.columns}
+            keep = [
+                F.col(c)
+                for c in root._sdf.columns
+                if c in root._index or (c.startswith("__") and c.endswith("__"))
+            ]
+            exprs = {c: cell(se.get(c), oe.get(c)) for c in out_cols}
+            out = root._replace(root._sdf.select(*keep, *[exprs[c].alias(c) for c in out_cols]))
+            out._lineage_parent = root
+            out._lineage_exprs = exprs
+            return out
+        if name in ("eq", "ne", "lt", "le", "gt", "ge"):
+            raise ValueError("can only compare identically-labeled (aligned) DataFrames")
+        if self._index and other._index:
+            if self._index != other._index:
+                raise ValueError(
+                    f"cannot align frames with different index names: "
+                    f"{self._index} vs {other._index}"
+                )
+            keys = list(self._index)
+            a = self._sdf.select(
+                *[F.col(k) for k in keys],
+                *[F.col(c).alias(f"__l_{c}__") for c in cols_self],
+            )
+            b = other._sdf.select(
+                *[F.col(k) for k in keys],
+                *[F.col(c).alias(f"__r_{c}__") for c in cols_other],
+            )
+            joined = a.join(b, keys, "full_outer")
+            sel = [F.col(k) for k in keys] + [
+                cell(
+                    F.col(f"__l_{c}__") if c in cols_self else None,
+                    F.col(f"__r_{c}__") if c in cols_other else None,
+                ).alias(c)
+                for c in out_cols
+            ]
+            return self._replace(joined.select(*sel))
+        if not self._index and not other._index:
+            from legate_pandas_spark.frontend.indexing import _attach_positions
+
+            def _positioned(df, tag):
+                sdf = df._sdf.select(*df.columns).withColumn(
+                    ROW_ORDER, F.monotonically_increasing_id()
+                )
+                with_pos, _ = _attach_positions(sdf, fresh=True)
+                return with_pos.select(
+                    "__pos__", *[F.col(c).alias(f"__{tag}_{c}__") for c in df.columns]
+                )
+
+            joined = _positioned(self, "l").join(
+                _positioned(other, "r"), "__pos__", "full_outer"
+            )
+            sel = [
+                cell(
+                    F.col(f"__l_{c}__") if c in cols_self else None,
+                    F.col(f"__r_{c}__") if c in cols_other else None,
+                ).alias(c)
+                for c in out_cols
+            ]
+            return DataFrame(joined.select(*sel), ())
+        raise ValueError(
+            "cannot align a stored-index frame with a RangeIndex frame; "
+            "set_index on both or reset_index on both first"
+        )
+
+    def _dispatch_binop(self, other, fn, name: str, fill_value=None):
+        if isinstance(other, DataFrame):
+            return self._binop_frame(other, fn, name, fill_value=fill_value)
+        if isinstance(other, Series):
+            raise TypeError(
+                "frame ⊗ Series with column matching is not supported; "
+                "use df[col] op series per column or where/mask with axis=0"
+            )
+        if fill_value is not None:
+            raise TypeError("fill_value only applies to frame operands")
+        return self._binop(lambda c: fn(c, F.lit(other)), name)
+
     def __add__(self, other):
-        return self._binop(lambda c: c + F.lit(other), "add")
+        return self._dispatch_binop(other, lambda a, b: a + b, "add")
+
+    def __radd__(self, other):
+        return self._dispatch_binop(other, lambda a, b: b + a, "add")
 
     def __sub__(self, other):
-        return self._binop(lambda c: c - F.lit(other), "sub")
+        return self._dispatch_binop(other, lambda a, b: a - b, "sub")
+
+    def __rsub__(self, other):
+        return self._dispatch_binop(other, lambda a, b: b - a, "sub")
 
     def __mul__(self, other):
-        return self._binop(lambda c: c * F.lit(other), "mul")
+        return self._dispatch_binop(other, lambda a, b: a * b, "mul")
+
+    def __rmul__(self, other):
+        return self._dispatch_binop(other, lambda a, b: b * a, "mul")
 
     def __truediv__(self, other):
         from legate_pandas_spark.frontend.dtypes import truediv
 
-        return self._binop(lambda c: truediv(c, F.lit(other)), "div")
+        return self._dispatch_binop(other, truediv, "div")
+
+    def __rtruediv__(self, other):
+        from legate_pandas_spark.frontend.dtypes import truediv
+
+        return self._dispatch_binop(other, lambda a, b: truediv(b, a), "div")
 
     def __mod__(self, other):
-        return self._binop(lambda c: c % F.lit(other), "mod")
+        return self._dispatch_binop(other, lambda a, b: a % b, "mod")
 
     def __pow__(self, other):
-        return self._binop(lambda c: F.pow(c, F.lit(other)), "pow")
+        return self._dispatch_binop(other, lambda a, b: F.pow(a, b), "pow")
+
+    def add(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: a + b, "add", fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: a - b, "sub", fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: a * b, "mul", fill_value)
+
+    def div(self, other, fill_value=None):
+        from legate_pandas_spark.frontend.dtypes import truediv
+
+        return self._dispatch_binop(other, truediv, "div", fill_value)
+
+    truediv = div
+
+    def floordiv(self, other, fill_value=None):
+        return self._dispatch_binop(
+            other, lambda a, b: F.floor(a / b).cast("double"), "floordiv", fill_value
+        )
+
+    def mod(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: a % b, "mod", fill_value)
+
+    def pow(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: F.pow(a, b), "pow", fill_value)
 
     def __neg__(self):
         return self._binop(lambda c: -c, "neg")
@@ -355,32 +514,32 @@ class DataFrame:
     def __eq__(self, other):  # type: ignore[override]
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c == F.lit(other)), "eq")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a == b), "eq")
 
     def __ne__(self, other):  # type: ignore[override]
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c != F.lit(other)), "ne")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a != b), "ne")
 
     def __lt__(self, other):
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c < F.lit(other)), "lt")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a < b), "lt")
 
     def __le__(self, other):
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c <= F.lit(other)), "le")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a <= b), "le")
 
     def __gt__(self, other):
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c > F.lit(other)), "gt")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a > b), "gt")
 
     def __ge__(self, other):
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
-        return self._binop(lambda c: null_compare_false(c >= F.lit(other)), "ge")
+        return self._dispatch_binop(other, lambda a, b: null_compare_false(a >= b), "ge")
 
     __hash__ = object.__hash__  # __eq__ override must not break hashing
 
@@ -887,6 +1046,16 @@ class DataFrame:
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
+        w = self._sdf.select(*(list(self._index) + self.columns)).write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.orc(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        """Newline-delimited JSON sink (the layout that splits across workers)."""
+        self._sdf.select(*self.columns).write.mode(mode).json(path)
 
     def to_csv(self, path: str, header: bool = True, sep: str = ",", mode: str = "overwrite",
                single_file: bool = False) -> None:

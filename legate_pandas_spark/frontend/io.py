@@ -34,6 +34,19 @@ def read_parquet(path, columns=None, index_col=None, spark=None) -> DataFrame:
     return df
 
 
+def read_orc(path, columns=None, index_col=None, spark=None) -> DataFrame:
+    """ORC reader (extension; same projection/pushdown properties as parquet —
+    columnar scan with min/max pruning)."""
+    sdf = _session(spark).read.orc(path)
+    if columns is not None:
+        keep = list(columns) + ([index_col] if index_col else [])
+        sdf = sdf.select(*keep)
+    df = DataFrame(sdf)
+    if index_col:
+        df = df.set_index(index_col)
+    return df
+
+
 def read_json(path, lines: bool = True, spark=None) -> DataFrame:
     """JSON reader (extension; newline-delimited by default — the layout that
     splits across workers; multiline JSON cannot parallelize a single file)."""

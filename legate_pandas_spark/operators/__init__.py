@@ -39,6 +39,7 @@ def load_all() -> None:
         dedup,
         similarity,
         textops,
+        curation,
         multimodal,
         frontend_queries,
     )

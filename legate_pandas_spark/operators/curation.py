@@ -1,0 +1,287 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination checking, intra-document repetition profiling, standalone
+n-gram-Jaccard near-dup detection, and a composite quality filter.
+
+All pure Catalyst expression work (split/explode/hash-aggregate/broadcast
+join) — no Python UDFs, so every plan stays inside whole-stage codegen. The
+pairwise work is always blocked/bucketed, never all-pairs: at 100 TB the
+candidate set is bounded by (join key cardinality × per-key bucket size), the
+same discipline as the MinHash-LSH path (dedup.py).
+
+Extension surface beyond the reference (which has no corpus tooling; its text
+support is the str accessor, reference core/column.py:344-420 / SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legate_pandas_spark.operators import query
+from legate_pandas_spark.sources.tables import load_table
+
+_N = 5  # contamination n-gram width
+_BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 -> held-out "benchmark" membership
+
+
+def _word_ngrams(tokens, n: int):
+    """Distinct word n-grams of an already-bound token array column (ANSI-safe:
+    the sequence is guarded so slice bounds never go negative)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB twin: bind the token list in a subquery FIRST (never inline a computed
+# list into a lambda — it re-evaluates per element), then slice 1-based
+# inclusive: t[i:i+n-1] is n elements.
+_SQL_GRAMS = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_N}
+                    THEN list_distinct(list_transform(range(1, len(t) - {_N - 2}),
+                                                     i -> array_to_string(t[i:i+{_N - 1}], ' ')))
+                    ELSE [] END AS gs
+        FROM toks
+    )
+"""
+
+
+@query(
+    "contamination_ngram_check",
+    oracle=_SQL_GRAMS
+    + f"""
+    , bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), cand AS (
+        SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+    ), matched AS (
+        SELECT c.doc_id, count(*) AS m
+        FROM cand c JOIN bench b ON c.g = b.g GROUP BY c.doc_id
+    ), totals AS (
+        SELECT doc_id, len(gs) AS total FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(m.m, 0) AS BIGINT) AS matched_ngrams,
+           CAST(t.total AS BIGINT) AS total_ngrams,
+           round(coalesce(m.m, 0) * 1.0 / nullif(t.total, 0), 4) AS contamination_ratio
+    FROM totals t LEFT JOIN matched m USING (doc_id)
+    """,
+)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each candidate document's
+    distinct word 5-grams that appear in a held-out benchmark slice.
+
+    Scale design: the benchmark n-gram set is DISTINCT'd then broadcast (a
+    benchmark is small by construction — eval sets, not corpora); candidates
+    explode to (doc, gram) and hit the broadcast hash join, one aggregation
+    per doc. Never a doc×doc comparison."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    grams = toks.select("doc_id", _word_ngrams(F.col("t"), _N).alias("gs"))
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    cand = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    cand_grams = cand.select("doc_id", F.explode("gs").alias("g"))
+    matched = (
+        cand_grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    totals = cand.select("doc_id", F.size("gs").cast("bigint").alias("total"))
+    return totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("matched_ngrams"),
+        F.col("total").alias("total_ngrams"),
+        F.round(
+            F.coalesce(F.col("m"), F.lit(0)) * F.lit(1.0) / F.nullif(F.col("total"), F.lit(0)),
+            4,
+        ).alias("contamination_ratio"),
+    )
+
+
+@query(
+    "repetition_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, unnest(t) AS w FROM toks
+    ), counts AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS total_words,
+           CAST(count(*) AS BIGINT) AS distinct_words,
+           round(1.0 - count(*) * 1.0 / sum(c), 4) AS repetition_ratio,
+           round(max(c) * 1.0 / sum(c), 4) AS top_word_share
+    FROM counts GROUP BY doc_id
+    """,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile (boilerplate / degenerate-text
+    detector): word repetition ratio and most-frequent-word share per doc.
+
+    One explode + one two-level hash aggregate (doc×word, then doc) — both
+    map-side combinable; no window, no sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("total_words"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_words"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 4).alias(
+            "repetition_ratio"
+        ),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("top_word_share"),
+    )
+
+
+_J_N = 3  # jaccard n-gram width
+_J_THRESHOLD = 0.3
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, n_chars // 50 AS band,
+               CASE WHEN len(t) >= {_J_N}
+                    THEN list_distinct(list_transform(range(1, len(t) - {_J_N - 2}),
+                                                      i -> array_to_string(t[i:i+{_J_N - 1}], ' ')))
+                    ELSE [] END AS gs
+        FROM toks
+    ), exploded AS (
+        SELECT doc_id, lang, band, len(gs) AS sz, unnest(gs) AS g FROM grams
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+               count(*) AS isect
+        FROM exploded a JOIN exploded b
+          ON a.lang = b.lang AND a.band = b.band AND a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(isect * 1.0 / (sz_a + sz_b - isect), 4) AS jaccard
+    FROM inter
+    WHERE isect * 1.0 / (sz_a + sz_b - isect) >= {_J_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram-Jaccard near-dup pairs, blocked by (lang, length
+    band): |A∩B| via a self-join on (block, gram) + hash aggregate, then
+    Jaccard from set sizes — |A∪B| = |A|+|B|-|A∩B| without materializing the
+    union.
+
+    Scale design: candidate pairs are generated ONLY where two docs in the
+    same block share an actual n-gram (the join key bounds the blow-up the
+    same way LSH banding does); there is no doc×doc cartesian anywhere. The
+    gram frame is computed once and self-joined (Spark reuses the exchange)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    toks = docs.select(
+        "doc_id", "lang", (F.col("n_chars") / 50).cast("bigint").alias("band"),
+        F.split(F.trim("text"), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id", "lang", "band", _word_ngrams(F.col("t"), _J_N).alias("gs")
+    )
+    exploded = grams.select(
+        "doc_id", "lang", "band", F.size("gs").alias("sz"), F.explode("gs").alias("g")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.any_value(F.col("a.sz")).alias("sz_a"),
+            F.any_value(F.col("b.sz")).alias("sz_b"),
+            F.count(F.lit(1)).alias("isect"),
+        )
+    )
+    jac = F.col("isect") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
+    return inter.filter(jac >= _J_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t,
+               length(text) - length(replace(text, '.', '')) AS periods
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang, n_chars, len(t) AS n_words,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE len(list_distinct(t)) * 1.0 / len(t) END AS lexical_diversity,
+               periods
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(lexical_diversity, 4) AS lexical_diversity,
+           CASE
+             WHEN n_words < 10 THEN 'too_short'
+             WHEN n_chars > 20000 THEN 'too_long'
+             WHEN lexical_diversity < 0.2 THEN 'repetitive'
+             ELSE 'keep'
+           END AS verdict
+    FROM feat
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality filter with labeled drop reasons — the
+    shape of a production corpus-filter stage (first matching rule wins).
+    Single scan, pure expressions, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    t = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(t).alias("n_words"),
+        F.when(F.size(t) == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t))
+        .alias("lexical_diversity"),
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("lexical_diversity", 4).alias("lexical_diversity"),
+        F.when(F.col("n_words") < 10, F.lit("too_short"))
+        .when(F.col("n_chars") > 20000, F.lit("too_long"))
+        .when(F.col("lexical_diversity") < 0.2, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

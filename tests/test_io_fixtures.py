@@ -107,3 +107,32 @@ def test_mortgage_workflow_facade(mortgage_csvs, spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(g[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_orc_roundtrip(tmp_path, spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    path = str(tmp_path / "t.orc")
+    ldf.to_orc(path)
+    got = lps.read_orc(path, spark=spark).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]], pdf, check_dtype=False)
+
+
+def test_json_sink_roundtrip(tmp_path, spark):
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    path = str(tmp_path / "t.json")
+    ldf.to_json(path)
+    got = lps.read_json(path, spark=spark).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]], pdf, check_dtype=False)
+
+
+def test_partitioned_parquet_write(tmp_path, spark):
+    pdf = pd.DataFrame({"part": ["a", "a", "b"], "v": [1, 2, 3]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    path = str(tmp_path / "part.parquet")
+    ldf.to_parquet(path, partition_cols=["part"])
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == ["part=a", "part=b"]
+    got = lps.read_parquet(path, spark=spark).to_pandas()
+    assert sorted(got["v"]) == [1, 2, 3]
