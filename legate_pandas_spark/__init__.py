@@ -17,7 +17,10 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     DataFrame,
     Series,
     concat,
+    cut,
+    get_dummies,
     merge_asof,
+    qcut,
     read_csv,
     read_json,
     read_orc,

@@ -1,0 +1,129 @@
+"""Feature-encoding helpers for training pipelines: one-hot (get_dummies) and
+binning (cut/qcut) — pandas-compatible surface, Spark-native execution.
+
+Extension beyond the reference (no encode surface there; its categorical
+machinery is the dictionary column, reference core/column.py:831-911, which
+``get_dummies`` reuses: the dictionary IS the dummy column list).
+
+Scale notes:
+* get_dummies collects only the DISTINCT value dictionary (it must become
+  column names, so it is small by contract — same driver-side dictionary the
+  reference replicates); the encode itself is a pure projection, no shuffle.
+* cut with explicit edges is a pure projection (zero jobs). cut(int) needs
+  one min/max aggregate; qcut one exact-percentile aggregate — q+1 scalars to
+  the driver, never data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legate_pandas_spark.frontend.frame import DataFrame
+from legate_pandas_spark.frontend.series import Series
+
+
+def get_dummies(data, columns=None, prefix=None, prefix_sep: str = "_", dtype: str = "tinyint"):
+    """One-hot encode string/categorical columns (pandas.get_dummies).
+
+    The value dictionary per column comes from the categorical meta when
+    declared (zero jobs), else one distinct aggregate (small result by
+    contract: values become column names)."""
+    if isinstance(data, Series):
+        frame = data._frame._replace(
+            data._frame._sdf.select(data._col.alias(data.name or "0"))
+        )
+        frame._cat_meta = {}
+        if data._cat is not None:
+            frame._cat_meta = {(data.name or "0"): data._cat}
+        data = frame
+        columns = [data.columns[0]]
+    if columns is None:
+        columns = [c for c, t in data._sdf.dtypes if c in data.columns and t == "string"]
+    out_sdf = data._sdf
+    for c in columns:
+        cat = data._cat_meta.get(c)
+        if cat is not None and cat.categories is not None:
+            values = list(cat.categories)
+        else:
+            values = sorted(
+                r["v"]
+                for r in out_sdf.select(F.col(c).alias("v")).distinct().collect()
+                if r["v"] is not None
+            )
+        pfx = (prefix or c) + prefix_sep
+        for v in values:
+            out_sdf = out_sdf.withColumn(
+                f"{pfx}{v}", (F.col(c) == F.lit(v)).cast(dtype)
+            )
+        out_sdf = out_sdf.drop(c)
+    out = DataFrame(out_sdf, data._index)
+    return out
+
+
+def _bin_expr(col, edges, right: bool = True, include_lowest: bool = True):
+    """Bin code expression for sorted edges: code i covers (edges[i], edges[i+1]]
+    (right=True), with the first bin optionally closed on the left. Out-of-range
+    or null -> null. Pure whens over a bound column — codegen-friendly."""
+    expr = F.lit(None).cast("int")
+    nbins = len(edges) - 1
+    for i in range(nbins - 1, -1, -1):
+        lo, hi = float(edges[i]), float(edges[i + 1])
+        if right:
+            cond = (col > F.lit(lo)) & (col <= F.lit(hi))
+            if i == 0 and include_lowest:
+                cond = cond | (col == F.lit(lo))
+        else:
+            # pandas cut(right=False): all bins half-open [lo, hi) — the very
+            # last edge is excluded
+            cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def cut(series: Series, bins, labels=False, right: bool = True) -> Series:
+    """pandas.cut: fixed-width or explicit-edge binning. labels=False returns
+    integer bin codes (the form that feeds a model); labels=list maps codes to
+    the given labels."""
+    col = series._col
+    if isinstance(bins, int):
+        row = series._frame._sdf.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        lo, hi = float(row["lo"]), float(row["hi"])
+        span = (hi - lo) or 1.0
+        # pandas widens the range by 0.1% so min/max fall inside
+        lo_adj = lo - span * 0.001
+        edges = [lo_adj] + [lo + span * (i + 1) / bins for i in range(bins - 1)] + [hi]
+        code = _bin_expr(col, edges, right=right, include_lowest=False)
+    else:
+        edges = [float(b) for b in bins]
+        code = _bin_expr(col, edges, right=right, include_lowest=False)
+    return _apply_labels(series, code, labels, len(edges) - 1)
+
+
+def qcut(series: Series, q, labels=False) -> Series:
+    """pandas.qcut: quantile binning. Edges via one exact interpolated
+    percentile aggregate (q+1 scalars); swap in approx_percentile at 100 TB
+    where exact cross-partition interpolation isn't worth a sort."""
+    if isinstance(q, int):
+        probs = [i / q for i in range(q + 1)]
+    else:
+        probs = list(q)
+    col = series._col
+    row = series._frame._sdf.agg(
+        F.percentile(col, F.array(*[F.lit(p) for p in probs])).alias("e")
+    ).collect()[0]
+    edges = [float(e) for e in row["e"]]
+    code = _bin_expr(col, edges, right=True, include_lowest=True)
+    return _apply_labels(series, code, labels, len(edges) - 1)
+
+
+def _apply_labels(series: Series, code, labels, nbins: int) -> Series:
+    if labels is False:
+        return series._wrap(code, series.name)
+    if labels is None:
+        raise NotImplementedError("interval-object labels: pass labels=False or a list")
+    expr = F.lit(None).cast("string")
+    for i, lab in enumerate(labels):
+        expr = F.when(code == F.lit(i), F.lit(str(lab))).otherwise(expr)
+    return series._wrap(expr, series.name)

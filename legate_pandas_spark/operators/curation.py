@@ -285,3 +285,37 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+@query(
+    "feature_engineering_onehot_bins",
+    oracle="""
+    SELECT doc_id,
+           CAST(lang = 'en' AS TINYINT) AS lang_en,
+           CAST(lang = 'de' AS TINYINT) AS lang_de,
+           CAST(lang = 'es' AS TINYINT) AS lang_es,
+           CAST(lang = 'fr' AS TINYINT) AS lang_fr,
+           CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                AS INTEGER) AS size_quartile_in_lang,
+           CAST(n_chars // 256 AS BIGINT) AS size_bucket
+    FROM documents
+    """,
+)
+def feature_engineering_onehot_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-input feature block: one-hot language encoding + per-language
+    size quartile + fixed-width size bucket, in one pass.
+
+    Scale design: the quartile window is PARTITIONED by lang (parallel per
+    partition, total order via doc_id tiebreak — never a global ntile, which
+    would serialize the sort through one task); one-hot and bucketing are pure
+    projections."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id",
+        *[(F.col("lang") == F.lit(l)).cast("tinyint").alias(f"lang_{l}") for l in ("en", "de", "es", "fr")],
+        F.ntile(4).over(w).cast("int").alias("size_quartile_in_lang"),
+        F.floor(F.col("n_chars") / 256).cast("bigint").alias("size_bucket"),
+    )
