@@ -319,3 +319,167 @@ def feature_engineering_onehot_bins(spark: SparkSession, sf_dir: str) -> DataFra
         F.ntile(4).over(w).cast("int").alias("size_quartile_in_lang"),
         F.floor(F.col("n_chars") / 256).cast("bigint").alias("size_bucket"),
     )
+
+
+@query(
+    "pii_redaction_scrub",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\\b555-[0-9]{4}\\b')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+                  '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+    FROM enriched
+    """,
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: scrub emails / phone numbers / IPv4 addresses and
+    count what was removed (the corpus has no real PII, so a deterministic
+    synthetic footer derived from doc_id is appended first — the scrub itself
+    is the operator under test, hash-verified on the full redacted text).
+
+    Scale design: pure per-row regexp projection — embarrassingly parallel,
+    whole-stage codegen, zero shuffle. The regex dialect is the RE2-safe
+    subset (classes, bounded reps, \\b) so Spark (Java regex) and the DuckDB
+    oracle (RE2) agree. Reference has no PII tooling (extension; nearest
+    machinery is str.replace, reference core/column.py:344-420)."""
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+    phone = r"\b555-[0-9]{4}\b"
+    ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    enriched = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"),
+        ip,
+        "<IP>",
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(email), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(phone), 0)).cast("int").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(ip), 0)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "repeated_ngram_spans",
+    oracle=_SQL_GRAMS
+    + """
+    , exploded AS (
+        SELECT doc_id, unnest(gs) AS g FROM grams
+    ), dup_grams AS (
+        SELECT g FROM exploded GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS dups
+        FROM exploded e JOIN dup_grams d USING (g) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(coalesce(h.dups, 0) AS BIGINT) AS dup_ngrams,
+           CAST(len(g.gs) AS BIGINT) AS total_ngrams,
+           round(coalesce(h.dups, 0) * 1.0 / nullif(len(g.gs), 0), 4) AS dup_fraction
+    FROM grams g LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detector (the corpus-dedup signal from
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    per document, the fraction of its distinct word 5-grams that also occur
+    in at least one OTHER document.
+
+    Scale design: one explode to (doc, gram), one hash aggregate per gram
+    (count distinct docs, map-side combinable because gram is the shuffle
+    key), one shuffle join back on gram, one per-doc aggregate. Never doc×doc;
+    cost is bounded by total gram volume, not pairs. At 100 TB the gram
+    aggregate is the big shuffle — the gram key is near-uniform (text
+    shingles), so no skew salting is needed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    grams = toks.select("doc_id", _word_ngrams(F.col("t"), _N).alias("gs"))
+    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
+    dup_grams = (
+        exploded.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = exploded.join(dup_grams, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dups")
+    )
+    return grams.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("dups"), F.lit(0)).cast("bigint").alias("dup_ngrams"),
+        F.size("gs").cast("bigint").alias("total_ngrams"),
+        F.round(
+            F.coalesce(F.col("dups"), F.lit(0)) * F.lit(1.0)
+            / F.nullif(F.size("gs").cast("bigint"), F.lit(0)),
+            4,
+        ).alias("dup_fraction"),
+    )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+    ), n AS (
+        SELECT sum(c) AS n FROM vocab
+    )
+    SELECT words.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(vocab.c * 1.0 / n.n)), 4) AS avg_logprob
+    FROM words JOIN vocab USING (w) CROSS JOIN n
+    GROUP BY words.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log-probability of a
+    document's tokens under the corpus's own unigram distribution (the cheap
+    perplexity proxy used to rank web text before expensive model scoring).
+
+    Scale design: two passes over the token stream — (1) hash aggregate to
+    the unigram vocab (map-side combinable), (2) join tokens back to vocab on
+    the word key and aggregate per doc. The corpus total is a 1-row aggregate
+    broadcast via cross join. Vocab follows Zipf — the head words are hot
+    keys in the join, but the join is BROADCAST (vocab of distinct words is
+    dictionary-sized relative to the corpus), so no skewed shuffle exists."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )
