@@ -483,3 +483,89 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 4).alias("avg_logprob"),
         )
     )
+
+
+# Deterministic per-source sampling rates: srcN keeps 100%/50%/25%/10% by
+# source tier. The uniform variate is the first 8 hex chars of md5(doc_id) —
+# identical lowercase hex in Spark and DuckDB, compared LEXICOGRAPHICALLY
+# against a hex threshold (equivalent to the numeric compare, no int parsing).
+_MIX_TIERS = [(5, "zzzzzzzz"), (10, "80000000"), (15, "40000000"), (10**9, "19999999")]
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INTEGER) AS srcnum,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u
+        FROM documents
+    )
+    WHERE u < CASE WHEN srcnum < 5 THEN 'zzzzzzzz'
+                   WHEN srcnum < 10 THEN '80000000'
+                   WHEN srcnum < 15 THEN '40000000'
+                   ELSE '19999999' END
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weighted corpus sampling: each source tier keeps
+    a target fraction of its documents (100/50/25/10%), selected by a
+    content-stable hash of the row key — the reproducible "data mixture"
+    operation of a training pipeline (re-running yields the same sample;
+    adding new files never reshuffles previously selected rows).
+
+    Scale design: pure projection + filter, zero shuffle, fully pushed into
+    the scan stage; the per-row md5 is whole-stage codegen. Rate changes need
+    no re-partitioning — the hash is the permanent sampling coordinate (the
+    same trick as A/B bucketing). Extension (reference sampling surface is
+    random sample only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    threshold = F.when(srcnum < 5, F.lit("zzzzzzzz")).when(srcnum < 10, F.lit("80000000")).when(
+        srcnum < 15, F.lit("40000000")
+    ).otherwise(F.lit("19999999"))
+    return docs.filter(u < threshold).select("doc_id", "source")
+
+
+@query(
+    "class_balance_downsample",
+    oracle="""
+    WITH counts AS (
+        SELECT label, count(*) AS c FROM embeddings GROUP BY label
+    ), m AS (
+        SELECT min(c) AS m FROM counts
+    ), ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) AS rn
+        FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly min-class-count
+    rows, chosen by a deterministic hash order (reproducible across runs and
+    cluster sizes — no RNG state, no collect of data).
+
+    Scale design: one small aggregate for the floor count (broadcast as a
+    1-row cross join), one per-label row_number window — partitioned by label
+    so each class ranks in parallel; the md5 rank key makes the selection
+    uniform without a shuffle-wide sort. Skewed label sizes parallelize per
+    label; a single giant class would call for the salted two-phase top-m,
+    same as the top-k discipline in windows.py."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    m = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(F.min("c").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 16), F.asc("vec_id")
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("vec_id", "label")
+    )

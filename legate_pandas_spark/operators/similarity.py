@@ -373,3 +373,75 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(norm), 4).alias("min_norm"),
         F.round(F.max(norm), 4).alias("max_norm"),
     )
+
+
+SEMDEDUP_TAU = 0.4  # rounded-cosine prune threshold (synthetic corpus has no true dups)
+
+
+@query(
+    "semdedup_cluster_prune",
+    oracle=_SQL_IVF_ASSIGN
+    + f"""
+    , av AS (
+        SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)
+    ), pairmax AS (
+        SELECT b.vec_id, b.cid,
+               max(round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4)) AS max_sim
+        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id, b.cid
+    ), flags AS (
+        SELECT av.cid, CASE WHEN p.max_sim > {SEMDEDUP_TAU} THEN 1 ELSE 0 END AS pruned
+        FROM av LEFT JOIN pairmax p ON av.vec_id = p.vec_id
+    )
+    SELECT cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(pruned) AS BIGINT) AS n_pruned,
+           round(sum(pruned) * 1.0 / count(*), 4) AS prune_rate
+    FROM flags GROUP BY cid
+    """,
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embedding space with a coarse quantizer, then inside each cluster drop any
+    vector whose cosine similarity to a LOWER-id cluster-mate exceeds tau
+    (keep-first discipline, same as drop_duplicates keep='first').
+
+    Scale design: the pairwise comparison runs only WITHIN a cluster — the
+    cross product is bounded by sum(cluster_size^2), never corpus^2. At 100 TB
+    the centroid count grows with the corpus (k ~ N/target_cluster_size) so
+    per-cluster pair volume stays constant; centroids broadcast, assignment is
+    one pass, and the intra-cluster join shuffles on cid. Threshold compares
+    the ROUNDED similarity so both engines see the identical 4dp value."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    a = assign.select(F.col("cid").alias("_cid"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = assign.select("cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairmax = (
+        a.join(b, (F.col("_cid") == F.col("cid")) & (F.col("vec_a") < F.col("vec_b")))
+        .groupBy("vec_b")
+        .agg(F.max(F.round(cosine(F.col("va"), F.col("vb")), 4)).alias("max_sim"))
+    )
+    flags = assign.join(pairmax, assign.vec_id == pairmax.vec_b, "left").select(
+        "cid",
+        F.when(F.col("max_sim") > SEMDEDUP_TAU, F.lit(1)).otherwise(F.lit(0)).alias("pruned"),
+    )
+    return flags.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("pruned").cast("bigint").alias("n_pruned"),
+        F.round(F.sum("pruned") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("prune_rate"),
+    )
