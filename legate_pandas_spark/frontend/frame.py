@@ -829,6 +829,92 @@ class DataFrame:
 
         return self._cum(prod)
 
+    def pct_change(self, periods: int = 1) -> "DataFrame":
+        """Fractional change vs ``periods`` rows back for every numeric column
+        (global row order — the documented small-data path, like cumsum; use
+        groupby(...).pct_change() for the partition-parallel path)."""
+        sdf = self._ordered_sdf()
+        w = Window.orderBy(F.asc(ROW_ORDER))
+        out = []
+        for c, t in self._sdf.dtypes:
+            if c in self._index or c == ROW_ORDER:
+                out.append(F.col(c))
+            elif is_numeric_spark_type(t):
+                prev = F.lag(F.col(c).cast("double"), periods).over(w)
+                out.append(((F.col(c).cast("double") - prev) / prev).alias(c))
+            else:
+                out.append(F.col(c))
+        return self._replace(sdf.select(*out))
+
+    def ewm(self, alpha: float) -> "Ewm":
+        """Exponentially weighted accessor. The whole frame is ONE sequential
+        recurrence (order-dependent), so this runs as a single Arrow batch
+        group — documented small-data path; groupby(...).ewm(alpha) is the
+        partition-parallel scale path."""
+        return Ewm(self, alpha)
+
+    def quantile(self, q: float = 0.5):
+        """Exact interpolated per-column quantile → pandas Series (swap to
+        approx_percentile at 100 TB, same documented trade as describe())."""
+        import pandas as pd
+
+        cols = [c for c, t in self._sdf.dtypes if c in self.columns and is_numeric_spark_type(t)]
+        row = self._sdf.agg(
+            *[F.percentile(F.col(c), F.lit(float(q))).alias(c) for c in cols]
+        ).collect()[0]
+        return pd.Series({c: row[c] for c in cols}, name=q)
+
+    def stack(self) -> "DataFrame":
+        """df.stack(): fold the columns into rows. Returns a frame indexed by
+        (*index, 'variable') with one 'value' column — the reset_index() image
+        of pandas' MultiIndexed Series result. posexplode keeps the pandas
+        output order (row-major, columns in original order) by deriving the
+        new row-order key from (old order, column position)."""
+        cols = self.columns
+        dtypes = self.dtypes
+        numeric = all(is_numeric_spark_type(dtypes[c]) for c in cols)
+        cast_t = "double" if numeric else "string"
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("variable"), F.col(c).cast(cast_t).alias("value")
+                )
+                for c in cols
+            ]
+        )
+        sdf = self._ordered_sdf()
+        keep = [F.col(c) for c in self._index]
+        exploded = sdf.select(
+            *keep, F.col(ROW_ORDER), F.posexplode(pairs).alias("__pos__", "kv")
+        ).select(
+            *keep,
+            (F.col(ROW_ORDER) * len(cols) + F.col("__pos__")).alias(ROW_ORDER),
+            F.col("kv.variable").alias("variable"),
+            F.col("kv.value").alias("value"),
+        )
+        return DataFrame(exploded, tuple(self._index) + ("variable",))
+
+    def unstack(self, level: int = -1) -> "DataFrame":
+        """df.unstack(): pivot the LAST index level into columns (one value
+        column). The level's value dictionary is collected to become column
+        names — small by contract, exactly like get_dummies; the pivot itself
+        is one hash aggregate on the remaining index."""
+        if len(self._index) < 2:
+            raise ValueError("unstack requires a MultiIndex (>=2 index levels)")
+        if level not in (-1, len(self._index) - 1):
+            raise NotImplementedError("only the last index level")
+        cols = self.columns
+        if len(cols) != 1:
+            raise NotImplementedError("unstack supports a single value column")
+        last, remaining = self._index[-1], self._index[:-1]
+        values = sorted(
+            r["v"] for r in self._sdf.select(F.col(last).alias("v")).distinct().collect()
+        )
+        pivoted = (
+            self._sdf.groupBy(*remaining).pivot(last, values).agg(F.first(F.col(cols[0])))
+        )
+        return DataFrame(pivoted, tuple(remaining))
+
     # ------------------------------------------------------------ reductions
     def _reduce_frame(self, agg_fn, numeric_only: bool = True):
         import pandas as pd
@@ -1028,7 +1114,12 @@ class DataFrame:
         import pandas as pd
 
         cols = list(self._index) + self.columns
-        pdf = self._sdf.select(*cols).toPandas()
+        sdf = self._sdf
+        if ROW_ORDER in sdf.columns:
+            # restore caller row order across any shuffle (driver-side
+            # materialization is already the scale boundary of to_pandas)
+            sdf = sdf.orderBy(F.asc(ROW_ORDER))
+        pdf = sdf.select(*cols).toPandas()
         for c, cat in self._cat_meta.items():
             if c in pdf.columns:
                 if cat.categories is not None:
@@ -1122,6 +1213,43 @@ class Resampler:
 
     def min(self):
         return self._agg(F.min)
+
+
+class Ewm:
+    """Frame-level exponentially weighted window (single sequential group —
+    see DataFrame.ewm docstring for the scale contract)."""
+
+    def __init__(self, df: DataFrame, alpha: float):
+        self._df = df
+        self._alpha = alpha
+
+    def mean(self) -> DataFrame:
+        sdf = self._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        value_cols = [
+            c
+            for c in sdf.columns
+            if c != ROW_ORDER
+            and c not in self._df._index
+            and is_numeric_spark_type(dtypes[c])
+        ]
+        keep = [c for c in sdf.columns if c not in value_cols]
+        out_schema = ", ".join(
+            [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{c}` double" for c in value_cols]
+        )
+        alpha = self._alpha
+
+        def wrapper(pdf):
+            pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
+            out = pdf[keep].copy()
+            for c in value_cols:
+                out[c] = pdf[c].ewm(alpha=alpha, adjust=True).mean()
+            return out
+
+        res = sdf.groupBy(F.lit(0).alias("__g__")).applyInPandas(
+            wrapper, schema=out_schema
+        )
+        return DataFrame(res, self._df._index)
 
 
 class Rolling:

@@ -219,6 +219,159 @@ class GroupBy:
                 sel.append(F.col(c))
         return DataFrame(sdf.select(*sel), self._df._index)
 
+    # -------------------------------------------------- transform / filter / apply
+    def transform(self, op: str):
+        """pandas groupby.transform: broadcast a per-group aggregate back onto
+        every row. String ops compile to an UNBOUNDED window partitioned by the
+        group keys — pure Catalyst, no UDF, parallel per group (the scale path;
+        a callable would force the applyInPandas hop, use ``apply`` for that).
+        Result keeps the caller's row order and index; key columns are dropped
+        (pandas contract)."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        if callable(op):
+            raise NotImplementedError("transform(callable): use GroupBy.apply")
+        fn = _AGG_FNS[op]
+        w = Window.partitionBy(*self._keys)
+        sdf = self._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        sel = []
+        for c in sdf.columns:
+            if c == ROW_ORDER or c in self._df._index:
+                sel.append(F.col(c))
+            elif c in self._keys:
+                continue
+            elif op in _NUMERIC_ONLY and not is_numeric_spark_type(dtypes[c]):
+                continue
+            else:
+                sel.append(fn(F.col(c)).over(w).alias(c))
+        return DataFrame(sdf.select(*sel), self._df._index)
+
+    def pct_change(self, periods: int = 1):
+        """Per-group fractional change vs the previous row (pandas
+        groupby.pct_change): lag window partitioned by the keys."""
+        return self._over(
+            lambda c, w: (c.cast("double") - F.lag(c.cast("double"), periods).over(w))
+            / F.lag(c.cast("double"), periods).over(w),
+            numeric=True,
+        )
+
+    def _visible(self, cols):
+        return [
+            c
+            for c in cols
+            if not (c.startswith("__") and c.endswith("__"))
+        ]
+
+    def filter(self, func):
+        """pandas groupby.filter: keep the ROWS of groups where ``func(group
+        subframe) -> bool``. The predicate is arbitrary Python, so this is the
+        Arrow-batched applyInPandas path (one Python hop per group); prefer
+        ``transform`` + boolean mask when the predicate is an aggregate
+        comparison."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        sdf = self._df._ordered_sdf()
+        vis = self._visible(sdf.columns)
+
+        def wrapper(pdf):
+            return pdf if bool(func(pdf[vis])) else pdf.iloc[0:0]
+
+        out = sdf.groupBy(*self._keys).applyInPandas(wrapper, schema=sdf.schema)
+        return DataFrame(out, self._df._index)
+
+    def apply(self, func):
+        """pandas groupby.apply for DataFrame-returning ``func``: grouped-map
+        applyInPandas. The output schema is inferred by running ``func`` on ONE
+        sample group driver-side (schema must be group-invariant — same
+        contract as Spark's own applyInPandas). Result is indexed by the group
+        keys."""
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        sdf = self._df._ordered_sdf()
+        vis = self._visible(sdf.columns)
+        first = sdf.select(*self._keys).limit(1).collect()
+        if not first:
+            raise ValueError("apply on empty frame")
+        k0 = first[0]
+        cond = None
+        for k in self._keys:
+            c = F.col(k) == F.lit(k0[k])
+            cond = c if cond is None else (cond & c)
+        sample = sdf.filter(cond).select(*vis).toPandas()
+        out0 = func(sample)
+        if not isinstance(out0, pd.DataFrame):
+            raise NotImplementedError(
+                "GroupBy.apply supports DataFrame-returning func; "
+                "use agg/transform for scalar reductions"
+            )
+        spark = sdf.sparkSession
+        proto = out0.head(1).copy()
+        for k in self._keys:
+            if k not in proto.columns:
+                proto.insert(0, k, [k0[k]] * len(proto))
+        schema = spark.createDataFrame(proto).schema
+        keys = list(self._keys)
+
+        def wrapper(key, pdf):
+            out = func(pdf[vis].reset_index(drop=True))
+            out = out.copy()
+            for k, v in zip(keys, key):
+                if k not in out.columns:
+                    out.insert(0, k, [v] * len(out))
+            return out
+
+        res = sdf.groupBy(*self._keys).applyInPandas(wrapper, schema=schema)
+        return DataFrame(res, tuple(self._keys) if self._as_index else ())
+
+    def ewm(self, alpha: float):
+        """Per-group exponentially weighted accessor (pandas groupby.ewm).
+        Each group is one pandas ewm computation inside applyInPandas — groups
+        process in parallel, Arrow-batched; the sequential recurrence only ever
+        spans one group (the reference has no ewm; nearest is the two-phase
+        scan machinery, core/column.py:644-687)."""
+        return GroupByEwm(self, alpha)
+
+
+class GroupByEwm:
+    def __init__(self, gb: GroupBy, alpha: float):
+        self._gb = gb
+        self._alpha = alpha
+
+    def mean(self):
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        gb = self._gb
+        sdf = gb._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        value_cols = [
+            c
+            for c in sdf.columns
+            if c not in gb._keys
+            and c != ROW_ORDER
+            and c not in gb._df._index
+            and is_numeric_spark_type(dtypes[c])
+        ]
+        keep = [c for c in sdf.columns if c not in value_cols]
+        out_schema = ", ".join(
+            [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{c}` double" for c in value_cols]
+        )
+        alpha = self._alpha
+
+        def wrapper(pdf):
+            pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
+            out = pdf[keep].copy()
+            for c in value_cols:
+                out[c] = pdf[c].ewm(alpha=alpha, adjust=True).mean()
+            return out
+
+        res = sdf.groupBy(*gb._keys).applyInPandas(wrapper, schema=out_schema)
+        return DataFrame(res, gb._df._index)
+
 
 class PivotedGroupBy:
     def __init__(self, gb: GroupBy, column: str, values: list):

@@ -235,6 +235,55 @@ class Series:
         shifted = self.shift(periods)
         return self._wrap(self._col - shifted._col)
 
+    def pct_change(self, periods: int = 1):
+        """Fractional change vs the value ``periods`` rows back (global row
+        order — the partitioned scale path is groupby(...).pct_change())."""
+        prev = self.shift(periods)._col.cast("double")
+        return self._wrap((self._col.cast("double") - prev) / prev)
+
+    def interpolate(self, method: str = "linear"):
+        """Linear interpolation of nulls by row position (pandas default:
+        values equally spaced, leading nulls stay null, trailing nulls carry
+        the last valid value forward).
+
+        Pure window expressions over the row-order key: last/first non-null
+        value and position on each side of the gap, then the linear blend.
+        NOTE global (unpartitioned) windows — same documented small-data path
+        as the global cumsum (reference two-phase scan,
+        core/column.py:644-687); partition first for the distributed path."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        if method != "linear":
+            raise NotImplementedError("only method='linear'")
+        sdf = self._frame._ordered_sdf()
+        POS = "__pos__"
+        if POS not in sdf.columns:
+            sdf = sdf.withColumn(
+                POS, F.row_number().over(Window.orderBy(F.asc(ROW_ORDER)))
+            )
+        self._frame._sdf = sdf
+        col = self._col.cast("double")
+        pos = F.col(POS)
+        w_prev = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_next = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        pv = F.last(col, ignorenulls=True).over(w_prev)
+        pp = F.last(F.when(col.isNotNull(), pos), ignorenulls=True).over(w_prev)
+        nv = F.first(col, ignorenulls=True).over(w_next)
+        np_ = F.first(F.when(col.isNotNull(), pos), ignorenulls=True).over(w_next)
+        out = (
+            F.when(col.isNotNull(), col)
+            .when(pv.isNull(), F.lit(None).cast("double"))
+            .when(nv.isNull(), pv)
+            .otherwise(pv + (nv - pv) * (pos - pp) / (np_ - pp))
+        )
+        return self._wrap(out)
+
     def apply(self, func, dtype="double"):
         """Arrow-vectorized pandas UDF over this column (the Series-level
         escape hatch; §2.9). ``func(pandas.Series) -> pandas.Series``; prefer
@@ -344,6 +393,36 @@ class Series:
 
     def nunique(self):
         return self._reduce(F.countDistinct(self._col))
+
+    def quantile(self, q=0.5):
+        """Exact interpolated quantile (scalar, or list for list input).
+        Exact `percentile` is a per-sort-key aggregate; at 100 TB swap to
+        approx_percentile (documented trade, same as describe())."""
+        if isinstance(q, (list, tuple)):
+            return [float(v) for v in self._reduce(
+                F.percentile(self._col, F.array(*[F.lit(p) for p in q]))
+            )]
+        return self._reduce(F.percentile(self._col, F.lit(float(q))))
+
+    def mode(self):
+        """All most-frequent values, ascending (pandas Series result). One
+        hash aggregate + a top-tie filter — never a global sort of the data."""
+        import pandas as pd
+
+        counts = (
+            self._frame._sdf.select(self._col.alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = counts.agg(F.max("c").alias("m"))
+        rows = (
+            counts.join(F.broadcast(best), counts["c"] == best["m"])
+            .select("v")
+            .orderBy("v")
+            .collect()
+        )
+        return pd.Series([r["v"] for r in rows], name=self.name)
 
     def _idx_reduce(self, descending: bool):
         if not self._frame._index:
