@@ -48,6 +48,9 @@ class GroupBy:
         sort: bool = False,
         dropna: bool = True,
     ):
+        # original (pre-dropna) frame: the lineage anchor for column-level
+        # transform, which must stay aligned with the caller's frame
+        self._src = df
         # pandas semantics: rows with null group keys are EXCLUDED by default
         # (reference cudf null_policy::EXCLUDE, src/groupby/groupby_reduce_gpu.cc:76-77);
         # Spark's groupBy would emit a null group — filter first.
@@ -335,6 +338,46 @@ class GroupBy:
         spans one group (the reference has no ewm; nearest is the two-phase
         scan machinery, core/column.py:644-687)."""
         return GroupByEwm(self, alpha)
+
+    def __getitem__(self, col: str) -> "SeriesGroupBy":
+        """``df.groupby(k)[col]`` — single-column grouped view."""
+        return SeriesGroupBy(self, col)
+
+
+class SeriesGroupBy:
+    """Single-column grouped view: ``df.groupby(k)['x']``.
+
+    ``transform`` returns a Series ON THE CALLER'S FRAME (a window expression
+    over the group keys — the aligned form pandas users chain into
+    ``df['x'] / df.groupby(k)['x'].transform('sum')``). Rows with null group
+    keys get null, matching pandas' excluded-group contract."""
+
+    def __init__(self, gb: GroupBy, col: str):
+        self._gb = gb
+        self._col = col
+
+    def transform(self, op: str):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.series import Series
+
+        gb = self._gb
+        fn = _AGG_FNS[op]
+        # the window shuffles — pin the caller's row order first so exports
+        # and positional ops restore it
+        gb._src._sdf = gb._src._ordered_sdf()
+        w = Window.partitionBy(*gb._keys)
+        expr = fn(F.col(self._col)).over(w)
+        notnull = None
+        for k in gb._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
+        return Series(gb._src, expr, self._col)
+
+    def agg(self, op: str):
+        return self._gb.agg({self._col: op})
 
 
 class GroupByEwm:

@@ -255,3 +255,60 @@ def pd_fillna_astype_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = ev[ev["value_int"] >= 150][["event_id", "filled", "value_int"]]
     lo = ev[ev["value_int"] < 10][["event_id", "filled", "value_int"]]
     return lps.concat([hi, lo]).to_spark()
+
+
+@query(
+    "pd_transform_share",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+               AS share_of_customer
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def pd_transform_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: groupby(...).transform('sum') broadcast back onto rows
+    (round-2 facade surface). Compiles to an unbounded window over the group
+    key — one shuffle on o_custkey, no UDF, no join back (the naive
+    agg-then-rejoin plan would shuffle twice)."""
+    orders = _read(spark, sf_dir, "orders")
+    filtered = orders[orders["o_orderstatus"] == "O"]
+    totals = filtered.groupby("o_custkey")["o_totalprice"].transform("sum")
+    share = filtered["o_totalprice"] / totals
+    filtered["share_of_customer"] = share.round(6)
+    return filtered.to_spark().select("o_orderkey", "o_custkey", "share_of_customer")
+
+
+@query(
+    "pd_unstack_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pd_unstack_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: groupby(two keys).size() then unstack the inner level
+    into columns (round-2 facade surface). Executes as ONE hash aggregate +
+    pivot — the level dictionary (order statuses) is collected to name the
+    columns, the data never is."""
+    orders = _read(spark, sf_dir, "orders")
+    g = (
+        orders.groupby(["o_orderpriority", "o_orderstatus"])
+        .agg({"o_orderkey": "count"})
+        .reset_index()
+        .set_index(["o_orderpriority", "o_orderstatus"])
+    )
+    mat = g.unstack().reset_index()
+    sdf = mat.to_spark()
+    return sdf.select(
+        F.col("o_orderpriority"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("P"),
+    )

@@ -171,3 +171,12 @@ def test_unstack_matches_pandas(spark):
     want = pdf.set_index(["k1", "k2"])["v"].unstack()
     want.columns = [str(c) for c in want.columns]
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False)
+
+
+def test_series_groupby_transform_aligned(spark, pdf):
+    ldf = lps.from_pandas(pdf, spark=spark)
+    share = ldf["x"] / ldf.groupby("k")["x"].transform("sum")
+    ldf["share"] = share
+    got = ldf.to_pandas()["share"]
+    want = pdf["x"] / pdf.groupby("k")["x"].transform("sum")
+    pd.testing.assert_series_equal(got, want, check_dtype=False, check_names=False)
