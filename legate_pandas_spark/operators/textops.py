@@ -411,3 +411,115 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n FROM words
+    ), scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with per-document top-3 terms (the classic relevance /
+    keyword-extraction reduction).
+
+    Scale design: term frequency and document frequency are both map-side
+    combinable hash aggregates over one exploded token stream; the DF table is
+    vocab-sized and BROADCAST into the scoring join (Zipf head words are hot,
+    but a broadcast join has no skewed shuffle); top-3 is a per-doc
+    row_number window, parallel across docs with a total order tiebreak."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = words.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+    )
+
+
+@query(
+    "tokenize_to_vocab_ids",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w, pos FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      w -> w <> '')) AS w,
+                   generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                   w -> w <> ''), 1) AS pos
+            FROM documents
+        )
+    ), counted AS (
+        SELECT w, count(*) AS n FROM words GROUP BY w
+    ), vocab AS (
+        SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS token_id
+        FROM counted
+    )
+    SELECT words.doc_id, CAST(words.pos AS INTEGER) AS pos, vocab.token_id
+    FROM words JOIN vocab USING (w)
+    """,
+)
+def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization to vocabulary ids: the encode step of a training pipeline —
+    every document becomes its (position, token_id) stream under the
+    frequency-ranked vocabulary (build_token_vocab's id assignment).
+
+    Scale design: posexplode keeps token positions without a window; the
+    vocabulary is dictionary-sized and BROADCAST into the id-mapping join, so
+    the corpus stream never shuffles at all — the output is produced in the
+    scan stage. The id-ranking window runs only over the distinct-token
+    table."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "w")
+    counted = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counted.select(
+        "w",
+        (
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))) - 1
+        ).cast("long").alias("token_id"),
+    )
+    return toks.join(F.broadcast(vocab), "w").select("doc_id", "pos", "token_id")

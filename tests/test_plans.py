@@ -148,3 +148,32 @@ def test_decorrelated_queries_single_scan(catalog, spark, sf_dir):
     assert explain_text(catalog["above_customer_avg_orders"](spark, sf_dir)).count(
         "orders.parquet"
     ) == 1
+
+
+def test_round2_curation_plans(catalog, spark, sf_dir):
+    """Round-2 pipeline queries: broadcast dictionaries, no cartesian, pure
+    projection where promised."""
+    # unigram model + tfidf + tokenize: vocab joins must broadcast (Zipf head
+    # words would otherwise skew a shuffle join)
+    for name in ["unigram_logprob_quality", "tfidf_top_terms", "tokenize_to_vocab_ids"]:
+        plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
+        assert "BroadcastHashJoin" in plan, f"{name}: vocab join must broadcast"
+        assert "CartesianProduct" not in plan
+    # mixture sampling must stay a scan-stage filter: no shuffle of any kind
+    plan = plan_text(catalog["mixture_weighted_sample"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    # PII scrub: pure per-row projection, no shuffle
+    plan = plan_text(catalog["pii_redaction_scrub"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, "redaction must not shuffle"
+
+
+def test_round2_window_partitioning(catalog, spark, sf_dir):
+    """Per-label / per-doc / per-lang windows must be key-partitioned (never a
+    global single-task window)."""
+    for name, key in [
+        ("class_balance_downsample", "hashpartitioning(label"),
+        ("tfidf_top_terms", "hashpartitioning(doc_id"),
+        ("feature_engineering_onehot_bins", "hashpartitioning(lang"),
+    ]:
+        plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
+        assert key in plan, f"{name}: window not partitioned by its key"
