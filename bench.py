@@ -56,6 +56,12 @@ HEADLINE = [
     "pack_training_sequences",
     "grouped_map_zscore",
     "dedup_connected_components",
+    # round 2: corpus-curation + encode additions
+    "repeated_ngram_spans",
+    "unigram_logprob_quality",
+    "tfidf_top_terms",
+    "semdedup_cluster_prune",
+    "mixture_weighted_sample",
 ]
 
 

@@ -10,7 +10,24 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+
+def outer_explode(sdf: DataFrame, arr, name: str, *keep) -> DataFrame:
+    """Explode an EXPENSIVE computed array safely: ``explode_outer`` + a null
+    filter on the OUTPUT column.
+
+    With a plain inner ``explode``, Catalyst's InferFiltersFromGenerate rule
+    derives ``size(arr) > 0 AND isnotnull(arr)`` and pushes it toward the scan
+    — re-evaluating the whole array expression (n-gram/shingle transforms)
+    per input row, sometimes below the repartition that was supposed to
+    parallelize it (measured 10x slowdown on the 5-gram pipeline). The outer
+    generator infers nothing; filtering the emitted column restores inner
+    semantics at the cost of one null row per empty array."""
+    return sdf.select(*keep, F.explode_outer(arr).alias(name)).filter(
+        F.col(name).isNotNull()
+    )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

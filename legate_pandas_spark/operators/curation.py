@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from legate_pandas_spark.operators import query
+from legate_pandas_spark.operators import outer_explode, query
 from legate_pandas_spark.sources.tables import load_table
 
 _N = 5  # contamination n-gram width
@@ -87,13 +87,11 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     grams = toks.select("doc_id", _word_ngrams(F.col("t"), _N).alias("gs"))
-    bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("gs").alias("g"))
-        .distinct()
-    )
+    bench = outer_explode(
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0), "gs", "g"
+    ).distinct()
     cand = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    cand_grams = cand.select("doc_id", F.explode("gs").alias("g"))
+    cand_grams = outer_explode(cand, "gs", "g", "doc_id")
     matched = (
         cand_grams.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -138,11 +136,11 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one two-level hash aggregate (doc×word, then doc) — both
     map-side combinable; no window, no sort."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
+    words = outer_explode(
+        docs,
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")),
+        "w",
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
-        ).alias("w"),
     )
     counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     return counts.groupBy("doc_id").agg(
@@ -206,8 +204,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id", "lang", "band", _word_ngrams(F.col("t"), _J_N).alias("gs")
     )
-    exploded = grams.select(
-        "doc_id", "lang", "band", F.size("gs").alias("sz"), F.explode("gs").alias("g")
+    exploded = outer_explode(
+        grams, "gs", "g", "doc_id", "lang", "band", F.size("gs").alias("sz")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -411,25 +409,40 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the big shuffle — the gram key is near-uniform (text
     shingles), so no skew salting is needed."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    from pyspark.sql.window import Window
+
+    # split-rebalance: the documents table arrives as few large files, so the
+    # expensive gram expansion would otherwise run on a handful of input
+    # splits — spread rows across the cluster BEFORE the explode
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
     grams = toks.select("doc_id", _word_ngrams(F.col("t"), _N).alias("gs"))
-    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
-    dup_grams = (
-        exploded.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
+    # single-pass formulation: grams are distinct per doc, so a plain count()
+    # over the gram key EQUALS the distinct-doc count — one explode, one
+    # shuffle on g (window), one per-doc aggregate; no self-join, and the
+    # gram expression is computed exactly once
+    exploded = outer_explode(grams, "gs", "g", "doc_id")
+    windowed = exploded.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
-    hits = exploded.join(dup_grams, "g").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dups")
+    per_doc = windowed.groupBy("doc_id").agg(
+        F.sum((F.col("nd") >= 2).cast("int")).cast("bigint").alias("dup_ngrams"),
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
     )
-    return grams.join(hits, "doc_id", "left").select(
+    # docs too short to produce any gram never reach the explode — append them
+    short = toks.filter(F.size("t") < _N).select(
         "doc_id",
-        F.coalesce(F.col("dups"), F.lit(0)).cast("bigint").alias("dup_ngrams"),
-        F.size("gs").cast("bigint").alias("total_ngrams"),
+        F.lit(0).cast("bigint").alias("dup_ngrams"),
+        F.lit(0).cast("bigint").alias("total_ngrams"),
+    )
+    return per_doc.unionByName(short).select(
+        "doc_id",
+        "dup_ngrams",
+        "total_ngrams",
         F.round(
-            F.coalesce(F.col("dups"), F.lit(0)) * F.lit(1.0)
-            / F.nullif(F.size("gs").cast("bigint"), F.lit(0)),
+            F.col("dup_ngrams") * F.lit(1.0) / F.nullif(F.col("total_ngrams"), F.lit(0)),
             4,
         ).alias("dup_fraction"),
     )
@@ -466,11 +479,11 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys in the join, but the join is BROADCAST (vocab of distinct words is
     dictionary-sized relative to the corpus), so no skewed shuffle exists."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
+    words = outer_explode(
+        docs,
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")),
+        "w",
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
-        ).alias("w"),
     )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n = vocab.agg(F.sum("c").alias("n"))

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from legate_pandas_spark.operators import query
+from legate_pandas_spark.operators import outer_explode, query
 from legate_pandas_spark.sources.tables import load_table
 
 N_MINHASH = 8  # 2 md5 digests x 4 slices
@@ -73,8 +73,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> Da
     # materialize the token array once per row; referencing the split expression
     # inside the shingle lambda would re-split per element
     tokenized = docs.select("doc_id", tokens_col().alias("_toks"))
-    sh = tokenized.filter(F.size("_toks") >= 3).select(
-        "doc_id", F.explode(shingles_col(F.col("_toks"))).alias("s")
+    sh = outer_explode(
+        tokenized.filter(F.size("_toks") >= 3),
+        shingles_col(F.col("_toks")),
+        "s",
+        "doc_id",
     )
     return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
 
@@ -353,7 +356,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote sum. One explode + one hash aggregate — linear and shuffle-light."""
     docs = load_table(spark, sf_dir, "documents")
     # per-doc distinct in-place (array_distinct) — avoids a global DISTINCT shuffle
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("t"))
+    tok = outer_explode(docs, F.array_distinct(tokens_col()), "t", "doc_id")
     hashed = tok.select("doc_id", F.md5("t").alias("h"))
     votes = [
         F.sum(

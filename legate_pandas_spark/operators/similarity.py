@@ -416,7 +416,11 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED similarity so both engines see the identical 4dp value."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # split-rebalance: embeddings arrive as few files; spread vectors before
+    # the quadratic intra-cluster stage so pair scoring parallelizes
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cent = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -424,17 +428,29 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    # per-vector norm computed ONCE here — the O(cluster_size^2) pair stage
+    # then only pays one dot product per pair, not three
     assign = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "cid", "embedding")
+        .select("vec_id", "cid", "embedding", _norm(F.col("embedding")).alias("nrm"))
     )
-    a = assign.select(F.col("cid").alias("_cid"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = assign.select("cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    a = assign.select(
+        F.col("cid").alias("_cid"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        "cid", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
     pairmax = (
         a.join(b, (F.col("_cid") == F.col("cid")) & (F.col("vec_a") < F.col("vec_b")))
         .groupBy("vec_b")
-        .agg(F.max(F.round(cosine(F.col("va"), F.col("vb")), 4)).alias("max_sim"))
+        .agg(
+            F.max(
+                F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+            ).alias("max_sim")
+        )
     )
     flags = assign.join(pairmax, assign.vec_id == pairmax.vec_b, "left").select(
         "cid",

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from legate_pandas_spark.operators import query
+from legate_pandas_spark.operators import outer_explode, query
 from legate_pandas_spark.sources.tables import load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -370,7 +370,7 @@ def build_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    tok = outer_explode(docs, F.split(F.trim(F.col("text")), r"\s+"), "token")
     counted = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return counted.select(
@@ -404,8 +404,7 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        outer_explode(docs.filter(F.size(toks) >= 2), bigrams, "bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -448,11 +447,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
+    words = outer_explode(
+        docs,
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")),
+        "w",
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
-        ).alias("w"),
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
