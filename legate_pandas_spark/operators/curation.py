@@ -582,3 +582,47 @@ def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("vec_id", "label")
     )
+
+
+_WS_K = 50  # weighted-sample size
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS INTEGER) + 1) / 16777217.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): take the
+    top-k documents by key ln(u)/w, with u a content-stable md5 uniform and
+    w = n_chars — each doc's inclusion probability is proportional to its
+    weight, and the draw is reproducible across runs and cluster sizes.
+
+    Scale design: pure projection + TakeOrderedAndProject — per-partition
+    top-k then a k-sized driver merge, never a global sort; the md5 key means
+    no RNG state to coordinate across executors (the distributed-sampling
+    property that makes E-S the standard at scale)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        + 1
+    ) / F.lit(16777217.0)
+    keyed = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
+    )

@@ -435,3 +435,105 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "funnel_conversion_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase): the
+    product-analytics staple. Each stage is the count of users whose stage
+    event strictly follows their previous stage's first event.
+
+    Scale design: three per-user hash aggregates chained by user_id equi-joins
+    — every shuffle is on the same user_id key, so AQE/co-partitioning reuses
+    the exchange; no window over the raw stream, no self-cross. Stage frames
+    shrink monotonically (funnel!), so later joins are smaller."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        )
+    )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, activity counted
+    at each day offset — the (cohort × age) retention triangle.
+
+    Scale design: one per-user aggregate for cohort assignment (user-count
+    sized, joins back on the same user_id shuffle key), one distinct-count
+    aggregate on (cohort, offset) — a tiny result grid. The cohort frame is
+    user-dimension sized; at 100 TB of events it is still only |users| rows
+    and AQE picks broadcast vs shuffle per stats."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
