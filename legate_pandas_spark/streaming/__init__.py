@@ -7,3 +7,8 @@ from legate_pandas_spark.streaming.events import (  # noqa: F401
     purchase_click_attribution,
     run_available_now,
 )
+from legate_pandas_spark.streaming.documents import (  # noqa: F401
+    stream_documents,
+    quality_scrub_stream,
+    corpus_dedup_stream,
+)

@@ -171,3 +171,59 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
 
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def documents_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    return str(d)
+
+
+def test_quality_scrub_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Stateless curation stage: streaming output must equal the same
+    expressions run in batch over the same files."""
+    import pandas as pd
+
+    from legate_pandas_spark.streaming import (
+        quality_scrub_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    stream = quality_scrub_stream(stream_documents(spark, documents_dir))
+    run_available_now(stream, "scrubbed_docs", output_mode="append")
+    got = spark.table("scrubbed_docs").toPandas()
+    batch = quality_scrub_stream(spark.read.parquet(documents_dir)).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    batch = batch.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_corpus_dedup_stream_distinct_digests(spark, sf_dir, documents_dir, tmp_path):
+    """Streaming exact dedup: the surviving digest set must equal the batch
+    distinct set (keep-first identity across micro-batches is arrival-order
+    dependent, digest presence is not)."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.streaming import (
+        corpus_dedup_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    stream = corpus_dedup_stream(stream_documents(spark, documents_dir))
+    run_available_now(stream, "deduped_docs", output_mode="append")
+    got = {
+        r["digest"]
+        for r in spark.table("deduped_docs").select("digest").distinct().collect()
+    }
+    want = {
+        r["digest"]
+        for r in spark.read.parquet(documents_dir)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert spark.table("deduped_docs").count() == len(want)
