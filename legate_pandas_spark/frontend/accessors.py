@@ -92,8 +92,43 @@ class StringMethods:
             return self._wrap(F.regexp_replace(self._s._col, pat, repl))
         return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
 
-    def split(self, pat: str = r"\s+"):
-        return self._wrap(F.split(self._s._col, pat))
+    def split(self, pat: str = r"\s+", expand: bool = False, n: int | None = None):
+        """Split into an array column; ``expand=True`` widens into columns
+        0..width-1 (width = the given ``n``+1, else ONE max-size aggregate —
+        a scalar to the driver, the unavoidable schema-discovery pass pandas
+        does in-memory)."""
+        arr = F.split(self._s._col, pat, (n + 1) if n is not None else -1)
+        if not expand:
+            return self._wrap(arr)
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        frame = self._s._frame
+        if n is not None:
+            width = n + 1
+        else:
+            width = frame._sdf.agg(F.max(F.size(arr))).collect()[0][0] or 1
+        sdf0 = frame._ordered_sdf()
+        keep = list(frame._index) + [
+            c for c in sdf0.columns if c.startswith("__") and c.endswith("__")
+        ]
+        sdf = sdf0.select(
+            *[F.col(c) for c in keep],
+            *[F.get(arr, i).alias(str(i)) for i in range(width)],
+        )
+        return DataFrame(sdf, frame._index)
+
+    def get(self, i: int):
+        """Element i of an array/split value (null when absent)."""
+        return self._wrap(F.get(self._s._col, i))
+
+    def join(self, sep: str):
+        """Join array elements with a separator (pandas str.join)."""
+        return self._wrap(F.array_join(self._s._col, sep))
+
+    def cat(self, others=None, sep: str = ""):
+        """Concatenate with an aligned Series (or a scalar string)."""
+        other = self._s._other_col(others) if others is not None else F.lit("")
+        return self._wrap(F.concat(self._s._col, F.lit(sep), other))
 
     def extract(self, pat: str, group: int = 1):
         """First regex group match (pandas str.extract with one group)."""
@@ -215,6 +250,22 @@ class DatetimeMethods:
     @property
     def date(self):
         return self._wrap(F.to_date(self._s._col))
+
+    def floor(self, freq: str):
+        """Truncate to hour/day/etc. (pandas dt.floor)."""
+        from legate_pandas_spark.frontend.frame import _freq_to_interval
+
+        unit = _freq_to_interval(freq).split()[1].rstrip("s")
+        return self._s._wrap(F.date_trunc(unit, self._s._col))
+
+    def strftime(self, fmt: str):
+        """Format timestamps as strings; translates the common strftime
+        directives to Spark's pattern letters (same table as to_datetime)."""
+        spark_fmt = (
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+        )
+        return self._s._wrap(F.date_format(self._s._col, spark_fmt))
 
     @property
     def quarter(self):

@@ -829,6 +829,68 @@ class DataFrame:
 
         return self._cum(prod)
 
+    def _map_numeric(self, fn) -> "DataFrame":
+        """Apply a column expression to every numeric column (projection-only)."""
+        out = []
+        for c, t in self._sdf.dtypes:
+            if c in self._index or (c.startswith("__") and c.endswith("__")):
+                out.append(F.col(c))
+            elif is_numeric_spark_type(t):
+                out.append(fn(F.col(c)).alias(c))
+            else:
+                out.append(F.col(c))
+        return self._replace(self._sdf.select(*out))
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        return self._map_numeric(lambda c: F.round(c, decimals))
+
+    def abs(self) -> "DataFrame":
+        return self._map_numeric(F.abs)
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        def _clip(c):
+            if lower is not None:
+                c = F.greatest(c, F.lit(lower))
+            if upper is not None:
+                c = F.least(c, F.lit(upper))
+            return c
+
+        return self._map_numeric(_clip)
+
+    def agg(self, spec: dict):
+        """Frame-level agg({col: op | [ops]}) → pandas DataFrame (ops × cols),
+        computed in ONE aggregate pass (pandas result shape; an action)."""
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.groupby import _AGG_FNS
+
+        exprs, keys = [], []
+        for col, ops in spec.items():
+            for op in [ops] if isinstance(ops, str) else ops:
+                exprs.append(_AGG_FNS[op](F.col(col)).alias(f"{col}\x00{op}"))
+                keys.append((col, op))
+        row = self._sdf.agg(*exprs).collect()[0]
+        all_ops = list(dict.fromkeys(op for _, op in keys))
+        data = {
+            col: {op: row[f"{col}\x00{op}"] for c2, op in keys if c2 == col}
+            for col in spec
+        }
+        return pd.DataFrame(data).reindex(all_ops)
+
+    def transpose(self) -> "DataFrame":
+        """Driver-side transpose (pandas .T). A transpose makes rows into the
+        SCHEMA, so it is inherently driver-bound — materializes via Arrow,
+        like to_pandas(); intended for small frames (reductions, describe)."""
+        spark = self._sdf.sparkSession
+        tp = self.to_pandas().T
+        tp.columns = [str(c) for c in tp.columns]
+        tp = tp.reset_index().rename(columns={"index": "column"})
+        return DataFrame(tp, spark=spark).set_index("column")
+
+    @property
+    def T(self) -> "DataFrame":
+        return self.transpose()
+
     def pct_change(self, periods: int = 1) -> "DataFrame":
         """Fractional change vs ``periods`` rows back for every numeric column
         (global row order — the documented small-data path, like cumsum; use
