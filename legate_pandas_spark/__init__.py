@@ -17,6 +17,7 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     DataFrame,
     Series,
     concat,
+    crosstab,
     cut,
     get_dummies,
     merge_asof,

@@ -118,6 +118,38 @@ def qcut(series: Series, q, labels=False) -> Series:
     return _apply_labels(series, code, labels, len(edges) - 1)
 
 
+def crosstab(index: Series, columns: Series) -> DataFrame:
+    """pandas.crosstab for two aligned Series: counts cross-tabulation.
+    One hash aggregate + pivot with an explicit value list (the column
+    dictionary is one distinct aggregate — small by contract, it becomes the
+    schema)."""
+    if index._frame is not columns._frame:
+        root_i = getattr(index._frame, "_lineage_parent", None) or index._frame
+        root_c = getattr(columns._frame, "_lineage_parent", None) or columns._frame
+        if root_i is not root_c:
+            raise ValueError("crosstab requires Series from the same frame")
+    sdf = index._frame._sdf.select(
+        index._col.alias(index.name or "row"), columns._col.alias(columns.name or "col")
+    )
+    rname, cname = sdf.columns
+    values = sorted(
+        r["v"] for r in sdf.select(F.col(cname).alias("v")).distinct().collect()
+        if r["v"] is not None
+    )
+    pivoted = (
+        sdf.filter(F.col(rname).isNotNull() & F.col(cname).isNotNull())
+        .groupBy(rname)
+        .pivot(cname, values)
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .orderBy(rname)
+    )
+    pivoted = pivoted.select(
+        rname, *[F.col(f"`{v}`").cast("long").alias(str(v)) for v in values]
+    )
+    return DataFrame(pivoted, (rname,))
+
+
 def _apply_labels(series: Series, code, labels, nbins: int) -> Series:
     if labels is False:
         return series._wrap(code, series.name)

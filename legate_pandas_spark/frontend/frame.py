@@ -1027,6 +1027,244 @@ class DataFrame:
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)
 
+    def skew(self):
+        """Sample-adjusted Fisher-Pearson skewness per numeric column — the
+        pandas statistic, NOT Spark's population `F.skewness`: pandas applies
+        the g1·sqrt(n(n-1))/(n-2) correction. Computed from one aggregate pass
+        of raw moments (count/mean/m2/m3 are algebraic, partial-aggregatable)."""
+        import math
+
+        import pandas as pd
+
+        stats = self._moment_stats()
+        out = {}
+        for c, (n, m2, m3, _) in stats.items():
+            if n < 3 or m2 == 0:
+                out[c] = float("nan")
+                continue
+            g1 = m3 / m2**1.5
+            out[c] = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+        return pd.Series(out)
+
+    def kurt(self):
+        """Sample-adjusted excess kurtosis (pandas G2), from the same one-pass
+        raw-moment aggregate as skew."""
+        import pandas as pd
+
+        stats = self._moment_stats()
+        out = {}
+        for c, (n, m2, _, m4) in stats.items():
+            if n < 4 or m2 == 0:
+                out[c] = float("nan")
+                continue
+            g2 = m4 / m2**2 - 3.0
+            out[c] = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        return pd.Series(out)
+
+    kurtosis = kurt
+
+    def _moment_stats(self) -> dict:
+        """One aggregate pass → {col: (n, m2, m3, m4)} central moments
+        (biased, /n), assembled from power sums so everything partial-aggregates."""
+        aggs, names = [], []
+        for c, t in self._sdf.dtypes:
+            if c in self._index or c == ROW_ORDER or not is_numeric_spark_type(t):
+                continue
+            x = F.col(c).cast("double")
+            aggs += [
+                F.count(x).alias(f"{c}__n"),
+                F.sum(x).alias(f"{c}__s1"),
+                F.sum(x * x).alias(f"{c}__s2"),
+                F.sum(x * x * x).alias(f"{c}__s3"),
+                F.sum(x * x * x * x).alias(f"{c}__s4"),
+            ]
+            names.append(c)
+        row = self._sdf.agg(*aggs).collect()[0]
+        out = {}
+        for c in names:
+            n = row[f"{c}__n"]
+            if not n:
+                out[c] = (0, 0.0, 0.0, 0.0)
+                continue
+            s1, s2, s3, s4 = (float(row[f"{c}__s{i}"]) for i in (1, 2, 3, 4))
+            mu = s1 / n
+            m2 = s2 / n - mu**2
+            m3 = s3 / n - 3 * mu * s2 / n + 2 * mu**3
+            m4 = s4 / n - 4 * mu * s3 / n + 6 * mu**2 * s2 / n - 3 * mu**4
+            out[c] = (n, m2, m3, m4)
+        return out
+
+    def corr(self, method: str = "pearson"):
+        """Pairwise Pearson correlation matrix of numeric columns → pandas
+        DataFrame (k² scalars for k columns — inherently driver-sized). One
+        aggregate pass computes all pairs (each `corr(a,b)` partial-aggregates)."""
+        return self._pairwise_matrix(F.corr)
+
+    def cov(self, ddof: int = 1):
+        return self._pairwise_matrix(F.covar_samp if ddof == 1 else F.covar_pop)
+
+    def _pairwise_matrix(self, fn):
+        import pandas as pd
+
+        cols = [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        ]
+        aggs = [
+            fn(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}\x00{b}")
+            for i, a in enumerate(cols)
+            for b in cols[i:]
+        ]
+        row = self._sdf.agg(*aggs).collect()[0]
+        mat = pd.DataFrame(index=cols, columns=cols, dtype="float64")
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                v = row[f"{a}\x00{b}"]
+                mat.loc[a, b] = v
+                mat.loc[b, a] = v
+        return mat
+
+    def ffill(self) -> "DataFrame":
+        """Forward-fill nulls in global row order (pandas ffill). Like cumsum,
+        the global-order scan is the documented small-data path — the scale
+        path is ``groupby(keys).ffill()``, a window PARTITIONED by the keys."""
+        return self._fill_directional(forward=True)
+
+    def bfill(self) -> "DataFrame":
+        return self._fill_directional(forward=False)
+
+    def _fill_directional(self, forward: bool) -> "DataFrame":
+        sdf = self._ordered_sdf()
+        if forward:
+            w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        else:
+            w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        pick = F.last if forward else F.first
+        sel = []
+        for c in sdf.columns:
+            if c in self._index or (c.startswith("__") and c.endswith("__")):
+                sel.append(F.col(c))
+            else:
+                sel.append(pick(F.col(c), ignorenulls=True).over(w).alias(c))
+        return self._replace(sdf.select(*sel))
+
+    def take(self, positions) -> "DataFrame":
+        """Rows at the given positions in row order (pandas take) — the same
+        partition-offset position arithmetic as iloc, then an isin filter
+        (no global window)."""
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        positions = list(positions)
+        fresh = ROW_ORDER not in self._sdf.columns
+        with_pos, total = _attach_positions(self._ordered_sdf(), fresh)
+        positions = [p if p >= 0 else total + p for p in positions]
+        return self._replace(
+            with_pos.filter(F.col("__pos__").isin(positions)).drop("__pos__")
+        )
+
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        """Rows with index label in [before, after] (pandas truncate) — an
+        index range filter, pushed to the scan."""
+        if not self._index:
+            raise ValueError("truncate requires a stored index (set_index first)")
+        idx = F.col(self._index[0])
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (idx >= before)
+        if after is not None:
+            cond = cond & (idx <= after)
+        return self._replace(self._sdf.filter(cond))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def update(self, other: "DataFrame") -> None:
+        """Overwrite cells from `other`'s non-null cells (pandas update),
+        aligned by lineage or stored index — same alignment contract as
+        where/mask; mutates in place like pandas."""
+        oe = self._aligned_exprs(other)
+        keep = [
+            F.col(c)
+            for c in self._sdf.columns
+            if c in self._index or (c.startswith("__") and c.endswith("__"))
+        ]
+        sel = list(keep) + [
+            (F.coalesce(oe[c], F.col(c)) if c in oe else F.col(c)).alias(c)
+            for c in self.columns
+        ]
+        self._sdf = self._sdf.select(*sel)
+
+    def align(self, other: "DataFrame", join: str = "outer"):
+        """Pair of frames reindexed to a common index (pandas align, axis=0),
+        via one full-outer (or inner/left) equi-join on the index columns."""
+        if not self._index or self._index != other._index:
+            raise ValueError("align requires the same stored index on both frames")
+        keys = list(self._index)
+        how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
+        a = self._sdf.select(*keys, *[F.col(c).alias(f"__l_{c}__") for c in self.columns])
+        b = other._sdf.select(*keys, *[F.col(c).alias(f"__r_{c}__") for c in other.columns])
+        joined = a.join(b, keys, how)
+        # pandas aligns BOTH axes: the output column set is the sorted union,
+        # with all-null columns where a side lacks the label
+        out_cols = sorted(set(self.columns) | set(other.columns))
+
+        def side(tag, own):
+            sel = [F.col(k) for k in keys] + [
+                (
+                    F.col(f"__{tag}_{c}__") if c in own else F.lit(None).cast("double")
+                ).alias(c)
+                for c in out_cols
+            ]
+            return DataFrame(joined.select(*sel), self._index)
+
+        return side("l", set(self.columns)), side("r", set(other.columns))
+
+    def applymap(self, func, dtype: str = "double") -> "DataFrame":
+        """Element-wise arbitrary Python callable over every data column
+        (pandas applymap / DataFrame.map). Arrow-batched pandas_udf — the
+        documented slow path; prefer column expressions when the function is
+        expressible (reference's only UDF surface is query(), SURVEY §2.9)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _fn(s):
+            return s.map(func)
+
+        # real type objects (PEP-563 string annotations from this module's
+        # `from __future__ import annotations` would not resolve in pyspark)
+        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _u = pandas_udf(_fn, dtype)
+
+        sel = []
+        for c in self._sdf.columns:
+            if c in self._index or (c.startswith("__") and c.endswith("__")):
+                sel.append(F.col(c))
+            else:
+                sel.append(_u(F.col(c)).alias(c))
+        return self._replace(self._sdf.select(*sel))
+
+    map = applymap
+
+    def to_dict(self, orient: str = "records"):
+        return self.to_pandas().to_dict(orient=orient)
+
+    def items(self):
+        for c in self.columns:
+            yield c, self[c]
+
+    def iterrows(self):
+        """Driver-side row iteration (pandas iterrows) — materializes via
+        Arrow; an action, intended for small/collected results."""
+        yield from self.to_pandas().iterrows()
+
+    def itertuples(self, index: bool = True, name: str = "Pandas"):
+        yield from self.to_pandas().itertuples(index=index, name=name)
+
     def melt(self, id_vars, value_vars, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":
         """Wide→long unpivot (Spark stack expression — one narrow pass)."""

@@ -150,6 +150,106 @@ class GroupBy:
     def nunique(self):
         return self._apply_named("nunique")
 
+    def first(self):
+        """First non-null value per group in row order (pandas groupby.first):
+        min_by over the order key among non-null rows — one hash aggregate, no
+        window."""
+        return self._positional_agg(first=True)
+
+    def last(self):
+        return self._positional_agg(first=False)
+
+    def median(self):
+        """Exact median per group (pandas). F.median is a per-group sort
+        internally; at 100 TB prefer agg({col: 'approx_median'}) semantics via
+        percentile_approx — kept exact here for pandas/oracle parity."""
+        dtypes = dict(self._df._sdf.dtypes)
+        exprs = [
+            F.median(F.col(c)).alias(c)
+            for c in self._df.columns
+            if c not in self._keys and is_numeric_spark_type(dtypes[c])
+        ]
+        if not exprs:
+            raise ValueError("no numeric columns for median")
+        return self._finish(self._df._sdf.groupBy(*self._keys).agg(*exprs))
+
+    def _positional_agg(self, first: bool) -> "DataFrame":
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        sdf = self._df._ordered_sdf()
+        pick = F.min_by if first else F.max_by
+        exprs = []
+        for c in self._df.columns:
+            if c in self._keys:
+                continue
+            # pandas first/last skip nulls: restrict the argmin to non-null rows
+            order = F.when(F.col(c).isNotNull(), F.col(ROW_ORDER))
+            exprs.append(pick(F.col(c), order).alias(c))
+        return self._finish(sdf.groupBy(*self._keys).agg(*exprs))
+
+    def cumcount(self):
+        """0-based position of each row within its group (pandas
+        groupby.cumcount) — row_number window partitioned by the keys (parallel
+        per group, never a global window)."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.series import Series
+
+        self._src._sdf = self._src._ordered_sdf()
+        w = Window.partitionBy(*self._keys).orderBy(F.asc(ROW_ORDER))
+        expr = (F.row_number().over(w) - 1).cast("long")
+        notnull = None
+        for k in self._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
+        return Series(self._src, expr, "cumcount")
+
+    def nth(self, n: int) -> "DataFrame":
+        """The n-th row of each group in row order (pandas groupby.nth;
+        negative n counts from the end). One partitioned row_number window +
+        filter."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        sdf = self._df._ordered_sdf()
+        asc = n >= 0
+        target = n + 1 if asc else -n
+        order = F.asc(ROW_ORDER) if asc else F.desc(ROW_ORDER)
+        w = Window.partitionBy(*self._keys).orderBy(order)
+        out = (
+            sdf.withColumn("__nth__", F.row_number().over(w))
+            .filter(F.col("__nth__") == target)
+            .drop("__nth__")
+        )
+        return DataFrame(out, self._df._index)
+
+    def head(self, n: int = 5) -> "DataFrame":
+        """First n rows of each group (pandas groupby.head) — partitioned
+        row_number, parallel per group."""
+        return self._group_limit(n, first=True)
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return self._group_limit(n, first=False)
+
+    def _group_limit(self, n: int, first: bool) -> "DataFrame":
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        sdf = self._df._ordered_sdf()
+        order = F.asc(ROW_ORDER) if first else F.desc(ROW_ORDER)
+        w = Window.partitionBy(*self._keys).orderBy(order)
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return DataFrame(out, self._df._index)
+
     def pivot(self, column: str, values: list) -> "PivotedGroupBy":
         """Pivot on a column with an EXPLICIT value list (stable output schema —
         at scale an implicit pivot would need a distinct-value pre-pass)."""
@@ -250,6 +350,35 @@ class GroupBy:
                 continue
             else:
                 sel.append(fn(F.col(c)).over(w).alias(c))
+        return DataFrame(sdf.select(*sel), self._df._index)
+
+    def ffill(self) -> "DataFrame":
+        """Per-group forward fill (pandas groupby.ffill) — last(ignorenulls)
+        over a window PARTITIONED by the group keys: the scale path (parallel
+        per group), unlike frame-level ffill's documented global-order scan."""
+        return self._fill(forward=True)
+
+    def bfill(self) -> "DataFrame":
+        return self._fill(forward=False)
+
+    def _fill(self, forward: bool) -> "DataFrame":
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        sdf = self._df._ordered_sdf()
+        base = Window.partitionBy(*self._keys).orderBy(F.asc(ROW_ORDER))
+        if forward:
+            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else:
+            w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.last if forward else F.first
+        sel = []
+        for c in sdf.columns:
+            if c in self._keys or c == ROW_ORDER or c in self._df._index:
+                sel.append(F.col(c))
+            else:
+                sel.append(pick(F.col(c), ignorenulls=True).over(w).alias(c))
         return DataFrame(sdf.select(*sel), self._df._index)
 
     def pct_change(self, periods: int = 1):
@@ -378,6 +507,79 @@ class SeriesGroupBy:
 
     def agg(self, op: str):
         return self._gb.agg({self._col: op})
+
+    def _named(self, op: str):
+        return self._gb.agg({self._col: op})
+
+    def sum(self):
+        return self._named("sum")
+
+    def mean(self):
+        return self._named("mean")
+
+    def min(self):
+        return self._named("min")
+
+    def max(self):
+        return self._named("max")
+
+    def count(self):
+        return self._named("count")
+
+    def nunique(self):
+        return self._named("nunique")
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        """Rank within each group (pandas groupby.rank) — partitioned window."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.series import Series
+
+        gb = self._gb
+        gb._src._sdf = gb._src._ordered_sdf()
+        order = F.asc(F.col(self._col)) if ascending else F.desc(F.col(self._col))
+        w = Window.partitionBy(*gb._keys).orderBy(order)
+        fns = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}
+        if method == "average":
+            # pandas default: mean of the positions of tied values =
+            # rank + (tie_count - 1) / 2, computed from two window exprs
+            cnt = F.count(F.lit(1)).over(
+                Window.partitionBy(*gb._keys, F.col(self._col))
+            )
+            expr = (F.rank().over(w) + (cnt - 1) / 2.0).cast("double")
+        else:
+            expr = fns[method]().over(w).cast("double")
+        expr = F.when(F.col(self._col).isNotNull(), expr)
+        notnull = None
+        for k in gb._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
+        return Series(gb._src, expr, self._col)
+
+    def cumsum(self):
+        """Per-group running total aligned to the caller's frame."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.series import Series
+
+        gb = self._gb
+        gb._src._sdf = gb._src._ordered_sdf()
+        w = (
+            Window.partitionBy(*gb._keys)
+            .orderBy(F.asc(ROW_ORDER))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expr = F.sum(F.col(self._col)).over(w)
+        notnull = None
+        for k in gb._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
+        return Series(gb._src, expr, self._col)
 
 
 class GroupByEwm:

@@ -210,6 +210,22 @@ class Series:
     def cummax(self):
         return self._wrap(F.max(self._col).over(self._ordered_window()))
 
+    def ffill(self):
+        """Forward-fill nulls in row order (global window — the documented
+        small-data path like cumsum; the scale path is groupby(...).ffill())."""
+        return self._wrap(F.last(self._col, ignorenulls=True).over(self._ordered_window()))
+
+    def bfill(self):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        self._frame._sdf = self._frame._ordered_sdf()
+        w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        return self._wrap(F.first(self._col, ignorenulls=True).over(w))
+
     def cummin(self):
         return self._wrap(F.min(self._col).over(self._ordered_window()))
 
@@ -574,7 +590,18 @@ class Series:
     def to_pandas(self):
         import pandas as pd
 
-        pdf = self._frame._sdf.select(self._col.alias(self.name or "0")).toPandas()
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        sdf = self._frame._sdf
+        name = self.name or "0"
+        if ROW_ORDER in sdf.columns:
+            # evaluate the expression FIRST, then restore caller row order —
+            # sorting before a windowed select would be undone by the window's
+            # own shuffle (same contract as DataFrame.to_pandas)
+            proj = sdf.select(self._col.alias(name), F.col(ROW_ORDER))
+            pdf = proj.orderBy(F.asc(ROW_ORDER)).select(name).toPandas()
+        else:
+            pdf = sdf.select(self._col.alias(name)).toPandas()
         s = pdf[pdf.columns[0]]
         if self._cat is not None:
             if self._cat.categories is not None:

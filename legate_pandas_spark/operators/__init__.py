@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so the registry is fully populated."""
     from legate_pandas_spark.operators import (  # noqa: F401
+        analytics,
         relational,
         subqueries,
         mlstats,

@@ -177,3 +177,30 @@ def test_round2_window_partitioning(catalog, spark, sf_dir):
     ]:
         plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
         assert key in plan, f"{name}: window not partitioned by its key"
+
+
+def test_analytics_plans(catalog, spark, sf_dir):
+    """Round-2 analytics catalog: blocked joins, broadcast small sides,
+    partitioned windows, no cartesian anywhere."""
+    # levenshtein pairs: equi-join on the block keys (never a cartesian /
+    # nested-loop over all pairs)
+    plan = plan_text(catalog["fuzzy_match_levenshtein"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    # per-type median table and per-(label,pos) centroid must broadcast back
+    for name in ["mad_robust_stats", "label_centroid_distance"]:
+        plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
+        assert "BroadcastHashJoin" in plan, f"{name}: small agg side must broadcast"
+        assert "CartesianProduct" not in plan
+    # windows partitioned by their keys, never global
+    for name, key in [
+        ("locf_gap_fill", "hashpartitioning(user_id"),
+        ("grouped_mode_event", "hashpartitioning(user_id"),
+        ("ntile_quantile_buckets", "hashpartitioning(segment"),
+        ("running_distinct_users", "hashpartitioning(event_type"),
+    ]:
+        plan = plan_text(catalog[name](spark, sf_dir), mode="simple")
+        assert key in plan, f"{name}: window not partitioned by its key"
+    # regexp extraction: pure narrow projection, no shuffle
+    plan = plan_text(catalog["regexp_extract_numbers"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, "regex extraction must not shuffle"
