@@ -62,6 +62,19 @@ HEADLINE = [
     "tfidf_top_terms",
     "semdedup_cluster_prune",
     "mixture_weighted_sample",
+    # round 2: analytics catalog
+    "fuzzy_match_levenshtein",
+    "date_spine_gap_fill",
+    "locf_gap_fill",
+    "market_basket_pairs",
+    "running_distinct_users",
+    "ntile_quantile_buckets",
+    "regexp_extract_numbers",
+    "grouped_mode_event",
+    "event_transition_matrix",
+    "mad_robust_stats",
+    "label_centroid_distance",
+    "multimodal_feature_extract",
 ]
 
 

@@ -312,3 +312,79 @@ def pd_unstack_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("O"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("P"),
     )
+
+
+@query(
+    "pd_crosstab_counts",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pd_crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: pd.crosstab(priority, status) — one hash aggregate +
+    pivot with a collected column dictionary (small by contract: it becomes
+    the schema)."""
+    from legate_pandas_spark.frontend import crosstab
+
+    orders = _read(spark, sf_dir, "orders")
+    ct = crosstab(orders["o_orderpriority"], orders["o_orderstatus"])
+    sdf = ct.reset_index().to_spark()
+    return sdf.select(F.col("o_orderpriority").alias("prio"), "F", "O", "P")
+
+
+@query(
+    "pd_groupby_head_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def pd_groupby_head_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: df.sort_values(...).groupby(k).head(2) — first orders per
+    customer. The facade compiles it to a row_number window PARTITIONED by the
+    group key (parallel per customer, never a global window)."""
+    orders = _read(spark, sf_dir, "orders")
+    ordered = orders.sort_values(["o_orderdate", "o_orderkey"])
+    top = ordered.groupby("o_custkey").head(2)
+    sdf = top.to_spark()
+    return sdf.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "pd_groupby_ffill_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_filled
+    FROM events
+    """,
+)
+def pd_groupby_ffill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: mask + groupby(user).ffill() — clicks carry no reading and
+    inherit the user's previous value (facade twin of locf_gap_fill; the
+    grouped ffill is the partitioned-window scale path)."""
+    ev = _read(spark, sf_dir, "events")
+    ordered = ev.sort_values(["ts", "event_id"])
+    masked = ordered.assign(
+        value_filled=ordered["value"].mask(ordered["event_type"] == "click")
+    )[["event_id", "user_id", "value_filled"]]
+    filled = masked.groupby("user_id").ffill()
+    sdf = filled.to_spark()
+    return sdf.select(
+        "event_id", "user_id", F.round("value_filled", 4).alias("value_filled")
+    )

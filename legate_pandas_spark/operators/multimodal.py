@@ -96,6 +96,134 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_binary_metadata(payloads)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("dst_width", IntegerType()),
+        StructField("dst_height", IntegerType()),
+    ]
+)
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS src_width,
+             CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS src_height
+      FROM documents
+    )
+    SELECT doc_id, src_width, src_height,
+           CAST(CASE WHEN src_width >= src_height
+                THEN 256
+                ELSE (src_width * 256) // src_height END AS INT) AS dst_width,
+           CAST(CASE WHEN src_width >= src_height
+                THEN (src_height * 256) // src_width
+                ELSE 256 END AS INT) AS dst_height
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize stage (long side → 256): decode dims via the
+    stubbed mapInPandas decoder, then the target-geometry computation — integer
+    arithmetic that would parameterize the real PIL/ffmpeg resize call. The
+    geometry math runs JVM-side AFTER the Arrow hop, so only the decode pays
+    the Python boundary."""
+
+    def resize(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = payloads.map(_fake_decode)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "src_width": w, "src_height": h}
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    dims_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("src_width", IntegerType()),
+            StructField("src_height", IntegerType()),
+        ]
+    )
+    dims = payloads.mapInPandas(resize, dims_schema)
+    long_side = F.col("src_width") >= F.col("src_height")
+    return dims.select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        F.when(long_side, F.lit(256))
+        .otherwise(F.floor(F.col("src_width") * 256 / F.col("src_height")))
+        .cast("int")
+        .alias("dst_width"),
+        F.when(long_side, F.floor(F.col("src_height") * 256 / F.col("src_width")))
+        .otherwise(F.lit(256))
+        .cast("int")
+        .alias("dst_height"),
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             length(text) - length(replace(text, ' ', '')) AS spaces,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS byte_len,
+           CAST(spaces AS DOUBLE) / n AS space_ratio,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+    FROM bytes
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature extraction in an Arrow-batched mapInPandas stage
+    (the feature-extract slot of the decode/extract/resize/frame-sample
+    pipeline): byte length, payload byte-histogram feature (space-byte ratio —
+    a stand-in for e.g. an embedding head), and the leading byte. Features are
+    deterministic byte math so the DuckDB oracle verifies the whole Python
+    boundary."""
+    from pyspark.sql.types import DoubleType
+
+    feat_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("byte_len", LongType()),
+            StructField("space_ratio", DoubleType()),
+            StructField("first_byte", LongType()),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(len).astype("int64")
+            spaces = payloads.map(lambda b: b.count(b" ")).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": n,
+                    "space_ratio": spaces / n,
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else None).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(extract, feat_schema)
+
+
 @query(
     "grouped_map_zscore",
     oracle="""

@@ -1,6 +1,7 @@
 from legate_pandas_spark.streaming.events import (  # noqa: F401
     stream_events,
     windowed_event_counts,
+    windowed_distinct_users,
     sessionized_event_stats,
     dedup_stream,
     stateful_running_totals,

@@ -79,6 +79,26 @@ def sessionized_event_stats(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours", rsd: float = 0.02
+) -> DataFrame:
+    """Distinct users per event type per tumbling window — the streaming twin
+    of the batch ``running_distinct_users``. Exact COUNT(DISTINCT) is illegal
+    in streaming (unbounded per-group state); the scale-correct form is the
+    mergeable HLL sketch (``approx_count_distinct``), whose state is O(1) per
+    group and whose merge is commutative — identical results batch vs stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            "event_type",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "approx_users",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -227,3 +227,39 @@ def test_corpus_dedup_stream_distinct_digests(spark, sf_dir, documents_dir, tmp_
     }
     assert got == want
     assert spark.table("deduped_docs").count() == len(want)
+
+
+def test_windowed_distinct_users_matches_batch(spark, sf_dir, events_dir):
+    """Streaming HLL distinct-user counts must equal the same batch
+    aggregation (sketch merge is commutative, so batch vs available-now
+    micro-batches land identical values)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.sources.tables import load_table
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_distinct_users,
+    )
+
+    stream = windowed_distinct_users(stream_events(spark, events_dir))
+    run_available_now(stream, "win_users", output_mode="complete")
+    got = spark.table("win_users").toPandas()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .select(
+            "event_type",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "approx_users",
+        )
+        .toPandas()
+    )
+    key = ["event_type", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -43,6 +43,13 @@ QUERIES = [
     "asof_join_last_click",
     "interval_join_attribution",
     "dedup_connected_components",
+    "semdedup_cluster_prune",
+    "market_basket_pairs",
+    "fuzzy_match_levenshtein",
+    "label_centroid_distance",
+    "event_transition_matrix",
+    "running_distinct_users",
+    "ntile_quantile_buckets",
 ]
 
 SHIFT_KEYS = {
