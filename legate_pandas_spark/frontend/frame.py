@@ -1306,10 +1306,16 @@ class DataFrame:
         freq: pandas-style offset ('1H', '15min', '1D')."""
         return Resampler(self, freq, on)
 
-    def rolling(self, window: int):
+    def rolling(self, window: int, min_periods: int | None = None):
         """Global rolling window object (pandas df.rolling(n)); partitioned
-        rolling lives on groupby(...).rolling_*() — the scale path."""
-        return Rolling(self, window)
+        rolling lives on groupby(...).rolling_*() — the scale path.
+        min_periods follows pandas: defaults to the window size (leading rows
+        yield null); pass 1 for partial windows."""
+        return Rolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """Expanding (cumulative) window object (pandas df.expanding())."""
+        return Expanding(self, min_periods)
 
     def replace(self, to_replace, value=None) -> "DataFrame":
         """Value replacement (scalar→scalar or dict) across data columns."""
@@ -1553,22 +1559,34 @@ class Ewm:
 
 
 class Rolling:
-    def __init__(self, df: DataFrame, window: int):
+    """pandas rolling semantics: min_periods defaults to the window size, and
+    the period check counts NON-NULL observations in the window (rows with too
+    few yield null) — masked via a count() over the same frame."""
+
+    def __init__(self, df: DataFrame, window: int, min_periods: int | None = None):
         self._df = df
         self._n = window
+        self._mp = window if min_periods is None else min_periods
+
+    def _frame_spec(self):
+        return Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(-(self._n - 1), 0)
 
     def _apply(self, fn) -> DataFrame:
         from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
 
         sdf = self._df._ordered_sdf()
-        w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(-(self._n - 1), 0)
+        w = self._frame_spec()
+        mp = self._mp
         dtypes = dict(sdf.dtypes)
         sel = []
         for c in sdf.columns:
             if c == ROW_ORDER or c in self._df._index:
                 sel.append(F.col(c))
             elif is_numeric_spark_type(dtypes[c]):
-                sel.append(fn(F.col(c)).over(w).alias(c))
+                expr = fn(F.col(c)).over(w)
+                if mp > 1:
+                    expr = F.when(F.count(F.col(c)).over(w) >= mp, expr)
+                sel.append(expr.alias(c))
             else:
                 sel.append(F.col(c))
         return DataFrame(sdf.select(*sel), self._df._index)
@@ -1584,6 +1602,29 @@ class Rolling:
 
     def min(self):
         return self._apply(F.min)
+
+    def std(self, ddof: int = 1):
+        return self._apply(F.stddev_samp if ddof == 1 else F.stddev_pop)
+
+    def var(self, ddof: int = 1):
+        return self._apply(F.var_samp if ddof == 1 else F.var_pop)
+
+    def count(self):
+        return self._apply(F.count)
+
+
+class Expanding(Rolling):
+    """Expanding window = rolling with an unbounded-preceding frame."""
+
+    def __init__(self, df: DataFrame, min_periods: int = 1):
+        self._df = df
+        self._n = 0  # unused
+        self._mp = min_periods
+
+    def _frame_spec(self):
+        return Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
 
 
 def concat(objs, axis: int = 0) -> DataFrame:

@@ -537,7 +537,13 @@ class SeriesGroupBy:
 
         gb = self._gb
         gb._src._sdf = gb._src._ordered_sdf()
-        order = F.asc(F.col(self._col)) if ascending else F.desc(F.col(self._col))
+        # nulls LAST in rank order (Spark asc defaults to nulls-first, which
+        # would inflate every real rank by the null count; pandas excludes them)
+        order = (
+            F.asc_nulls_last(F.col(self._col))
+            if ascending
+            else F.desc_nulls_last(F.col(self._col))
+        )
         w = Window.partitionBy(*gb._keys).orderBy(order)
         fns = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}
         if method == "average":

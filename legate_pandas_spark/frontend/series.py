@@ -229,14 +229,40 @@ class Series:
     def cummin(self):
         return self._wrap(F.min(self._col).over(self._ordered_window()))
 
+    def cumprod(self):
+        """Cumulative product via exp∘cumsum∘log magnitude with sign-parity and
+        zero tracking (same mapping as DataFrame.cumprod — SURVEY §2.6's PROD
+        scan without a UDAF). Nulls are skipped (pandas skipna) but stay null
+        at their own position."""
+        w = self._ordered_window()
+        c = self._col.cast("double")
+        sign = F.when(
+            F.sum(F.when(c < 0, 1).otherwise(0)).over(w) % 2 == 1, -1.0
+        ).otherwise(1.0)
+        magnitude = F.exp(
+            F.sum(F.when(c.isNotNull() & (c != 0), F.log(F.abs(c)))).over(w)
+        )
+        has_zero = F.max((c == 0).cast("int")).over(w) == 1
+        out = F.when(has_zero, 0.0).otherwise(sign * magnitude)
+        return self._wrap(F.when(c.isNotNull(), out))
+
     def rank(self, method: str = "min", ascending: bool = True):
-        """Rank values (extension): 'min' = SQL rank, 'dense', 'first'=row_number."""
+        """Rank values (extension): 'min' = SQL rank, 'dense', 'first'=row_number,
+        'average' = pandas default. Nulls rank last and return null (pandas)."""
         from pyspark.sql.window import Window
 
-        order = self._col.asc() if ascending else self._col.desc()
+        # pin the caller's row order before the rank shuffle so exports and
+        # positional ops restore it
+        self._frame._sdf = self._frame._ordered_sdf()
+        order = self._col.asc_nulls_last() if ascending else self._col.desc_nulls_last()
         w = Window.orderBy(order)
-        fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
-        return self._wrap(fn().over(w).cast("double"))
+        if method == "average":
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(self._col))
+            expr = (F.rank().over(w) + (cnt - 1) / 2.0).cast("double")
+        else:
+            fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
+            expr = fn().over(w).cast("double")
+        return self._wrap(F.when(self._col.isNotNull(), expr))
 
     def shift(self, periods: int = 1):
         from pyspark.sql.window import Window

@@ -214,3 +214,15 @@ def test_crosstab(spark):
     want.columns = [str(c) for c in want.columns]
     want.columns.name = None
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_series_rank_methods_with_nulls(spark):
+    pdf = pd.DataFrame({"v": [3.0, 1.0, None, 3.0, 2.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for m in ("min", "dense", "first", "average"):
+        got = ldf["v"].rank(method=m).to_pandas()
+        want = pdf["v"].rank(method=m)
+        pd.testing.assert_series_equal(got, want, check_names=False)
+    got_desc = ldf["v"].rank(ascending=False).to_pandas()
+    want_desc = pdf["v"].rank(method="min", ascending=False)
+    pd.testing.assert_series_equal(got_desc, want_desc, check_names=False)

@@ -453,12 +453,36 @@ def test_resample_sum(spark):
 def test_rolling_object(spark):
     p = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 5.0]})
     l = lps.from_pandas(p, spark=spark)
-    got = l.rolling(3).sum().to_pandas()
-    want = p.rolling(3, min_periods=1).sum()
-    assert list(got["v"]) == list(want["v"])
-    got_m = l.rolling(2).mean().to_pandas()
-    want_m = p.rolling(2, min_periods=1).mean()
-    assert list(got_m["v"]) == list(want_m["v"])
+    # pandas default: min_periods = window → leading rows are NaN
+    pd.testing.assert_frame_equal(l.rolling(3).sum().to_pandas(), p.rolling(3).sum())
+    pd.testing.assert_frame_equal(
+        l.rolling(3, min_periods=1).sum().to_pandas(), p.rolling(3, min_periods=1).sum()
+    )
+    pd.testing.assert_frame_equal(
+        l.rolling(2).mean().to_pandas(), p.rolling(2).mean()
+    )
+    pd.testing.assert_frame_equal(l.rolling(3).std().to_pandas(), p.rolling(3).std())
+    pd.testing.assert_frame_equal(l.rolling(3).var().to_pandas(), p.rolling(3).var())
+    pd.testing.assert_frame_equal(
+        l.rolling(2).count().to_pandas(), p.rolling(2).count(), check_dtype=False
+    )
+
+
+def test_expanding_object(spark):
+    p = pd.DataFrame({"v": [1.0, 2.0, None, 4.0, 5.0]})
+    l = lps.from_pandas(p, spark=spark)
+    pd.testing.assert_frame_equal(l.expanding().sum().to_pandas(), p.expanding().sum())
+    pd.testing.assert_frame_equal(
+        l.expanding(min_periods=3).mean().to_pandas(), p.expanding(min_periods=3).mean()
+    )
+
+
+def test_series_cumprod(spark):
+    p = pd.DataFrame({"v": [2.0, -3.0, None, 0.5, 0.0, 4.0]})
+    l = lps.from_pandas(p, spark=spark)
+    got = l["v"].cumprod().to_pandas()
+    want = p["v"].cumprod()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
 
 
 def test_dt_extras(spark):

@@ -95,3 +95,49 @@ def test_dropna_fillna_roundtrip(spark, pdf):
     l = lps.from_pandas(p, spark=spark)
     _cmp(l.dropna(subset=["f"]), p.dropna(subset=["f"]))
     _cmp(l.fillna({"f": 0.0}), p.fillna({"f": 0.0}))
+
+
+@st.composite
+def frame_with_nulls(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    keys = draw(st.lists(st.integers(min_value=-2, max_value=2), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-50, max_value=50, allow_nan=False, width=64),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame(
+        {"k": np.array(keys, dtype="int64"), "v": pd.array(vals, dtype="float64")}
+    )
+
+
+@given(pdf=frame_with_nulls())
+@settings(**_SETTINGS)
+def test_groupby_ffill_matches_pandas(spark, pdf):
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").ffill().to_pandas()["v"]
+    want = pdf.groupby("k").ffill()["v"]
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+@given(pdf=frame_with_nulls())
+@settings(**_SETTINGS)
+def test_grouped_rank_matches_pandas(spark, pdf):
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].rank(method="average").to_pandas()
+    want = pdf.groupby("k")["v"].rank(method="average")
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+@given(pdf=frame_with_nulls())
+@settings(**_SETTINGS)
+def test_rolling_sum_matches_pandas(spark, pdf):
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["v"]].rolling(3).sum().to_pandas()["v"]
+    want = pdf[["v"]].rolling(3).sum()["v"]
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
