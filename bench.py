@@ -75,6 +75,8 @@ HEADLINE = [
     "mad_robust_stats",
     "label_centroid_distance",
     "multimodal_feature_extract",
+    "q18_large_volume_customers",
+    "window_topk_per_day",
 ]
 
 

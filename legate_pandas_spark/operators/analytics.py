@@ -420,3 +420,97 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d"), 4).alias("avg_dist"),
         F.round(F.max("d"), 4).alias("max_dist"),
     )
+
+
+@query(
+    "kmeans_two_rounds",
+    oracle="""
+    WITH unnested AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT u.vec_id, c.cid, round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+      FROM unnested u JOIN cent0 c USING (pos)
+      GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT a1.cid, u.pos, round(avg(u.v), 6) AS c
+      FROM unnested u JOIN a1 USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT u.vec_id, c.cid, round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+      FROM unnested u JOIN cent1 c USING (pos)
+      GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    )
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(sqrt(d)), 4) AS avg_dist
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's iterations of k-means (K=8, L2) over the embedding corpus —
+    the iterative-refinement shape (the IVF coarse quantizer is exactly
+    1-round k-means; semdedup consumes such clusters).
+
+    Fully declarative and deterministic, so it is DuckDB-oracle-checked even
+    though iterative: distances and recomputed centroids round at 6dp (turning
+    cross-engine float-order noise into exact ties) and every argmin tiebreaks
+    on cid. Scale shape per round: dimension-wise explode (linear), a
+    broadcast join against the K×dim centroid table, one partial-aggregatable
+    argmin, one (cid, pos) average. Rounds are a fixed small constant — the
+    driver loop materializes nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unnested = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+
+    def centroids_from(assign):
+        return (
+            unnested.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+
+    def assign_to(cent, keep_dist=False):
+        from pyspark.sql.window import Window
+
+        d = (
+            unnested.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        out = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        cols = ["vec_id", "cid"] + (["d"] if keep_dist else [])
+        return out.select(*cols)
+
+    cent0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("pos", "cf")
+    ).select("cid", "pos", F.col("cf").cast("double").alias("c"))
+    a1 = assign_to(cent0)
+    cent1 = centroids_from(a1)
+    a2 = assign_to(cent1, keep_dist=True)
+    return a2.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg(F.sqrt("d")), 4).alias("avg_dist"),
+    )

@@ -621,3 +621,93 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the IN-subquery over a HAVING
+    aggregate becomes a semi-join against the per-order quantity aggregate —
+    one lineitem aggregation reused as the filter, then fact joins and the
+    top-100 TakeOrdered. All shuffles on join/group keys."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "window_topk_per_day",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             round(CAST(sum(value) AS DOUBLE), 4) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, user_id, day_value,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY day_value DESC, user_id) AS rn
+      FROM daily
+    )
+    SELECT day, user_id, day_value, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def window_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per day: aggregate first (shrinks the window input
+    to one row per (day, user)), then rank PARTITIONED by day with a total-
+    order tiebreak. Ranking raw events instead of the aggregate would sort
+    1000× more rows — aggregate-then-rank is the 100 TB ordering."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.round(F.sum("value").cast("double"), 4).alias("day_value"))
+    w = Window.partitionBy("day").orderBy(F.desc("day_value"), "user_id")
+    return (
+        daily.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("day", "user_id", "day_value", "rn")
+    )

@@ -204,3 +204,26 @@ def test_analytics_plans(catalog, spark, sf_dir):
     # regexp extraction: pure narrow projection, no shuffle
     plan = plan_text(catalog["regexp_extract_numbers"](spark, sf_dir), mode="simple")
     assert "Exchange" not in plan, "regex extraction must not shuffle"
+
+
+def test_q18_and_topk_plans(catalog, spark, sf_dir):
+    """Q18: the HAVING filter must reach the orders side as a semi-join (no
+    row blowup before the filter); top-k-per-day must rank the AGGREGATE, not
+    raw events."""
+    plan = plan_text(catalog["q18_large_volume_customers"](spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    plan = plan_text(catalog["window_topk_per_day"](spark, sf_dir), mode="simple")
+    # rank window consumes the (day, user) aggregate: a HashAggregate appears
+    # BELOW the window in the plan tree (printed after it in simple mode)
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "hashpartitioning(day" in plan
+
+
+def test_kmeans_plan_broadcast_centroids(catalog, spark, sf_dir):
+    """Both k-means rounds must broadcast the K×dim centroid table into the
+    dimension join — a shuffle join on pos would funnel every vector through
+    64 reducers."""
+    plan = plan_text(catalog["kmeans_two_rounds"](spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

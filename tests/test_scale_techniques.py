@@ -132,3 +132,43 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir, duck):
     if truth:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
+
+
+def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (the 100 TB organization: facts
+    partitioned by date/tenant) must prune at planning time: a filter on the
+    partition column reads ONLY matching directories. The reference has no
+    analog (its partitioning is positional); this is Spark's replacement for
+    the 'which pieces do I touch' decision."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    one_type = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_text(one_type)
+    # planning-time pruning: the partition filter appears as PartitionFilters,
+    # never as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+    got = one_type.count()
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert got == want
+
+
+def test_partitioned_write_facade(spark, sf_dir, tmp_path):
+    """Facade to_parquet(partition_cols=...) produces the prunable layout."""
+    import os
+
+    import legate_pandas_spark as lps
+
+    ldf = lps.read_parquet(os.path.join(sf_dir, "orders.parquet"), spark=spark)
+    out = str(tmp_path / "orders_by_status")
+    ldf.to_parquet(out, partition_cols=["o_orderstatus"])
+    dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"} <= dirs
+    back = lps.read_parquet(out, spark=spark)
+    assert len(back) == len(ldf)
