@@ -77,6 +77,9 @@ HEADLINE = [
     "multimodal_feature_extract",
     "q18_large_volume_customers",
     "window_topk_per_day",
+    "ngram_top_bigrams",
+    "dedup_embedding_cosine_blocked",
+    "kmeans_two_rounds",
 ]
 
 
@@ -119,6 +122,9 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # headline set GROWS per round — compare per-query times across rounds,
+        # not totals (r1: 40 queries, r2: 59)
+        "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

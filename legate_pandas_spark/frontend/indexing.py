@@ -101,6 +101,9 @@ class LocIndexer:
                 c2 = F.col(idx) <= key.stop  # loc slices are inclusive (pandas)
                 cond = c2 if cond is None else cond & c2
             out = DataFrame(df._sdf.filter(cond) if cond is not None else df._sdf, df._index)
+        elif isinstance(key, (list, tuple)):  # label list → isin filter
+            idx = self._index_col()
+            out = DataFrame(df._sdf.filter(F.col(idx).isin(list(key))), df._index)
         else:  # single label → rows with that index value
             idx = self._index_col()
             out = DataFrame(df._sdf.filter(F.col(idx) == key), df._index)
@@ -158,6 +161,12 @@ class ILocIndexer:
             if key < 0:
                 key = total + key  # total came free with the offsets aggregate
             out = DataFrame(with_pos.filter(F.col("__pos__") == key).drop("__pos__"), df._index)
+        elif isinstance(key, (list, tuple)):
+            positions = [p if p >= 0 else total + p for p in key]
+            out = DataFrame(
+                with_pos.filter(F.col("__pos__").isin(positions)).drop("__pos__"),
+                df._index,
+            )
         else:
             raise TypeError(f"unsupported iloc key: {type(key)!r}")
         if cols is not None:

@@ -157,6 +157,15 @@ def read_csv(
     if usecols is not None:
         sdf = sdf.select(*usecols)
     df = DataFrame(sdf)
+    if dtype is not None:
+        # dtype='category' columns carry the modeled categorical dtype (string
+        # storage + lazy dictionary — reference read_csv_category fixture)
+        from legate_pandas_spark.frontend.dtypes import CatMeta
+
+        mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in sdf.columns}
+        for c, t in mapping.items():
+            if str(t) == "category":
+                df._cat_meta[c] = CatMeta(None, False)
     if index_col is not None:
         name = sdf.columns[index_col] if isinstance(index_col, int) else index_col
         df = df.set_index(name)

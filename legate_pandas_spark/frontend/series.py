@@ -481,6 +481,78 @@ class Series:
     def idxmin(self):
         return self._idx_reduce(descending=False)
 
+    def to_frame(self, name: str | None = None):
+        """One-column DataFrame from this Series (pandas to_frame)."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        out_name = name or self.name or "0"
+        keep = [
+            F.col(c)
+            for c in self._frame._sdf.columns
+            if c in self._frame._index or (c.startswith("__") and c.endswith("__"))
+        ]
+        sdf = self._frame._sdf.select(*keep, self._col.alias(out_name))
+        out = DataFrame(sdf, self._frame._index)
+        if self._cat is not None:
+            out._cat_meta[out_name] = self._cat
+        return out
+
+    def rename(self, name: str) -> "Series":
+        return self._wrap(self._col, name)
+
+    def drop_duplicates(self, keep: str | bool = "first") -> "Series":
+        """Distinct values in first-occurrence order semantics (exported via
+        the one-column frame's dedup machinery — row_number per value)."""
+        frame = self.to_frame(self.name or "0")
+        return frame.drop_duplicates(keep=keep)[self.name or "0"]
+
+    def sample(self, frac: float, seed: int | None = None) -> "Series":
+        frame = self.to_frame(self.name or "0").sample(frac, seed=seed)
+        return frame[self.name or "0"]
+
+    def agg(self, ops):
+        """Multiple reductions in ONE aggregate pass (pandas Series.agg)."""
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.groupby import _AGG_FNS
+
+        if isinstance(ops, str):
+            ops = [ops]
+        exprs = [_AGG_FNS[op](self._col).alias(op) for op in ops]
+        row = self._frame._sdf.agg(*exprs).collect()[0]
+        out = pd.Series({op: row[op] for op in ops})
+        return out if len(ops) > 1 else out.iloc[0]
+
+    def corr(self, other: "Series") -> float:
+        return self._frame._sdf.agg(
+            F.corr(self._col.cast("double"), self._other_col(other).cast("double"))
+        ).collect()[0][0]
+
+    def cov(self, other: "Series", ddof: int = 1) -> float:
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        return self._frame._sdf.agg(
+            fn(self._col.cast("double"), self._other_col(other).cast("double"))
+        ).collect()[0][0]
+
+    def autocorr(self, lag: int = 1) -> float:
+        """Correlation with the lag-shifted self (pandas autocorr) — one window
+        + one aggregate."""
+        shifted = self.shift(lag)
+        # project the window expression BEFORE aggregating (window exprs are
+        # illegal directly inside an aggregate)
+        proj = self._frame._sdf.select(
+            self._col.cast("double").alias("__a__"),
+            shifted._col.cast("double").alias("__b__"),
+        )
+        return proj.agg(F.corr(F.col("__a__"), F.col("__b__"))).collect()[0][0]
+
+    def item(self):
+        """The single value of a length-1 Series (pandas item)."""
+        rows = self._frame._sdf.select(self._col.alias("v")).limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("can only convert a length-1 Series to a scalar")
+        return rows[0]["v"]
+
     def unique(self) -> list:
         """Distinct values (driver-side list, like pandas ndarray result)."""
         return [

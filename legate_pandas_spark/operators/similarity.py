@@ -328,9 +328,23 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(
-        F.col("label").alias("_lb"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    # per-vector norm computed ONCE before pairing — inside the pair stage it
+    # would be recomputed per pair (block_size× redundant work; same fix as
+    # semdedup's assignment stage)
+    normed = emb.select(
+        "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("label").alias("_lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("label") == F.col("_lb")) & (F.col("vec_a") < F.col("vec_b"))
@@ -338,7 +352,9 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         "label",
         "vec_a",
         "vec_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("label").orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
     return (

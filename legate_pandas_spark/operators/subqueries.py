@@ -549,10 +549,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins) rewritten as one
-    grouped pass: per-order distinct-supplier and distinct-late-supplier counts
-    replace the two correlated subqueries — one shuffle on orderkey instead of
-    two extra self-joins of the fact table."""
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins) rewritten as ONE pass:
+    per-order distinct-supplier and distinct-late-supplier counts are window
+    aggregates (collect_set size over the l_orderkey partition — countDistinct
+    is illegal in a window), replacing both correlated subqueries AND the
+    aggregate join-back. One shuffle on orderkey total; distinct sets are
+    bounded by suppliers-per-order (≤7), so collect_set state is tiny."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -563,13 +567,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    enriched = flagged.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
     )
     return (
-        flagged.join(per_order, "l_orderkey")
-        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        enriched.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

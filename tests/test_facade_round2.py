@@ -226,3 +226,28 @@ def test_series_rank_methods_with_nulls(spark):
     got_desc = ldf["v"].rank(ascending=False).to_pandas()
     want_desc = pdf["v"].rank(method="min", ascending=False)
     pd.testing.assert_series_equal(got_desc, want_desc, check_names=False)
+
+
+def test_series_conveniences(spark):
+    pdf = pd.DataFrame({"x": [3.0, 1.0, 3.0, 2.0], "y": [1.0, 2.0, 3.0, 4.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    # to_frame / rename
+    fr = ldf["x"].to_frame("z").to_pandas()
+    pd.testing.assert_frame_equal(fr, pdf[["x"]].rename(columns={"x": "z"}))
+    assert ldf["x"].rename("w").name == "w"
+    # drop_duplicates keeps first occurrences
+    got = ldf["x"].drop_duplicates().to_pandas().tolist()
+    assert got == pdf["x"].drop_duplicates().tolist()
+    # one-pass agg
+    got_agg = ldf["x"].agg(["sum", "min", "max"])
+    want_agg = pdf["x"].agg(["sum", "min", "max"])
+    pd.testing.assert_series_equal(got_agg, want_agg, check_names=False)
+    assert ldf["x"].agg("sum") == pdf["x"].agg("sum")
+    # corr / cov / autocorr
+    assert abs(ldf["x"].corr(ldf["y"]) - pdf["x"].corr(pdf["y"])) < 1e-9
+    assert abs(ldf["x"].cov(ldf["y"]) - pdf["x"].cov(pdf["y"])) < 1e-9
+    assert abs(ldf["x"].autocorr(1) - pdf["x"].autocorr(1)) < 1e-9
+    # item
+    assert ldf[ldf["y"] == 4.0]["x"].item() == 2.0
+    with pytest.raises(ValueError):
+        ldf["x"].item()

@@ -194,3 +194,20 @@ def test_to_parquet_partitioned(tmp_path, spark):
     assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == ["part=a", "part=b"]
     back = lps.read_parquet(path, spark=spark).to_pandas()
     assert sorted(back["v"]) == [1, 2, 3]
+
+
+def test_iloc_loc_list_keys(spark):
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    p = pd.DataFrame({"k": [10, 20, 30, 40, 50], "v": list("abcde")})
+    l = lps.from_pandas(p, spark=spark)
+    got = l.iloc[[0, 2, -1]].to_pandas().sort_values("k").reset_index(drop=True)
+    want = p.iloc[[0, 2, -1]].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    l2 = l.set_index("k")
+    got = l2.loc[[20, 40]].to_pandas().sort_index()
+    want = p.set_index("k").loc[[20, 40]].sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

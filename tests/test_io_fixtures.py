@@ -136,3 +136,22 @@ def test_partitioned_parquet_write(tmp_path, spark):
     assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == ["part=a", "part=b"]
     got = lps.read_parquet(path, spark=spark).to_pandas()
     assert sorted(got["v"]) == [1, 2, 3]
+
+
+def test_read_csv_category_dtype(spark, tmp_path):
+    """dtype='category' columns come back as the modeled categorical dtype
+    (reference tests/io/read_csv_category.py)."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    p = tmp_path / "cat.csv"
+    p.write_text("a,b\n1,x\n2,y\n3,x\n4,z\n")
+    got = lps.read_csv(str(p), dtype={"a": "int64", "b": "category"}, spark=spark)
+    pdf = got.to_pandas()
+    assert isinstance(pdf["b"].dtype, pd.CategoricalDtype)
+    want = pd.read_csv(str(p), dtype={"a": "int64", "b": "category"})
+    pd.testing.assert_frame_equal(pdf, want, check_dtype=False)
+    # codes flow through the categorical machinery (broadcast dictionary)
+    codes = got["b"].cat.codes.to_pandas()
+    assert list(codes) == list(want["b"].cat.codes)
