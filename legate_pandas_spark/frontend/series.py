@@ -141,6 +141,39 @@ class Series:
         return self._wrap(~self._col)
 
     # -- nulls ----------------------------------------------------------------
+    def __getitem__(self, key):
+        """Boolean-mask selection (``sr[sr > 0]``) or positional/label lookup
+        via the one-column frame (reference sr_indexing)."""
+        if isinstance(key, Series):  # boolean mask
+            name = self.name or "0"
+            frame = self.to_frame(name)
+            filtered = frame._replace(frame._sdf.filter(key._col))
+            return filtered[name]
+        if isinstance(key, slice):
+            return self.iloc[key]
+        return self.loc[key]
+
+    def __iter__(self):
+        # explicit: without this, Python's __getitem__ fallback would iterate
+        # through loc lookups (one job per element)
+        return iter(self.tolist())
+
+    @property
+    def loc(self):
+        return _SeriesLocIndexer(self, positional=False)
+
+    @property
+    def iloc(self):
+        return _SeriesLocIndexer(self, positional=True)
+
+    @property
+    def at(self):
+        return _SeriesScalarIndexer(self, positional=False)
+
+    @property
+    def iat(self):
+        return _SeriesScalarIndexer(self, positional=True)
+
     def isna(self):
         return self._wrap(self._col.isNull(), name=self.name)
 
@@ -728,3 +761,40 @@ def _strftime_to_java(fmt: str) -> str:
     for k, v in table.items():
         out = out.replace(k, v)
     return out
+
+
+class _SeriesLocIndexer:
+    """Series loc/iloc views through the one-column frame (reference
+    frontend/indexing.py sr paths share the df machinery the same way)."""
+
+    def __init__(self, s: "Series", positional: bool):
+        self._s = s
+        self._positional = positional
+
+    def __getitem__(self, key):
+        name = self._s.name or "0"
+        frame = self._s.to_frame(name)
+        sub = frame.iloc[key] if self._positional else frame.loc[key]
+        if isinstance(key, (int,)) and self._positional:
+            return sub[name].item()
+        if not isinstance(key, (slice, list, tuple)) and not self._positional:
+            # scalar label: pandas returns a scalar for a unique index
+            vals = sub[name].tolist()
+            if len(vals) == 1:
+                return vals[0]
+        return sub[name]
+
+
+class _SeriesScalarIndexer:
+    def __init__(self, s: "Series", positional: bool):
+        self._s = s
+        self._positional = positional
+
+    def __getitem__(self, key):
+        name = self._s.name or "0"
+        frame = self._s.to_frame(name)
+        sub = frame.iloc[key] if self._positional else frame.loc[key]
+        vals = sub[name].tolist()
+        if not vals:
+            raise KeyError(key)
+        return vals[0]

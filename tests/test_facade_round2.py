@@ -251,3 +251,20 @@ def test_series_conveniences(spark):
     assert ldf[ldf["y"] == 4.0]["x"].item() == 2.0
     with pytest.raises(ValueError):
         ldf["x"].item()
+
+
+def test_series_indexers(spark):
+    pdf = pd.DataFrame({"k": [10, 20, 30], "v": [1.0, 2.0, 3.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    s = ldf["v"]
+    # boolean mask
+    got = s[s > 1.5].to_pandas().tolist()
+    assert sorted(got) == [2.0, 3.0]
+    # positional
+    assert s.iloc[1] == 2.0
+    assert s.iat[-1] == 3.0
+    assert s.iloc[0:2].to_pandas().tolist() == [1.0, 2.0]
+    # label (stored index)
+    li = ldf.set_index("k")["v"]
+    assert li.loc[20] == 2.0
+    assert li.at[30] == 3.0
