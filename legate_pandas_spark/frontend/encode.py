@@ -91,9 +91,14 @@ def cut(series: Series, bins, labels=False, right: bool = True) -> Series:
         ).collect()[0]
         lo, hi = float(row["lo"]), float(row["hi"])
         span = (hi - lo) or 1.0
-        # pandas widens the range by 0.1% so min/max fall inside
-        lo_adj = lo - span * 0.001
-        edges = [lo_adj] + [lo + span * (i + 1) / bins for i in range(bins - 1)] + [hi]
+        inner = [lo + span * (i + 1) / bins for i in range(bins - 1)]
+        # pandas widens the range by 0.1% so the extreme value falls inside:
+        # the LOW edge when right=True (min would fall outside (lo, e1]), the
+        # HIGH edge when right=False (max would fall outside [eN-1, hi))
+        if right:
+            edges = [lo - span * 0.001] + inner + [hi]
+        else:
+            edges = [lo] + inner + [hi + span * 0.001]
         code = _bin_expr(col, edges, right=right, include_lowest=False)
     else:
         edges = [float(b) for b in bins]

@@ -422,7 +422,9 @@ class DataFrame:
             joined = _positioned(self, "l").join(
                 _positioned(other, "r"), "__pos__", "full_outer"
             )
-            sel = [
+            # the join key IS the row position: keep it as the row-order column
+            # so to_pandas/iloc restore caller order after the shuffle
+            sel = [F.col("__pos__").alias(ROW_ORDER)] + [
                 cell(
                     F.col(f"__l_{c}__") if c in cols_self else None,
                     F.col(f"__r_{c}__") if c in cols_other else None,
@@ -595,7 +597,10 @@ class DataFrame:
         """Replace cells where cond holds (inverse of where); null cond cells
         are kept (pandas: mask only replaces where cond is True)."""
         if isinstance(cond, Series):
-            inv = ~cond
+            # NA cond must KEEP the original value (pandas mask replaces only
+            # where cond is True) — a bare ~cond would turn null into null and
+            # fall into the replacement branch
+            inv = cond._wrap(~F.coalesce(cond._col, F.lit(False)))
         elif isinstance(cond, DataFrame):
             ce = self._aligned_exprs(cond)
             inv_exprs = {
@@ -787,47 +792,43 @@ class DataFrame:
     append = concat_rows
 
     # ------------------------------------------------------------ cumulative
-    def _cum(self, op, numeric_only: bool = True) -> "DataFrame":
+    def _cum(self, kind: str) -> "DataFrame":
+        """Global cumulative scan via the TWO-PHASE DISTRIBUTED design
+        (reference core/column.py:644-687): partition-local scan (window
+        PARTITIONED by the ingest-partition id) + a broadcast exclusive-scan
+        carry — one tiny phase-1 aggregate covers every column, and no
+        unpartitioned window appears anywhere (plan-audited in
+        tests/test_plans.py)."""
+        from legate_pandas_spark.frontend.scan import cum_columns
+
         sdf = self._ordered_sdf()
-        w = (
-            Window.orderBy(F.asc(ROW_ORDER))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        # NOTE: global (unpartitioned) window — correct but single-task at scale;
-        # partition the frame (groupby.cum*) for the distributed path. Mirrors the
-        # reference's two-phase carry scan semantics (core/column.py:644-687).
-        out = []
-        for c, t in self._sdf.dtypes:
-            if c in self._index or c == ROW_ORDER:
-                out.append(F.col(c))
-            elif is_numeric_spark_type(t):
-                out.append(op(F.col(c), w).alias(c))
-            elif not numeric_only:
-                raise TypeError(f"cumulative op on non-numeric column {c!r}")
-            else:
-                out.append(F.col(c))
-        return self._replace(sdf.select(*out))
+        targets = {
+            f"__cum_{c}__": F.col(c)
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        }
+        if not targets:
+            return self._replace(sdf)
+        out_sdf = cum_columns(sdf, targets, kind)
+        sel = [
+            F.col(f"__cum_{c}__").alias(c) if f"__cum_{c}__" in targets else F.col(c)
+            for c in sdf.columns
+        ]
+        return self._replace(out_sdf.select(*sel))
 
     def cumsum(self) -> "DataFrame":
-        return self._cum(lambda c, w: F.sum(c).over(w))
+        return self._cum("sum")
 
     def cummax(self) -> "DataFrame":
-        return self._cum(lambda c, w: F.max(c).over(w))
+        return self._cum("max")
 
     def cummin(self) -> "DataFrame":
-        return self._cum(lambda c, w: F.min(c).over(w))
+        return self._cum("min")
 
     def cumprod(self) -> "DataFrame":
-        # exp∘cumsum∘log for positive values; sign tracking via parity of negatives
-        def prod(c, w):
-            sign = F.when(
-                F.sum(F.when(c < 0, 1).otherwise(0)).over(w) % 2 == 1, -1.0
-            ).otherwise(1.0)
-            magnitude = F.exp(F.sum(F.log(F.abs(c.cast("double")))).over(w))
-            has_zero = F.max((c == 0).cast("int")).over(w) == 1
-            return F.when(has_zero, 0.0).otherwise(sign * magnitude)
-
-        return self._cum(prod)
+        # exp∘cumsum∘log magnitude with sign-parity and zero tracking (SURVEY
+        # §2.6 PROD scan without a UDAF), distributed via the two-phase carry
+        return self._cum("prod")
 
     def _map_numeric(self, fn) -> "DataFrame":
         """Apply a column expression to every numeric column (projection-only)."""
@@ -891,22 +892,57 @@ class DataFrame:
     def T(self) -> "DataFrame":
         return self.transpose()
 
+    def _shifted(self, periods: int):
+        """(ordered sdf, {col: shifted-col-name}) for every numeric column —
+        ONE global-position equi-join delivers all lags (scan.shift_columns:
+        partition-offset positions, hash join on the unique position key, no
+        window of any kind)."""
+        from legate_pandas_spark.frontend.scan import shift_columns
+
+        fresh = ROW_ORDER not in self._sdf.columns
+        sdf = self._ordered_sdf()
+        targets = {
+            f"__lag_{c}__": F.col(c)
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        }
+        out_sdf = shift_columns(sdf, targets, periods, fresh) if targets else sdf
+        return sdf, out_sdf, {
+            c: f"__lag_{c}__" for c in self._sdf.columns if f"__lag_{c}__" in targets
+        }
+
+    def shift(self, periods: int = 1) -> "DataFrame":
+        """Shift every numeric column by ``periods`` rows (pandas shift;
+        non-numeric columns pass through unchanged)."""
+        sdf, out_sdf, lagged = self._shifted(periods)
+        sel = [
+            F.col(lagged[c]).alias(c) if c in lagged else F.col(c)
+            for c in sdf.columns
+        ]
+        return self._replace(out_sdf.select(*sel))
+
+    def diff(self, periods: int = 1) -> "DataFrame":
+        """Row difference vs ``periods`` rows back (pandas diff)."""
+        sdf, out_sdf, lagged = self._shifted(periods)
+        sel = [
+            (F.col(c) - F.col(lagged[c])).alias(c) if c in lagged else F.col(c)
+            for c in sdf.columns
+        ]
+        return self._replace(out_sdf.select(*sel))
+
     def pct_change(self, periods: int = 1) -> "DataFrame":
         """Fractional change vs ``periods`` rows back for every numeric column
-        (global row order — the documented small-data path, like cumsum; use
-        groupby(...).pct_change() for the partition-parallel path)."""
-        sdf = self._ordered_sdf()
-        w = Window.orderBy(F.asc(ROW_ORDER))
-        out = []
-        for c, t in self._sdf.dtypes:
-            if c in self._index or c == ROW_ORDER:
-                out.append(F.col(c))
-            elif is_numeric_spark_type(t):
-                prev = F.lag(F.col(c).cast("double"), periods).over(w)
-                out.append(((F.col(c).cast("double") - prev) / prev).alias(c))
+        (global-position equi-join — partition-parallel, window-free; the
+        keyed path is groupby(...).pct_change())."""
+        sdf, out_sdf, lagged = self._shifted(periods)
+        sel = []
+        for c in sdf.columns:
+            if c in lagged:
+                prev = F.col(lagged[c]).cast("double")
+                sel.append(((F.col(c).cast("double") - prev) / prev).alias(c))
             else:
-                out.append(F.col(c))
-        return self._replace(sdf.select(*out))
+                sel.append(F.col(c))
+        return self._replace(out_sdf.select(*sel))
 
     def ewm(self, alpha: float) -> "Ewm":
         """Exponentially weighted accessor. The whole frame is ONE sequential
@@ -1126,46 +1162,40 @@ class DataFrame:
         return mat
 
     def ffill(self) -> "DataFrame":
-        """Forward-fill nulls in global row order (pandas ffill). Like cumsum,
-        the global-order scan is the documented small-data path — the scale
-        path is ``groupby(keys).ffill()``, a window PARTITIONED by the keys."""
+        """Forward-fill nulls in global row order (pandas ffill) — two-phase
+        distributed: partition-local directional fill + the nearest preceding
+        partition's edge non-null value as a broadcast carry (reference scan
+        design, core/column.py:644-687). The keyed path is
+        ``groupby(keys).ffill()``."""
         return self._fill_directional(forward=True)
 
     def bfill(self) -> "DataFrame":
         return self._fill_directional(forward=False)
 
     def _fill_directional(self, forward: bool) -> "DataFrame":
+        from legate_pandas_spark.frontend.scan import fill_columns
+
         sdf = self._ordered_sdf()
-        if forward:
-            w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        else:
-            w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-                Window.currentRow, Window.unboundedFollowing
-            )
-        pick = F.last if forward else F.first
-        sel = []
-        for c in sdf.columns:
-            if c in self._index or (c.startswith("__") and c.endswith("__")):
-                sel.append(F.col(c))
-            else:
-                sel.append(pick(F.col(c), ignorenulls=True).over(w).alias(c))
-        return self._replace(sdf.select(*sel))
+        targets = {
+            f"__fill_{c}__": F.col(c)
+            for c in sdf.columns
+            if c not in self._index and not (c.startswith("__") and c.endswith("__"))
+        }
+        if not targets:
+            return self._replace(sdf)
+        out_sdf = fill_columns(sdf, targets, forward=forward)
+        sel = [
+            F.col(f"__fill_{c}__").alias(c) if f"__fill_{c}__" in targets else F.col(c)
+            for c in sdf.columns
+        ]
+        return self._replace(out_sdf.select(*sel))
 
     def take(self, positions) -> "DataFrame":
         """Rows at the given positions in row order (pandas take) — the same
-        partition-offset position arithmetic as iloc, then an isin filter
-        (no global window)."""
-        from legate_pandas_spark.frontend.indexing import _attach_positions
-
-        positions = list(positions)
-        fresh = ROW_ORDER not in self._sdf.columns
-        with_pos, total = _attach_positions(self._ordered_sdf(), fresh)
-        positions = [p if p >= 0 else total + p for p in positions]
-        return self._replace(
-            with_pos.filter(F.col("__pos__").isin(positions)).drop("__pos__")
-        )
+        partition-offset position arithmetic as iloc, with requested order and
+        repeats honored via the broadcast (position, rank) join (no global
+        window, no isin order loss)."""
+        return self.iloc[list(positions)]
 
     def truncate(self, before=None, after=None) -> "DataFrame":
         """Rows with index label in [before, after] (pandas truncate) — an
@@ -1455,11 +1485,44 @@ class DataFrame:
         self._sdf.select(*self.columns).write.mode(mode).json(path)
 
     def to_csv(self, path: str, header: bool = True, sep: str = ",", mode: str = "overwrite",
-               single_file: bool = False) -> None:
-        sdf = self._sdf.select(*self.columns)
+               single_file: bool = False, na_rep: str = "", columns=None,
+               index: bool = False, line_terminator: str | None = None,
+               chunksize: int | None = None) -> None:
+        """CSV sink (reference core/table.py:1134-1182: sep / na_rep / columns /
+        header / index / line_terminator / chunksize; the reference's
+        ``partition=False`` single-file mode is ``single_file=True`` here).
+
+        ``chunksize`` maps to Spark's ``maxRecordsPerFile`` (rows per output
+        part). ``index`` defaults to False — a deliberate deviation from the
+        reference's True: with a virtual RangeIndex it forces the
+        partition-offset position computation, so it's opt-in at scale.
+        """
+        data_cols = [str(c) for c in (columns if columns is not None else self.columns)]
+        sdf, sel = self._sdf, []
+        if index:
+            if self._index:
+                sel = list(self._index)
+            else:
+                from legate_pandas_spark.frontend.indexing import _attach_positions
+
+                fresh = ROW_ORDER not in self._sdf.columns
+                sdf = self._ordered_sdf() if fresh else sdf
+                sdf, _ = _attach_positions(sdf, fresh, pos_name="index")
+                sel = ["index"]
+        out = sdf.select(*sel, *data_cols)
         if single_file:
-            sdf = sdf.coalesce(1)  # reference single-file mode (core/table.py:1134-1182)
-        sdf.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+            out = out.coalesce(1)  # reference single-file mode (core/table.py:1134-1182)
+        w = (
+            out.write.mode(mode)
+            .option("header", header)
+            .option("sep", sep)
+            .option("nullValue", na_rep)
+        )
+        if line_terminator is not None:
+            w = w.option("lineSep", line_terminator)
+        if chunksize is not None:
+            w = w.option("maxRecordsPerFile", int(chunksize))
+        w.csv(path)
 
     def __repr__(self) -> str:
         return f"DataFrame[cols={self.columns}, index={list(self._index)}]"

@@ -338,19 +338,29 @@ class GroupBy:
             raise NotImplementedError("transform(callable): use GroupBy.apply")
         fn = _AGG_FNS[op]
         w = Window.partitionBy(*self._keys)
-        sdf = self._df._ordered_sdf()
+        # pandas transform is SAME-SHAPE as the caller: null-key rows are not
+        # dropped, they get null output — so window over the pre-dropna frame
+        # (_src) and mask the expression on key-notnull
+        sdf = self._src._ordered_sdf()
+        notnull = None
+        for k in self._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
         dtypes = dict(sdf.dtypes)
         sel = []
         for c in sdf.columns:
-            if c == ROW_ORDER or c in self._df._index:
+            if c == ROW_ORDER or c in self._src._index:
                 sel.append(F.col(c))
             elif c in self._keys:
                 continue
             elif op in _NUMERIC_ONLY and not is_numeric_spark_type(dtypes[c]):
                 continue
             else:
-                sel.append(fn(F.col(c)).over(w).alias(c))
-        return DataFrame(sdf.select(*sel), self._df._index)
+                expr = fn(F.col(c)).over(w)
+                if notnull is not None:
+                    expr = F.when(notnull, expr)
+                sel.append(expr.alias(c))
+        return DataFrame(sdf.select(*sel), self._src._index)
 
     def ffill(self) -> "DataFrame":
         """Per-group forward fill (pandas groupby.ffill) — last(ignorenulls)

@@ -156,17 +156,29 @@ class ILocIndexer:
             cond = F.col("__pos__") >= start
             if stop is not None:
                 cond = cond & (F.col("__pos__") < stop)  # iloc stop exclusive
-            out = DataFrame(with_pos.filter(cond).drop("__pos__"), df._index)
+            out = df._replace(with_pos.filter(cond).drop("__pos__"))
         elif isinstance(key, int):
             if key < 0:
                 key = total + key  # total came free with the offsets aggregate
-            out = DataFrame(with_pos.filter(F.col("__pos__") == key).drop("__pos__"), df._index)
+            out = df._replace(with_pos.filter(F.col("__pos__") == key).drop("__pos__"))
         elif isinstance(key, (list, tuple)):
-            positions = [p if p >= 0 else total + p for p in key]
-            out = DataFrame(
-                with_pos.filter(F.col("__pos__").isin(positions)).drop("__pos__"),
-                df._index,
+            # pandas iloc honors the REQUESTED order and repeats — an isin
+            # filter would return ascending unique positions. Broadcast-join a
+            # driver-built (position, output_rank) frame (the key list is
+            # driver-resident by construction) and make the rank the new
+            # row-order key.
+            positions = [int(p) if p >= 0 else total + int(p) for p in key]
+            want = with_pos.sparkSession.createDataFrame(
+                list(enumerate(positions)) or [(0, -1)],
+                schema="__takerank__ long, __pos__ long",
             )
+            taken = (
+                with_pos.drop(ROW_ORDER)
+                .join(F.broadcast(want), "__pos__", "inner")
+                .withColumn(ROW_ORDER, F.col("__takerank__"))
+                .drop("__pos__", "__takerank__")
+            )
+            out = df._replace(taken)
         else:
             raise TypeError(f"unsupported iloc key: {type(key)!r}")
         if cols is not None:

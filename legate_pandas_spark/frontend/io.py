@@ -71,19 +71,28 @@ def read_csv(
     skiprows: int = 0,
     nrows: int | None = None,
     quotechar: str = '"',
+    doublequote: bool = True,
+    escapechar: str | None = None,
     compression: str = "infer",
     spark=None,
 ) -> DataFrame:
     """CSV reader mapping the reference's options (frontend/io.py:125-369) onto
     ``spark.read.csv``. gzip/bz2 are handled natively by Spark via extension;
-    true_values/false_values/na_values beyond one token are post-processed."""
+    true_values/false_values/na_values beyond one token are post-processed.
+    ``doublequote``/``escapechar`` (reference frontend/io.py:147,230) select the
+    in-quote escape style: doubled quotes (RFC-4180, the pandas default) vs an
+    explicit escape character such as a backslash."""
     ss = _session(spark)
+    if doublequote:
+        # RFC-4180 doubled-quote escaping (pandas doublequote=True default);
+        # Spark's default escape is backslash, so pin escape=quotechar
+        escape = quotechar
+    else:
+        escape = escapechar if escapechar is not None else "\\"
     reader = (
         ss.read.option("sep", sep)
         .option("quote", quotechar)
-        # RFC-4180 doubled-quote escaping (pandas doublequote=True default);
-        # Spark's default escape is backslash
-        .option("escape", quotechar)
+        .option("escape", escape)
         .option("mode", "PERMISSIVE")
     )
     # pandas: header='infer' means first row is a header unless names= is given

@@ -1,0 +1,220 @@
+"""Two-phase distributed scan — the reference's carry-propagation design.
+
+The reference computes global cumulative scans without serializing the frame
+through one worker (reference ``legate/pandas/core/column.py:644-687``): each
+piece runs a LOCAL scan, the per-piece totals get an exclusive scan on the
+driver (num_pieces scalars), and the resulting carry is broadcast back and
+combined into every row of its piece.
+
+Spark mapping: "piece" = the ingest partition recovered from the row-order
+key's upper bits (``monotonically_increasing_id`` layout — see
+``indexing._PID_BITS``).
+
+* Phase 1 — ONE small aggregate job: per-pid partials (num_partitions rows
+  collected to the driver, same cost class as ``indexing._attach_positions``).
+* Phase 2 — driver exclusive prefix-combine, then a broadcast join of the
+  per-partition carry; each row combines its partition-LOCAL window scan
+  (``Window.partitionBy(pid)`` — parallel) with the carry.
+
+No unpartitioned window anywhere (``tests/test_plans.py`` pins "no
+``Exchange SinglePartition``" on these plans). shift/diff/pct_change avoid
+windows entirely: they equi-join on the global position computed by the same
+partition-offset arithmetic (unique keys, hash join, fully parallel).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from legate_pandas_spark.frontend.indexing import _PID_BITS, _attach_positions
+
+_seq = itertools.count()
+
+
+def _pid():
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    return F.shiftright(F.col(ROW_ORDER), _PID_BITS)
+
+
+def _local_window(following: bool = False):
+    """Partition-LOCAL scan window (pid-partitioned — never a single task)."""
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    w = Window.partitionBy(_pid()).orderBy(F.asc(ROW_ORDER))
+    if following:
+        return w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def attach_carries(sdf, specs: dict, reverse: bool = False):
+    """Attach one nullable carry column per spec.
+
+    ``specs`` maps carry-column name -> (partial_agg_expr, combine_fn); the
+    carry holds ``combine`` folded over all PRECEDING partitions' partials
+    (FOLLOWING when ``reverse``), null when none have data. All specs share
+    one phase-1 aggregate job.
+    """
+    agg_df = (
+        sdf.groupBy(_pid().alias("__pid__"))
+        .agg(*[e.alias(n) for n, (e, _) in specs.items()])
+        .orderBy("__pid__")
+    )
+    field_types = {f.name: f.dataType for f in agg_df.schema.fields}
+    rows = agg_df.collect()
+    if reverse:
+        rows = list(reversed(rows))
+    names = list(specs)
+    acc = {n: None for n in names}
+    data = []
+    for r in rows:
+        data.append(tuple([r["__pid__"]] + [acc[n] for n in names]))
+        for n in names:
+            v = r[n]
+            if v is not None:
+                acc[n] = v if acc[n] is None else specs[n][1](acc[n], v)
+    uniq = next(_seq)
+    pid_col = f"__carry_pid_{uniq}__"
+    schema = T.StructType(
+        [T.StructField(pid_col, T.LongType(), False)]
+        + [T.StructField(n, field_types[n], True) for n in names]
+    )
+    if not data:
+        data = [tuple([0] + [None] * len(names))]
+    carry_df = sdf.sparkSession.createDataFrame(data, schema)
+    return (
+        sdf.withColumn(pid_col, _pid())
+        .join(F.broadcast(carry_df), pid_col, "left")
+        .drop(pid_col)
+    )
+
+
+def _add(a, b):
+    return a + b
+
+
+def cum_columns(sdf, cols: dict, kind: str):
+    """Append global cumulative-scan output columns.
+
+    ``cols`` maps output-column name -> source Column expression; ``kind`` is
+    one of sum/max/min/prod. Null inputs pass through as null (pandas skipna:
+    the running value skips them but the null cell stays null). One phase-1
+    aggregate covers every column.
+    """
+    uniq = next(_seq)
+    specs, parts = {}, {}
+    for i, (out, c) in enumerate(cols.items()):
+        if kind == "sum":
+            k = f"__cs_{uniq}_{i}__"
+            specs[k] = (F.sum(c), _add)
+            parts[out] = ("sum", c, [k])
+        elif kind == "max":
+            k = f"__cx_{uniq}_{i}__"
+            specs[k] = (F.max(c), max)
+            parts[out] = ("max", c, [k])
+        elif kind == "min":
+            k = f"__cn_{uniq}_{i}__"
+            specs[k] = (F.min(c), min)
+            parts[out] = ("min", c, [k])
+        elif kind == "prod":
+            d = c.cast("double")
+            kn = f"__cpn_{uniq}_{i}__"  # count of negatives (sign parity)
+            kl = f"__cpl_{uniq}_{i}__"  # sum of log|x| over non-zero
+            kz = f"__cpz_{uniq}_{i}__"  # any-zero flag
+            specs[kn] = (F.sum(F.when(d < 0, 1).otherwise(0)), _add)
+            specs[kl] = (F.sum(F.when(d.isNotNull() & (d != 0), F.log(F.abs(d)))), _add)
+            specs[kz] = (F.max((d == 0).cast("int")), max)
+            parts[out] = ("prod", c, [kn, kl, kz])
+        else:
+            raise ValueError(kind)
+    out_sdf = attach_carries(sdf, specs)
+    w = _local_window()
+    sel = list(out_sdf.columns)
+    exprs = []
+    for out, (knd, c, keys) in parts.items():
+        if knd == "sum":
+            local, carry = F.sum(c).over(w), F.col(keys[0])
+            combined = F.when(
+                local.isNull() & carry.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(carry, F.lit(0)))
+        elif knd == "max":
+            combined = F.greatest(F.max(c).over(w), F.col(keys[0]))
+        elif knd == "min":
+            combined = F.least(F.min(c).over(w), F.col(keys[0]))
+        else:  # prod: exp∘scan∘log magnitude + sign parity + zero flag
+            d = c.cast("double")
+            kn, kl, kz = keys
+            neg = F.sum(F.when(d < 0, 1).otherwise(0)).over(w) + F.coalesce(
+                F.col(kn), F.lit(0)
+            )
+            sign = F.when(neg % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+            llog = F.sum(F.when(d.isNotNull() & (d != 0), F.log(F.abs(d)))).over(w)
+            tlog = F.when(
+                llog.isNull() & F.col(kl).isNull(), F.lit(None).cast("double")
+            ).otherwise(F.coalesce(llog, F.lit(0.0)) + F.coalesce(F.col(kl), F.lit(0.0)))
+            has_zero = F.greatest(F.max((d == 0).cast("int")).over(w), F.col(kz)) == 1
+            combined = F.when(has_zero, F.lit(0.0)).otherwise(
+                sign * F.coalesce(F.exp(tlog), F.lit(1.0))
+            )
+        exprs.append(F.when(c.isNotNull(), combined).alias(out))
+    out_sdf = out_sdf.select(*sel, *exprs)
+    drop = [k for _, (_, _, keys) in parts.items() for k in keys]
+    return out_sdf.drop(*drop)
+
+
+def fill_columns(sdf, cols: dict, forward: bool = True):
+    """Append ffill/bfill output columns (two-phase: local directional fill +
+    nearest preceding/following partition's edge non-null value as carry)."""
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    uniq = next(_seq)
+    specs = {}
+    keys = {}
+    for i, (out, c) in enumerate(cols.items()):
+        k = f"__fc_{uniq}_{i}__"
+        keyed = F.when(c.isNotNull(), F.col(ROW_ORDER))
+        # per-pid edge value: last (max_by) / first (min_by) non-null by order
+        specs[k] = (
+            (F.max_by(c, keyed), lambda a, b: b)
+            if forward
+            else (F.min_by(c, keyed), lambda a, b: b)
+        )
+        keys[out] = (c, k)
+    out_sdf = attach_carries(sdf, specs, reverse=not forward)
+    w = _local_window(following=not forward)
+    pick = (
+        (lambda c: F.last(c, ignorenulls=True))
+        if forward
+        else (lambda c: F.first(c, ignorenulls=True))
+    )
+    sel = list(out_sdf.columns)
+    exprs = [
+        F.coalesce(pick(c).over(w), F.col(k)).alias(out)
+        for out, (c, k) in keys.items()
+    ]
+    return out_sdf.select(*sel, *exprs).drop(*[k for _, k in keys.values()])
+
+
+def shift_columns(sdf, cols: dict, periods: int, fresh: bool):
+    """Append shifted columns via a global-position equi-join (no window).
+
+    Positions come from partition-offset arithmetic (``_attach_positions``);
+    the donor side re-keys each row to position+periods and a left equi-join
+    on the unique position delivers lag/lead. Fully partition-parallel: the
+    only data movement is a hash join on a unique long key.
+    """
+    uniq = next(_seq)
+    pos, dpos = f"__sp_{uniq}__", f"__spd_{uniq}__"
+    with_pos, _total = _attach_positions(sdf, fresh, pos_name=pos)
+    donor = with_pos.select(
+        (F.col(pos) + F.lit(periods)).alias(dpos),
+        *[c.alias(out) for out, c in cols.items()],
+    )
+    return (
+        with_pos.join(donor, F.col(pos) == F.col(dpos), "left")
+        .drop(pos, dpos)
+    )

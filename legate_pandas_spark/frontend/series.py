@@ -222,62 +222,53 @@ class Series:
             col = F.least(col, F.lit(upper))
         return self._wrap(col)
 
-    # -- ordered ops (window over the frame's row-order key) -----------------
-    def _ordered_window(self):
-        from pyspark.sql.window import Window
+    # -- ordered ops (two-phase distributed scan over the row-order key) -----
+    def _cum(self, kind: str):
+        """Global cumulative scan — the reference's two-phase carry design
+        (core/column.py:644-687): partition-local scan + broadcast carry,
+        no unpartitioned window (scan.cum_columns). The output lands in a
+        dunder column on the parent frame; the Series wraps it by name."""
+        from legate_pandas_spark.frontend.scan import _seq, cum_columns
 
-        from legate_pandas_spark.frontend.frame import ROW_ORDER
-
-        self._frame._sdf = self._frame._ordered_sdf()
-        return (
-            Window.orderBy(F.asc(ROW_ORDER))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = f"__scum_{next(_seq)}__"
+        self._frame._sdf = cum_columns(
+            self._frame._ordered_sdf(), {out: self._col}, kind
         )
+        return self._wrap(F.col(out))
 
     def cumsum(self):
-        """Global cumulative sum (reference two-phase scan, core/column.py:644-687).
-        NOTE: unpartitioned window — use groupby(...).cumsum() for the
-        distributed path."""
-        return self._wrap(F.sum(self._col).over(self._ordered_window()))
+        return self._cum("sum")
 
     def cummax(self):
-        return self._wrap(F.max(self._col).over(self._ordered_window()))
-
-    def ffill(self):
-        """Forward-fill nulls in row order (global window — the documented
-        small-data path like cumsum; the scale path is groupby(...).ffill())."""
-        return self._wrap(F.last(self._col, ignorenulls=True).over(self._ordered_window()))
-
-    def bfill(self):
-        from pyspark.sql.window import Window
-
-        from legate_pandas_spark.frontend.frame import ROW_ORDER
-
-        self._frame._sdf = self._frame._ordered_sdf()
-        w = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-            Window.currentRow, Window.unboundedFollowing
-        )
-        return self._wrap(F.first(self._col, ignorenulls=True).over(w))
+        return self._cum("max")
 
     def cummin(self):
-        return self._wrap(F.min(self._col).over(self._ordered_window()))
+        return self._cum("min")
 
     def cumprod(self):
         """Cumulative product via exp∘cumsum∘log magnitude with sign-parity and
-        zero tracking (same mapping as DataFrame.cumprod — SURVEY §2.6's PROD
-        scan without a UDAF). Nulls are skipped (pandas skipna) but stay null
-        at their own position."""
-        w = self._ordered_window()
-        c = self._col.cast("double")
-        sign = F.when(
-            F.sum(F.when(c < 0, 1).otherwise(0)).over(w) % 2 == 1, -1.0
-        ).otherwise(1.0)
-        magnitude = F.exp(
-            F.sum(F.when(c.isNotNull() & (c != 0), F.log(F.abs(c)))).over(w)
+        zero tracking (SURVEY §2.6's PROD scan without a UDAF), distributed via
+        the two-phase carry. Nulls are skipped (pandas skipna) but stay null at
+        their own position."""
+        return self._cum("prod")
+
+    def _fill(self, forward: bool):
+        from legate_pandas_spark.frontend.scan import _seq, fill_columns
+
+        out = f"__sfill_{next(_seq)}__"
+        self._frame._sdf = fill_columns(
+            self._frame._ordered_sdf(), {out: self._col}, forward=forward
         )
-        has_zero = F.max((c == 0).cast("int")).over(w) == 1
-        out = F.when(has_zero, 0.0).otherwise(sign * magnitude)
-        return self._wrap(F.when(c.isNotNull(), out))
+        return self._wrap(F.col(out))
+
+    def ffill(self):
+        """Forward-fill nulls in row order — two-phase: partition-local fill +
+        nearest preceding partition's edge value as broadcast carry (the keyed
+        path is groupby(...).ffill())."""
+        return self._fill(forward=True)
+
+    def bfill(self):
+        return self._fill(forward=False)
 
     def rank(self, method: str = "min", ascending: bool = True):
         """Rank values (extension): 'min' = SQL rank, 'dense', 'first'=row_number,
@@ -298,13 +289,18 @@ class Series:
         return self._wrap(F.when(self._col.isNotNull(), expr))
 
     def shift(self, periods: int = 1):
-        from pyspark.sql.window import Window
-
+        """Shift by ``periods`` rows — a global-position equi-join on the
+        partition-offset position key (scan.shift_columns), never a global
+        window: the only data movement is a hash join on a unique long."""
         from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.scan import _seq, shift_columns
 
-        self._frame._sdf = self._frame._ordered_sdf()
-        w = Window.orderBy(F.asc(ROW_ORDER))
-        return self._wrap(F.lag(self._col, periods).over(w))
+        out = f"__sshift_{next(_seq)}__"
+        fresh = ROW_ORDER not in self._frame._sdf.columns
+        self._frame._sdf = shift_columns(
+            self._frame._ordered_sdf(), {out: self._col}, periods, fresh
+        )
+        return self._wrap(F.col(out))
 
     def diff(self, periods: int = 1):
         shifted = self.shift(periods)
@@ -404,6 +400,29 @@ class Series:
             out = self._wrap(self._col.cast("string"))
             out._cat = self._cat or CatMeta(None, False)  # no-op if already categorical
             return out
+        # -- invalid-cast parity (reference tests/pandas/sr_astype_invalid.py:
+        # 27-28): these casts must RAISE eagerly, not silently null like Spark's
+        # cast — category→numeric is ValueError, numeric→datetime is
+        # NotImplementedError (reference core/column.py astype dispatch).
+        try:
+            target = pd.api.types.pandas_dtype(dtype)
+        except TypeError:
+            target = None
+        if target is not None:
+            if self._cat is not None and pd.api.types.is_numeric_dtype(target):
+                raise ValueError(
+                    f"cannot cast a categorical Series to {dtype!r}; use "
+                    "cat.codes for the integer codes or astype(str) first"
+                )
+            if pd.api.types.is_datetime64_any_dtype(target):
+                from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+
+                cur = self._frame._sdf.select(self._col).schema[0].dataType.simpleString()
+                if is_numeric_spark_type(cur):
+                    raise NotImplementedError(
+                        f"cannot cast numeric Series to {dtype!r}; use "
+                        "to_datetime for epoch interpretation"
+                    )
         out = self._wrap(self._col.cast(to_spark_type(dtype)))
         return out  # leaving the categorical dtype drops the dictionary (pandas)
 

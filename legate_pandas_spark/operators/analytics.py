@@ -140,9 +140,10 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "market_basket_pairs",
     oracle="""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            CAST(count(*) AS BIGINT) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM basket a JOIN basket b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     ORDER BY n_orders DESC, part_a, part_b
@@ -153,8 +154,18 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurring part pairs within an order (market-basket support count):
     self-join on l_orderkey. Pair blowup is bounded by basket size (≤7 lines
     per order in TPC-H shape — k² per order, not n²); the join and the pair
-    count shuffle on their keys. Top-100 with a total-order tiebreak."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    count shuffle on their keys. Top-100 with a total-order tiebreak.
+
+    The (orderkey, partkey) baskets are DISTINCT'd before pairing: duplicate
+    lines for the same part would otherwise multiply pair counts k_a×k_b
+    (both wrong for "n_orders" and a pair-volume blowup at scale — the
+    pre-aggregation is a map-side-combinable shuffle that the quadratic
+    stage then never sees)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(

@@ -62,6 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div, NOT float division: epoch-ns (~1.7e18) exceeds double's
         # 53-bit mantissa, so ts/1000.0 would drift by up to ~1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # tz-naive parquet timestamps infer as TIMESTAMP_NTZ in Spark 4; the
+        # session runs UTC so the cast is exact, and downstream epoch/interval
+        # functions (unix_micros, range windows) require TIMESTAMP
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,29 +23,52 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (parquet TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(directory: str):
+    """Streaming sources require an explicit schema — sniff the ts physical
+    type from ONE parquet footer (driver-side, once at stream setup): the
+    events feed has shipped both int64 epoch-nanos and TIMESTAMP(MICROS,
+    tz-naive) encodings across generations."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_is_long = True
+    files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+    if files:
+        t = pq.read_schema(files[0]).field("ts").type
+        ts_is_long = str(t) == "int64"
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def stream_events(spark: SparkSession, directory: str) -> DataFrame:
     """File-source stream over a directory of events parquet files; normalizes
-    the ns-timestamp column exactly like the batch loader (sources/tables.py)."""
+    the timestamp column exactly like the batch loader (sources/tables.py)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(directory)
-    # integer div (see sources/tables.py): float division loses µs precision on
-    # epoch-ns magnitudes
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, ts_is_long = _events_raw_schema(directory)
+    raw = spark.readStream.schema(schema).parquet(directory)
+    if ts_is_long:
+        # integer div (see sources/tables.py): float division loses µs
+        # precision on epoch-ns magnitudes
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # tz-naive µs timestamps: session is UTC, the cast is exact
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -111,6 +111,42 @@ def test_iloc_plan_partition_offset_no_global_window(spark):
     assert "BroadcastHashJoin" in plan  # offsets joined, not driver-compiled
 
 
+def test_cum_shift_fill_no_global_window(spark):
+    """Frame-level ordered ops (cumsum/cummax/shift/diff/ffill) must use the
+    two-phase distributed scan (partition-local window + broadcast carry,
+    reference core/column.py:644-687) or a position equi-join — never an
+    unpartitioned window. An unpartitioned window appears in the physical
+    plan as `Exchange SinglePartition`; its absence IS the audit."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame({"a": [float(i % 7) for i in range(200)], "b": range(200)})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for name, df in [
+        ("cumsum", ldf.cumsum()),
+        ("cummax", ldf.cummax()),
+        ("cumprod", ldf.cumprod()),
+        ("shift", ldf.shift(1)),
+        ("diff", ldf.diff(1)),
+        ("ffill", ldf.ffill()),
+        ("series_cumsum", ldf["a"].cumsum()._frame),
+        ("series_shift", ldf["a"].shift(2)._frame),
+    ]:
+        plan = plan_text(df._sdf, mode="simple")
+        assert "SinglePartition" not in plan, f"{name}: unpartitioned exchange"
+    # carry/donor joins must broadcast or hash-join, never nested-loop over rows
+    plan = plan_text(ldf.cumsum()._sdf, mode="simple")
+    assert "BroadcastHashJoin" in plan  # the carry join
+    # shift on a FRESH frame (contiguous mono-id) is window-free entirely: the
+    # position is pure bit arithmetic + an equi-join. (On a frame whose order
+    # key predates filters, the local rank needs a pid-PARTITIONED window —
+    # still parallel, covered by the SinglePartition assertions above.)
+    fresh_ldf = lps.from_pandas(pdf, spark=spark)
+    plan = plan_text(fresh_ldf.shift(1)._sdf, mode="simple")
+    assert "Window" not in plan
+
+
 def test_cat_codes_plan_broadcast_dictionary(spark):
     """cat.codes must broadcast-join a lazy rank dictionary — no driver collect
     of the domain, no N-way CASE chain (reference replicated dictionary,

@@ -1,0 +1,180 @@
+"""Round-3 punch-list regression tests: judge VERDICT r2 items (astype error
+parity, to_csv option breadth, read_csv doublequote, IVF recall/nprobe ladder)
+and ADVICE r2 items (positional-align row order, iloc-list order/repeats,
+cut(right=False) max edge, transform null-key shape, mask NA-cond)."""
+
+import glob
+
+import pandas as pd
+import pytest
+
+import legate_pandas_spark as lps
+
+
+# --------------------------------------------------------------- ADVICE items
+def test_positional_align_preserves_row_order(spark):
+    """df1 + df2 on two RangeIndex frames must come back in positional order
+    (the full-outer position join keeps __pos__ as the row-order key)."""
+    p1 = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [5.0, 6.0, 7.0, 8.0]})
+    p2 = pd.DataFrame({"a": [40.0, 30.0, 20.0, 10.0], "b": [1.0, 1.0, 1.0, 1.0]})
+    l1 = lps.from_pandas(p1, spark=spark)
+    l2 = lps.from_pandas(p2, spark=spark)
+    got = (l1 + l2).to_pandas().reset_index(drop=True)
+    want = p1 + p2
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
+
+
+def test_iloc_list_honors_order_and_repeats(spark):
+    pdf = pd.DataFrame({"a": range(10), "b": [chr(97 + i) for i in range(10)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    key = [7, 2, 2, 9, 0, -1]
+    got = ldf.iloc[key].to_pandas().reset_index(drop=True)
+    want = pdf.iloc[key].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
+
+
+def test_take_honors_order_and_repeats(spark):
+    pdf = pd.DataFrame({"a": range(8), "b": [i * 1.5 for i in range(8)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.take([5, 1, 5, 0]).to_pandas().reset_index(drop=True)
+    want = pdf.take([5, 1, 5, 0]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
+
+
+def test_cut_right_false_max_edge(spark):
+    """cut(s, int, right=False): pandas widens the HIGH edge so the column max
+    lands in the last bin (not outside every bin → null)."""
+    s = pd.Series([0.0, 2.5, 5.0, 7.5, 10.0])
+    ldf = lps.from_pandas(s.to_frame("x"), spark=spark)
+    got = lps.cut(ldf["x"], 4, right=False).to_pandas().tolist()
+    want = pd.cut(s, 4, right=False, labels=False).tolist()
+    assert got == want
+    # and the right=True default still matches
+    got_r = lps.cut(lps.from_pandas(s.to_frame("x"), spark=spark)["x"], 4).to_pandas().tolist()
+    want_r = pd.cut(s, 4, labels=False).tolist()
+    assert got_r == want_r
+
+
+def test_transform_keeps_null_key_rows(spark):
+    """groupby.transform is same-shape: null-key rows stay, with null output."""
+    pdf = pd.DataFrame(
+        {"k": ["a", None, "a", "b", None], "v": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").transform("sum").to_pandas().reset_index(drop=True)
+    want = pdf.groupby("k").transform("sum")
+    assert len(got) == len(pdf)
+    pd.testing.assert_frame_equal(got[["v"]], want[["v"]], check_dtype=False)
+
+
+def test_mask_series_cond_na_keeps_original(spark):
+    """mask replaces only where cond is TRUE — NA cond keeps the original."""
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "f": [1.0, None, 0.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    cond = ldf["f"] > 0.5  # null f -> null cond
+    out = ldf.mask(cond, -1.0).to_pandas().reset_index(drop=True)
+    assert out["a"].tolist() == [-1.0, 2.0, 3.0]
+
+
+# --------------------------------------------------------------- VERDICT items
+def test_astype_invalid_cast_parity(spark):
+    """Port of reference tests/pandas/sr_astype_invalid.py:27-28: category→int
+    raises ValueError, numeric→datetime raises NotImplementedError (eager
+    errors, not Spark's silent null cast)."""
+    pdf = pd.DataFrame({"s": ["a", "b"], "i": [1, 2]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    cat = ldf["s"].astype("category")
+    with pytest.raises(ValueError):
+        cat.astype("int")
+    with pytest.raises(NotImplementedError):
+        ldf["i"].astype("datetime64[ns]")
+    # still-valid casts are unaffected
+    assert ldf["i"].astype("float64").to_pandas().tolist() == [1.0, 2.0]
+
+
+def test_to_csv_na_rep_columns_index(tmp_path, spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0], "b": ["x", "y", None], "c": [9, 9, 9]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    path = str(tmp_path / "out")
+    ldf.to_csv(path, na_rep="NULL", columns=["a", "b"], index=True, single_file=True)
+    f = glob.glob(path + "/*.csv")[0]
+    lines = open(f).read().strip().split("\n")
+    assert lines[0] == "index,a,b"  # column subset + index column
+    assert any("NULL" in ln for ln in lines[1:])
+    back = pd.read_csv(f, na_values=["NULL"]).sort_values("index").reset_index(drop=True)
+    assert back["a"].tolist()[0] == 1.0 and pd.isna(back["a"].tolist()[1])
+    assert pd.isna(back["b"].tolist()[2])
+    assert "c" not in back.columns
+
+
+def test_to_csv_chunksize_splits_files(tmp_path, spark):
+    pdf = pd.DataFrame({"a": list(range(100))})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    path = str(tmp_path / "chunks")
+    ldf.to_csv(path, chunksize=10, single_file=True, header=False)
+    files = glob.glob(path + "/*.csv")
+    assert len(files) >= 10  # maxRecordsPerFile split the single partition
+    rows = sorted(int(ln) for f in files for ln in open(f).read().split())
+    assert rows == list(range(100))
+
+
+def test_read_csv_doublequote_false_backslash_escape(tmp_path, spark):
+    p = tmp_path / "esc.csv"
+    p.write_text('a,b\n"He said \\"hi\\"",2\n"plain",3\n')
+    got = lps.read_csv(str(p), doublequote=False, escapechar="\\", spark=spark).to_pandas()
+    assert got["a"].tolist() == ['He said "hi"', "plain"]
+    assert got["b"].tolist() == [2, 3]
+    # RFC-4180 doubled quotes remain the default behavior
+    p2 = tmp_path / "rfc.csv"
+    p2.write_text('a,b\n"He said ""hi""",2\n')
+    got2 = lps.read_csv(str(p2), spark=spark).to_pandas()
+    assert got2["a"].tolist() == ['He said "hi"']
+
+
+def test_ivf_recall_ladder(spark, sf_dir):
+    """IVF recall property (judge r2 #8): nprobe is the knob — recall vs the
+    exact brute-force top-k is monotone in nprobe and hits 1.0 when every
+    inverted list is probed (nprobe = n_centroids degenerates to brute force)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from legate_pandas_spark.operators.similarity import (
+        N_IVF_CENTROIDS,
+        cosine,
+        ivf_topk,
+    )
+    from legate_pandas_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .collect()
+    }
+    recalls = {}
+    for nprobe in (1, N_IVF_CENTROIDS // 2, N_IVF_CENTROIDS):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(spark, sf_dir, n_queries=3, k=5, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(got & truth) / len(truth)
+    assert recalls[N_IVF_CENTROIDS] == 1.0, recalls  # full probe == brute force
+    assert (
+        recalls[1] <= recalls[N_IVF_CENTROIDS // 2] <= recalls[N_IVF_CENTROIDS]
+    ), recalls
