@@ -21,6 +21,29 @@ import pyspark.sql.functions as F
 from legate_pandas_spark.frontend.frame import DataFrame
 from legate_pandas_spark.frontend.series import Series
 
+# Dictionary-size fail-fast for operators whose distinct values become SCHEMA
+# (dummy/pivot column names). The collect is limit-bounded, so a mistakenly
+# high-cardinality column (e.g. a float or id column) raises immediately
+# instead of OOMing the driver.
+MAX_DICT_VALUES = 10_000
+
+
+def _collect_dictionary(sdf, col_expr, what: str) -> list:
+    rows = (
+        sdf.select(col_expr.alias("v"))
+        .distinct()
+        .limit(MAX_DICT_VALUES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DICT_VALUES:
+        raise ValueError(
+            f"{what}: column has more than {MAX_DICT_VALUES} distinct values; "
+            "its values become column names, which only makes sense for "
+            "low-cardinality keys (pass an explicit category dtype, or bin/"
+            "bucket the column first)"
+        )
+    return sorted(r["v"] for r in rows if r["v"] is not None)
+
 
 def get_dummies(data, columns=None, prefix=None, prefix_sep: str = "_", dtype: str = "tinyint"):
     """One-hot encode string/categorical columns (pandas.get_dummies).
@@ -45,11 +68,7 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep: str = "_", dtype: s
         if cat is not None and cat.categories is not None:
             values = list(cat.categories)
         else:
-            values = sorted(
-                r["v"]
-                for r in out_sdf.select(F.col(c).alias("v")).distinct().collect()
-                if r["v"] is not None
-            )
+            values = _collect_dictionary(out_sdf, F.col(c), f"get_dummies({c!r})")
         pfx = (prefix or c) + prefix_sep
         for v in values:
             out_sdf = out_sdf.withColumn(
@@ -137,10 +156,7 @@ def crosstab(index: Series, columns: Series) -> DataFrame:
         index._col.alias(index.name or "row"), columns._col.alias(columns.name or "col")
     )
     rname, cname = sdf.columns
-    values = sorted(
-        r["v"] for r in sdf.select(F.col(cname).alias("v")).distinct().collect()
-        if r["v"] is not None
-    )
+    values = _collect_dictionary(sdf, F.col(cname), f"crosstab({cname!r})")
     pivoted = (
         sdf.filter(F.col(rname).isNotNull() & F.col(cname).isNotNull())
         .groupBy(rname)

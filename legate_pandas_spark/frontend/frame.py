@@ -1634,6 +1634,9 @@ class Rolling:
     def _frame_spec(self):
         return Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(-(self._n - 1), 0)
 
+    def _passthrough(self, c: str) -> bool:
+        return c == ROW_ORDER or c in self._df._index
+
     def _apply(self, fn) -> DataFrame:
         from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
 
@@ -1643,7 +1646,7 @@ class Rolling:
         dtypes = dict(sdf.dtypes)
         sel = []
         for c in sdf.columns:
-            if c == ROW_ORDER or c in self._df._index:
+            if self._passthrough(c):
                 sel.append(F.col(c))
             elif is_numeric_spark_type(dtypes[c]):
                 expr = fn(F.col(c)).over(w)

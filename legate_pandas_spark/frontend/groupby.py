@@ -272,6 +272,16 @@ class GroupBy:
             lambda c, w: F.avg(c).over(w.rowsBetween(-(window - 1), 0)), numeric=True
         )
 
+    def rolling(self, window: int, min_periods: int | None = None) -> "GroupedRolling":
+        """pandas groupby.rolling object API: sum/mean/min/max/std/var/count with
+        min_periods semantics, over a window PARTITIONED by the group keys —
+        parallel per group, the scale path (frame-level .rolling documents the
+        global-order variant)."""
+        return GroupedRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1) -> "GroupedExpanding":
+        return GroupedExpanding(self, min_periods)
+
     def _over(self, fn, numeric: bool = False):
         from pyspark.sql.window import Window
 
@@ -596,6 +606,80 @@ class SeriesGroupBy:
         if notnull is not None:
             expr = F.when(notnull, expr)
         return Series(gb._src, expr, self._col)
+
+
+def _grouped_rolling_base():
+    from legate_pandas_spark.frontend.frame import Rolling
+
+    return Rolling
+
+
+class GroupedRolling:
+    """Per-group rolling windows (pandas groupby.rolling): same aggregate
+    surface as the frame-level Rolling, but the window is PARTITIONED by the
+    group keys — every group scans in parallel, no global ordering anywhere.
+    Null-key rows are excluded (groupby dropna contract)."""
+
+    def __init__(self, gb: GroupBy, window: int, min_periods: int | None = None):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+        self._gb = gb
+        self._df = gb._df
+        self._n = window
+        self._mp = window if min_periods is None else min_periods
+        self._keys = gb._keys
+        self._Window, self._ROW_ORDER = Window, ROW_ORDER
+
+    def _frame_spec(self):
+        return (
+            self._Window.partitionBy(*self._keys)
+            .orderBy(F.asc(self._ROW_ORDER))
+            .rowsBetween(-(self._n - 1), 0)
+        )
+
+    def _passthrough(self, c: str) -> bool:
+        return c == self._ROW_ORDER or c in self._df._index or c in self._keys
+
+    def _apply(self, fn):
+        return _grouped_rolling_base()._apply(self, fn)
+
+    def sum(self):
+        return self._apply(F.sum)
+
+    def mean(self):
+        return self._apply(F.avg)
+
+    def max(self):
+        return self._apply(F.max)
+
+    def min(self):
+        return self._apply(F.min)
+
+    def std(self, ddof: int = 1):
+        return self._apply(F.stddev_samp if ddof == 1 else F.stddev_pop)
+
+    def var(self, ddof: int = 1):
+        return self._apply(F.var_samp if ddof == 1 else F.var_pop)
+
+    def count(self):
+        return self._apply(F.count)
+
+
+class GroupedExpanding(GroupedRolling):
+    """Per-group expanding window = grouped rolling with an unbounded-preceding
+    frame."""
+
+    def __init__(self, gb: GroupBy, min_periods: int = 1):
+        super().__init__(gb, window=1, min_periods=min_periods)
+
+    def _frame_spec(self):
+        return (
+            self._Window.partitionBy(*self._keys)
+            .orderBy(F.asc(self._ROW_ORDER))
+            .rowsBetween(self._Window.unboundedPreceding, self._Window.currentRow)
+        )
 
 
 class GroupByEwm:

@@ -537,3 +537,60 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+@query(
+    "first_nonnull_running",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+             OVER w AS first_reading,
+           last_value(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+             OVER w AS last_reading
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def first_nonnull_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with IGNORE NULLS over a running per-user frame:
+    the earliest and latest non-null sensor reading seen so far ('view' events
+    carry no reading). Window PARTITIONED by user — parallel per user; no
+    arithmetic on the picked values, so cross-engine comparison is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first(masked, ignorenulls=True).over(w).alias("first_reading"),
+        F.last(masked, ignorenulls=True).over(w).alias("last_reading"),
+    )
+
+
+@query(
+    "percentile_disc_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p25,
+           CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p50,
+           CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc WITHIN GROUP) per event type —
+    unlike interpolated percentile, the result IS an element of the data, so
+    the cross-engine comparison is exact with no rounding. Same per-group-sort
+    cost class as percentile_median_stats; approx_percentile is the documented
+    100 TB swap-in (test_scale_techniques.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+        F.expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9)  WITHIN GROUP (ORDER BY value)").alias("p90"),
+    )

@@ -143,13 +143,10 @@ def test_frame_corr_cov(spark):
 def test_take_truncate(spark):
     pdf = pd.DataFrame({"x": range(10), "y": list("abcdefghij")})
     ldf = lps.from_pandas(pdf, spark=spark)
-    got = ldf.take([0, 3, 9, -1]).to_pandas().sort_values("x").reset_index(drop=True)
-    want = (
-        pdf.take([0, 3, 9, -1])
-        .drop_duplicates()
-        .sort_values("x")
-        .reset_index(drop=True)
-    )
+    # take now honors requested order AND repeats (9 and -1 are the same row —
+    # both come back), full pandas parity since round 3
+    got = ldf.take([0, 3, 9, -1]).to_pandas().reset_index(drop=True)
+    want = pdf.take([0, 3, 9, -1]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     ldf2 = ldf.set_index("x")
     got = ldf2.truncate(before=3, after=7).to_pandas()
