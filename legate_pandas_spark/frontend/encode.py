@@ -122,7 +122,7 @@ def cut(series: Series, bins, labels=False, right: bool = True) -> Series:
     else:
         edges = [float(b) for b in bins]
         code = _bin_expr(col, edges, right=right, include_lowest=False)
-    return _apply_labels(series, code, labels, len(edges) - 1)
+    return _apply_labels(series, code, labels, len(edges) - 1, edges=edges, right=right)
 
 
 def qcut(series: Series, q, labels=False) -> Series:
@@ -139,7 +139,7 @@ def qcut(series: Series, q, labels=False) -> Series:
     ).collect()[0]
     edges = [float(e) for e in row["e"]]
     code = _bin_expr(col, edges, right=True, include_lowest=True)
-    return _apply_labels(series, code, labels, len(edges) - 1)
+    return _apply_labels(series, code, labels, len(edges) - 1, edges=edges, right=True)
 
 
 def crosstab(index: Series, columns: Series) -> DataFrame:
@@ -171,11 +171,19 @@ def crosstab(index: Series, columns: Series) -> DataFrame:
     return DataFrame(pivoted, (rname,))
 
 
-def _apply_labels(series: Series, code, labels, nbins: int) -> Series:
+def _apply_labels(series: Series, code, labels, nbins: int, edges=None, right: bool = True) -> Series:
     if labels is False:
         return series._wrap(code, series.name)
     if labels is None:
-        raise NotImplementedError("interval-object labels: pass labels=False or a list")
+        # interval labels (pandas labels=None default): the bin edges are
+        # driver-resident, so delegate the interval FORMATTING to pandas itself
+        # (IntervalIndex string forms, exact pandas spelling) and emit them as
+        # a string column — the string-schema spelling of pandas' categorical
+        # intervals (categories are string-only in this engine, SURVEY §1.2)
+        import pandas as pd
+
+        ivs = pd.IntervalIndex.from_breaks(edges, closed="right" if right else "left")
+        labels = [str(iv) for iv in ivs]
     expr = F.lit(None).cast("string")
     for i, lab in enumerate(labels):
         expr = F.when(code == F.lit(i), F.lit(str(lab))).otherwise(expr)

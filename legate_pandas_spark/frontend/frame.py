@@ -992,25 +992,56 @@ class DataFrame:
         )
         return DataFrame(exploded, tuple(self._index) + ("variable",))
 
-    def unstack(self, level: int = -1) -> "DataFrame":
-        """df.unstack(): pivot the LAST index level into columns (one value
-        column). The level's value dictionary is collected to become column
-        names — small by contract, exactly like get_dummies; the pivot itself
-        is one hash aggregate on the remaining index."""
+    def unstack(self, level=-1) -> "DataFrame":
+        """df.unstack(): pivot an index level (any level, by position or name)
+        into columns. The level's value dictionary is collected to become
+        column names — small by contract, cardinality-guarded exactly like
+        get_dummies; the pivot itself is one hash aggregate on the remaining
+        index levels.
+
+        With multiple value columns, pandas yields MultiIndex tuple columns
+        (value_col, level_val); this facade flattens them to
+        ``f"{value_col}_{level_val}"`` (string schema, documented deviation)."""
         if len(self._index) < 2:
             raise ValueError("unstack requires a MultiIndex (>=2 index levels)")
-        if level not in (-1, len(self._index) - 1):
-            raise NotImplementedError("only the last index level")
+        if isinstance(level, str):
+            if level not in self._index:
+                raise KeyError(f"unknown index level: {level!r}")
+            lv = self._index.index(level)
+        else:
+            lv = level if level >= 0 else len(self._index) + level
+            if not (0 <= lv < len(self._index)):
+                raise IndexError(f"index level out of range: {level}")
+        from legate_pandas_spark.frontend.encode import _collect_dictionary
+
+        pivot_col = self._index[lv]
+        remaining = tuple(c for i, c in enumerate(self._index) if i != lv)
         cols = self.columns
-        if len(cols) != 1:
-            raise NotImplementedError("unstack supports a single value column")
-        last, remaining = self._index[-1], self._index[:-1]
-        values = sorted(
-            r["v"] for r in self._sdf.select(F.col(last).alias("v")).distinct().collect()
+        values = _collect_dictionary(
+            self._sdf, F.col(pivot_col), f"unstack({pivot_col!r})"
         )
-        pivoted = (
-            self._sdf.groupBy(*remaining).pivot(last, values).agg(F.first(F.col(cols[0])))
-        )
+        if len(cols) == 1:
+            pivoted = (
+                self._sdf.groupBy(*remaining)
+                .pivot(pivot_col, values)
+                .agg(F.first(F.col(cols[0])))
+            )
+            pivoted = pivoted.select(
+                *remaining, *[F.col(f"`{v}`").alias(str(v)) for v in values]
+            )
+        else:
+            pivoted = (
+                self._sdf.groupBy(*remaining)
+                .pivot(pivot_col, values)
+                .agg(*[F.first(F.col(c)).alias(c) for c in cols])
+            )
+            # Spark names multi-agg pivot columns "{val}_{agg alias}"; flatten
+            # to pandas tuple order "{value_col}_{level_val}"
+            sel = [F.col(c) for c in remaining]
+            for c in cols:
+                for v in values:
+                    sel.append(F.col(f"`{v}_{c}`").alias(f"{c}_{v}"))
+            pivoted = pivoted.select(*sel)
         return DataFrame(pivoted, tuple(remaining))
 
     # ------------------------------------------------------------ reductions

@@ -345,7 +345,7 @@ class GroupBy:
         from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
 
         if callable(op):
-            raise NotImplementedError("transform(callable): use GroupBy.apply")
+            return self._transform_callable(op)
         fn = _AGG_FNS[op]
         w = Window.partitionBy(*self._keys)
         # pandas transform is SAME-SHAPE as the caller: null-key rows are not
@@ -371,6 +371,73 @@ class GroupBy:
                     expr = F.when(notnull, expr)
                 sel.append(expr.alias(c))
         return DataFrame(sdf.select(*sel), self._src._index)
+
+    def _transform_callable(self, func) -> "DataFrame":
+        """transform with a Python callable — the one shape built-ins can't
+        express, so it takes the Arrow-batched grouped-map hop (applyInPandas;
+        the string-op overload stays pure Catalyst). func sees each group's
+        column as a pandas Series and must return a same-length array-like or
+        a scalar (broadcast to the group, pandas transform semantics).
+
+        Scale: one shuffle on the group keys; each group is one Arrow batch.
+        Output dtypes are inferred by running func once on a sample group
+        driver-side (schema must be group-invariant — Spark's own
+        applyInPandas contract). Null-key rows come back as same-shape nulls
+        via a left join on the unique row-order key."""
+        import numpy as np
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        src_sdf = self._src._ordered_sdf()
+        dtypes = dict(src_sdf.dtypes)
+        vis = [
+            c
+            for c in self._src.columns
+            if c not in self._keys and is_numeric_spark_type(dtypes[c])
+        ]
+        notnull = None
+        for k in self._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        filtered = src_sdf.filter(notnull) if notnull is not None else src_sdf
+
+        def _col_result(series: pd.Series, pdf_len: int):
+            r = func(series)
+            if np.isscalar(r) or r is None:
+                return [r] * pdf_len
+            return getattr(r, "values", r)
+
+        first = filtered.select(*self._keys).limit(1).collect()
+        if not first:
+            raise ValueError("transform on empty frame")
+        k0 = first[0]
+        cond = None
+        for k in self._keys:
+            c = F.col(k) == F.lit(k0[k])
+            cond = c if cond is None else (cond & c)
+        sample = filtered.filter(cond).select(ROW_ORDER, *vis).toPandas()
+        proto = pd.DataFrame({ROW_ORDER: sample[ROW_ORDER]})
+        for c in vis:
+            proto[c] = _col_result(sample[c], len(sample))
+        spark = src_sdf.sparkSession
+        schema = spark.createDataFrame(proto.head(1)).schema
+
+        def wrapper(pdf):
+            out = pdf[[ROW_ORDER]].copy()
+            for c in vis:
+                out[c] = _col_result(pdf[c], len(pdf))
+            return out
+
+        res = (
+            filtered.select(ROW_ORDER, *self._keys, *vis)
+            .groupBy(*self._keys)
+            .applyInPandas(wrapper, schema=schema)
+        )
+        base = src_sdf.select(
+            *[F.col(c) for c in src_sdf.columns if c == ROW_ORDER or c in self._src._index]
+        )
+        return DataFrame(base.join(res, ROW_ORDER, "left"), self._src._index)
 
     def ffill(self) -> "DataFrame":
         """Per-group forward fill (pandas groupby.ffill) — last(ignorenulls)

@@ -227,3 +227,60 @@ def test_get_dummies_cardinality_guard(spark):
     pdf2 = pd.DataFrame({"c": ["x", "y", "x"]})
     out = lps.get_dummies(lps.from_pandas(pdf2, spark=spark), columns=["c"]).to_pandas()
     assert sorted(out.columns) == ["c_x", "c_y"]
+
+
+def test_transform_callable_applyinpandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "b", "a", None],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "w": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf.groupby("k")
+        .transform(lambda s: (s - s.mean()) / s.std())
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = pdf.groupby("k").transform(lambda s: (s - s.mean()) / s.std())
+    assert len(got) == len(pdf)  # same shape, null-key row present (as nulls)
+    pd.testing.assert_frame_equal(got[["v", "w"]], want[["v", "w"]], check_dtype=False)
+    # scalar-returning func broadcasts to the group (pandas semantics)
+    got2 = ldf.groupby("k").transform(lambda s: s.max()).to_pandas().reset_index(drop=True)
+    want2 = pdf.groupby("k").transform("max")
+    pd.testing.assert_frame_equal(got2[["v", "w"]], want2[["v", "w"]], check_dtype=False)
+
+
+def test_unstack_any_level_and_multi_value(spark):
+    pdf = pd.DataFrame(
+        {
+            "k1": ["x", "x", "y", "y"],
+            "k2": ["p", "q", "p", "q"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+            "u": [5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark).set_index(["k1", "k2"])
+    # unstack level 0 (not just the last level), single value column
+    got = ldf[["v"]].unstack(0).to_pandas().sort_index()
+    want = pdf.set_index(["k1", "k2"])[["v"]].unstack(0)
+    want.columns = [str(c[1]) for c in want.columns]  # flatten for comparison
+    want.index.name = "k2"
+    pd.testing.assert_frame_equal(got, want.sort_index(), check_dtype=False)
+    # multi-value unstack: flattened {col}_{val} names
+    got2 = ldf.unstack("k2").to_pandas().sort_index()
+    assert sorted(got2.columns) == ["u_p", "u_q", "v_p", "v_q"]
+    want2 = pdf.set_index(["k1", "k2"]).unstack("k2")
+    for (c, v) in want2.columns:
+        assert got2[f"{c}_{v}"].tolist() == want2[(c, v)].tolist()
+
+
+def test_cut_qcut_interval_labels(spark):
+    s = pd.Series([1.0, 4.0, 7.0, 10.0, 2.5])
+    ldf = lps.from_pandas(s.to_frame("x"), spark=spark)
+    edges = [0.0, 3.0, 6.0, 12.0]
+    got = lps.cut(ldf["x"], edges, labels=None).to_pandas().tolist()
+    want = [str(iv) for iv in pd.cut(s, edges)]
+    assert got == want
