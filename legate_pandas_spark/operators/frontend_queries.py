@@ -388,3 +388,75 @@ def pd_groupby_ffill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.select(
         "event_id", "user_id", F.round("value_filled", 4).alias("value_filled")
     )
+
+
+@query(
+    "pd_global_cumsum_scan",
+    oracle="""
+    WITH s AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER w, 4) AS running_qty,
+           round(max(l_quantity) OVER w, 4) AS running_max
+    FROM s
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pd_global_cumsum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: sort_values + GLOBAL Series.cumsum/cummax — driver-pins the
+    round-3 two-phase distributed scan (frontend/scan.py: partition-local scan +
+    broadcast exclusive-scan carry, reference core/column.py:644-687). The sort
+    gives the scan a deterministic global order, so the oracle is a plain
+    global window; the Spark plan still contains NO unpartitioned window
+    (plan-audited in tests/test_plans.py)."""
+    li = _read(spark, sf_dir, "lineitem")
+    sub = li[li["l_orderkey"] <= 1000][["l_orderkey", "l_linenumber", "l_quantity"]]
+    srt = sub.sort_values(["l_orderkey", "l_linenumber"])
+    srt["running_qty"] = srt["l_quantity"].cumsum()
+    srt["running_max"] = srt["l_quantity"].cummax()
+    sdf = srt.to_spark()
+    return sdf.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("running_qty", 4).alias("running_qty"),
+        F.round("running_max", 4).alias("running_max"),
+    )
+
+
+@query(
+    "pd_global_shift_ffill",
+    oracle="""
+    WITH s AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(lag(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber), 4)
+             AS prev_qty,
+           round(last_value(CASE WHEN l_quantity >= 10 THEN l_quantity END IGNORE NULLS)
+                 OVER (ORDER BY l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS qty_locf
+    FROM s
+    """,
+)
+def pd_global_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: global Series.shift (position equi-join, window-free) and
+    Series.where + GLOBAL ffill (two-phase directional fill: partition-local
+    fill + nearest preceding partition edge value as broadcast carry) — the
+    other half of the round-3 scan family, driver-verified."""
+    li = _read(spark, sf_dir, "lineitem")
+    sub = li[li["l_orderkey"] <= 1000][["l_orderkey", "l_linenumber", "l_quantity"]]
+    srt = sub.sort_values(["l_orderkey", "l_linenumber"])
+    srt["prev_qty"] = srt["l_quantity"].shift(1)
+    srt["qty_locf"] = srt["l_quantity"].where(srt["l_quantity"] >= 10).ffill()
+    sdf = srt.to_spark()
+    return sdf.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("prev_qty", 4).alias("prev_qty"),
+        F.round("qty_locf", 4).alias("qty_locf"),
+    )
