@@ -892,11 +892,13 @@ class DataFrame:
     def T(self) -> "DataFrame":
         return self.transpose()
 
-    def _shifted(self, periods: int):
-        """(ordered sdf, {col: shifted-col-name}) for every numeric column —
+    def _shifted(self, periods: int, numeric_only: bool = True):
+        """(ordered sdf, {col: shifted-col-name}) for the target columns —
         ONE global-position equi-join delivers all lags (scan.shift_columns:
         partition-offset positions, hash join on the unique position key, no
-        window of any kind)."""
+        window of any kind). ``numeric_only=False`` shifts every non-index
+        column (shift is type-agnostic); diff/pct_change keep numeric-only
+        (pandas raises on non-numeric there)."""
         from legate_pandas_spark.frontend.scan import shift_columns
 
         fresh = ROW_ORDER not in self._sdf.columns
@@ -904,7 +906,9 @@ class DataFrame:
         targets = {
             f"__lag_{c}__": F.col(c)
             for c, t in self._sdf.dtypes
-            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+            if c not in self._index
+            and c != ROW_ORDER
+            and (not numeric_only or is_numeric_spark_type(t))
         }
         out_sdf = shift_columns(sdf, targets, periods, fresh) if targets else sdf
         return sdf, out_sdf, {
@@ -912,9 +916,10 @@ class DataFrame:
         }
 
     def shift(self, periods: int = 1) -> "DataFrame":
-        """Shift every numeric column by ``periods`` rows (pandas shift;
-        non-numeric columns pass through unchanged)."""
-        sdf, out_sdf, lagged = self._shifted(periods)
+        """Shift EVERY column by ``periods`` rows (pandas shift — type
+        agnostic: strings/dates shift alongside numerics, keeping rows
+        aligned)."""
+        sdf, out_sdf, lagged = self._shifted(periods, numeric_only=False)
         sel = [
             F.col(lagged[c]).alias(c) if c in lagged else F.col(c)
             for c in sdf.columns

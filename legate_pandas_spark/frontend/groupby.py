@@ -416,7 +416,11 @@ class GroupBy:
         for k in self._keys:
             c = F.col(k) == F.lit(k0[k])
             cond = c if cond is None else (cond & c)
-        sample = filtered.filter(cond).select(ROW_ORDER, *vis).toPandas()
+        # bound the driver-side sample: output DTYPE inference doesn't need
+        # the whole group, and a skewed key could otherwise OOM the driver
+        sample = (
+            filtered.filter(cond).select(ROW_ORDER, *vis).limit(10_000).toPandas()
+        )
         proto = pd.DataFrame({ROW_ORDER: sample[ROW_ORDER]})
         for c in vis:
             proto[c] = _col_result(sample[c], len(sample))
@@ -521,7 +525,9 @@ class GroupBy:
         for k in self._keys:
             c = F.col(k) == F.lit(k0[k])
             cond = c if cond is None else (cond & c)
-        sample = sdf.filter(cond).select(*vis).toPandas()
+        # bounded sample — schema inference only; a skewed (dominant) group
+        # must not be collected whole to the driver
+        sample = sdf.filter(cond).select(*vis).limit(10_000).toPandas()
         out0 = func(sample)
         if not isinstance(out0, pd.DataFrame):
             raise NotImplementedError(

@@ -160,6 +160,8 @@ class ILocIndexer:
         elif isinstance(key, int):
             if key < 0:
                 key = total + key  # total came free with the offsets aggregate
+            if key < 0 or key >= total:
+                raise IndexError("single positional indexer is out-of-bounds")
             out = df._replace(with_pos.filter(F.col("__pos__") == key).drop("__pos__"))
         elif isinstance(key, (list, tuple)):
             # pandas iloc honors the REQUESTED order and repeats — an isin
@@ -168,6 +170,10 @@ class ILocIndexer:
             # driver-resident by construction) and make the rank the new
             # row-order key.
             positions = [int(p) if p >= 0 else total + int(p) for p in key]
+            # pandas raises rather than silently dropping rows that would
+            # fall out of the inner join below (total is already driver-side)
+            if any(p < 0 or p >= total for p in positions):
+                raise IndexError("positional indexers are out-of-bounds")
             want = with_pos.sparkSession.createDataFrame(
                 list(enumerate(positions)) or [(0, -1)],
                 schema="__takerank__ long, __pos__ long",

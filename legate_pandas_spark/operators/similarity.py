@@ -470,10 +470,14 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the pairwise comparison runs only WITHIN a cluster — the
     cross product is bounded by sum(cluster_size^2), never corpus^2. The
     centroid count GROWS with the corpus (k = max(8, n // 128), one scalar
-    count job) so per-cluster pair volume stays ~constant — total pair work
-    is O(n·128), linear, at any scale; centroids broadcast, assignment is
-    one pass, and the intra-cluster join shuffles on cid. Threshold compares
-    the ROUNDED similarity so both engines see the identical 4dp value."""
+    count job) so the intra-cluster PAIR stage stays linear: O(n·128) dot
+    products at any scale. The centroid-ASSIGNMENT stage is O(n·k) = n²/128
+    pairs with this adaptive k and broadcasts k vectors — fine to the ~10M-
+    vector range; past that, swap the first-k "quantizer" for a fixed/trained
+    centroid budget (sampled k-means, k capped ~65k) so assignment is O(n·k)
+    with constant k and the broadcast stays bounded. The oracle computes the
+    identical adaptive k via a subquery. Threshold compares the ROUNDED
+    similarity so both engines see the identical 4dp value."""
     from pyspark.sql.window import Window
 
     # split-rebalance: embeddings arrive as few files; spread vectors before

@@ -38,7 +38,10 @@ def _events_raw_schema(directory: str):
     files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
     if files:
         t = pq.read_schema(files[0]).field("ts").type
-        ts_is_long = str(t) == "int64"
+        # timestamp[ns] (parquet logical TIMESTAMP(NANOS)) surfaces as LONG
+        # under the nanosAsLong conf stream_events sets — same path as raw
+        # int64 epoch-nanos
+        ts_is_long = str(t) in ("int64", "timestamp[ns]")
     return (
         StructType(
             [
