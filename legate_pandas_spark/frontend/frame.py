@@ -1660,38 +1660,41 @@ class Ewm:
 class Rolling:
     """pandas rolling semantics: min_periods defaults to the window size, and
     the period check counts NON-NULL observations in the window (rows with too
-    few yield null) — masked via a count() over the same frame."""
+    few yield null) — masked via a count() over the same frame.
+
+    Distributed: a k-row frame only needs the k-1 rows preceding each
+    partition boundary, so the window runs PARTITIONED by ingest partition
+    over an augmented frame carrying broadcast "ghost" copies of those
+    boundary rows (scan.rolling_parts) — no Exchange SinglePartition."""
 
     def __init__(self, df: DataFrame, window: int, min_periods: int | None = None):
         self._df = df
         self._n = window
         self._mp = window if min_periods is None else min_periods
 
-    def _frame_spec(self):
-        return Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(-(self._n - 1), 0)
-
     def _passthrough(self, c: str) -> bool:
         return c == ROW_ORDER or c in self._df._index
 
     def _apply(self, fn) -> DataFrame:
         from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+        from legate_pandas_spark.frontend.scan import rolling_parts
 
+        fresh = ROW_ORDER not in self._df._sdf.columns
         sdf = self._df._ordered_sdf()
-        w = self._frame_spec()
+        aug, w, GH, _helpers = rolling_parts(sdf, self._n, fresh)
         mp = self._mp
         dtypes = dict(sdf.dtypes)
         sel = []
         for c in sdf.columns:
-            if self._passthrough(c):
+            if self._passthrough(c) or not is_numeric_spark_type(dtypes[c]):
                 sel.append(F.col(c))
-            elif is_numeric_spark_type(dtypes[c]):
+            else:
                 expr = fn(F.col(c)).over(w)
                 if mp > 1:
                     expr = F.when(F.count(F.col(c)).over(w) >= mp, expr)
                 sel.append(expr.alias(c))
-            else:
-                sel.append(F.col(c))
-        return DataFrame(sdf.select(*sel), self._df._index)
+        out = aug.select(*sel, F.col(GH)).filter(~F.col(GH)).drop(GH)
+        return DataFrame(out, self._df._index)
 
     def sum(self):
         return self._apply(F.sum)
@@ -1715,18 +1718,118 @@ class Rolling:
         return self._apply(F.count)
 
 
-class Expanding(Rolling):
-    """Expanding window = rolling with an unbounded-preceding frame."""
+class Expanding:
+    """Expanding window — two-phase distributed scan, NOT an unbounded global
+    window: partition-local running aggregates combine with a broadcast carry
+    of preceding partitions' partials (scan.attach_carries, the reference's
+    core/column.py:644-687 design). var/std decompose into (n, Σx, Σx²) — the
+    reference's own mean/var/std decomposition (core/column.py:573-585)."""
 
     def __init__(self, df: DataFrame, min_periods: int = 1):
         self._df = df
-        self._n = 0  # unused
         self._mp = min_periods
 
-    def _frame_spec(self):
-        return Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+    def _passthrough(self, c: str) -> bool:
+        return c == ROW_ORDER or c in self._df._index
+
+    def _apply(self, kind: str, ddof: int = 1) -> DataFrame:
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+        from legate_pandas_spark.frontend.scan import (
+            _add,
+            _local_window,
+            _seq,
+            attach_carries,
         )
+
+        sdf = self._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        cols = [
+            c
+            for c in sdf.columns
+            if not self._passthrough(c) and is_numeric_spark_type(dtypes[c])
+        ]
+        uniq = next(_seq)
+        specs, keys = {}, {}
+        for i, c in enumerate(cols):
+            d = F.col(c).cast("double")
+            kc = f"__exn_{uniq}_{i}__"
+            specs[kc] = (F.count(F.col(c)), _add)
+            ks = km = kq = None
+            if kind in ("sum", "mean", "var", "std"):
+                ks = f"__exs_{uniq}_{i}__"
+                specs[ks] = (F.sum(F.col(c)), _add)
+            if kind in ("var", "std"):
+                kq = f"__exq_{uniq}_{i}__"
+                specs[kq] = (F.sum(d * d), _add)
+            if kind == "max":
+                km = f"__exm_{uniq}_{i}__"
+                specs[km] = (F.max(F.col(c)), max)
+            if kind == "min":
+                km = f"__exm_{uniq}_{i}__"
+                specs[km] = (F.min(F.col(c)), min)
+            keys[c] = (kc, ks, kq, km)
+        out_sdf = attach_carries(sdf, specs) if specs else sdf
+        lw = _local_window()
+        mp = self._mp
+        sel = []
+        for c in sdf.columns:
+            if c not in keys:
+                sel.append(F.col(c))
+                continue
+            kc, ks, kq, km = keys[c]
+            d = F.col(c).cast("double")
+            n = F.count(F.col(c)).over(lw) + F.coalesce(F.col(kc), F.lit(0))
+            if kind in ("sum", "mean", "var", "std"):
+                ls = F.sum(F.col(c)).over(lw)
+                s = F.when(
+                    ls.isNull() & F.col(ks).isNull(), F.lit(None)
+                ).otherwise(
+                    F.coalesce(ls, F.lit(0)) + F.coalesce(F.col(ks), F.lit(0))
+                )
+            if kind == "sum":
+                expr = s
+            elif kind == "count":
+                expr = n.cast("double")
+            elif kind == "mean":
+                expr = s / n
+            elif kind == "max":
+                expr = F.greatest(F.max(F.col(c)).over(lw), F.col(km))
+            elif kind == "min":
+                expr = F.least(F.min(F.col(c)).over(lw), F.col(km))
+            elif kind in ("var", "std"):
+                lq = F.sum(d * d).over(lw)
+                q = F.coalesce(lq, F.lit(0.0)) + F.coalesce(F.col(kq), F.lit(0.0))
+                denom = n - F.lit(ddof)
+                v = F.greatest(
+                    (q - s.cast("double") * s.cast("double") / n) / denom,
+                    F.lit(0.0),
+                )
+                expr = F.when(denom > 0, F.sqrt(v) if kind == "std" else v)
+            else:
+                raise ValueError(kind)
+            sel.append(F.when(n >= mp, expr).alias(c))
+        return DataFrame(out_sdf.select(*sel), self._df._index)
+
+    def sum(self):
+        return self._apply("sum")
+
+    def mean(self):
+        return self._apply("mean")
+
+    def max(self):
+        return self._apply("max")
+
+    def min(self):
+        return self._apply("min")
+
+    def std(self, ddof: int = 1):
+        return self._apply("std", ddof)
+
+    def var(self, ddof: int = 1):
+        return self._apply("var", ddof)
+
+    def count(self):
+        return self._apply("count")
 
 
 def concat(objs, axis: int = 0) -> DataFrame:

@@ -29,8 +29,9 @@ _PID_BITS = 33
 _pos_seq = itertools.count()
 
 
-def _attach_positions(sdf, fresh: bool, pos_name: str = "__pos__"):
-    """Return (sdf + global position column, total row count).
+def _attach_positions(sdf, fresh: bool, pos_name: str = "__pos__", with_offsets: bool = False):
+    """Return (sdf + global position column, total row count) — or, with
+    ``with_offsets``, (sdf, total, [(pid, start_position, count), ...]).
 
     Mirrors the reference's FIND_BOUNDS: per-partition counts (one cheap
     aggregate whose result is num_partitions scalars) → driver prefix-sum →
@@ -55,9 +56,10 @@ def _attach_positions(sdf, fresh: bool, pos_name: str = "__pos__"):
         .orderBy("__pid__")
         .collect()
     )
-    offsets, total = [], 0
+    offsets, triples, total = [], [], 0
     for r in counts:
         offsets.append((r["__pid__"], total))
+        triples.append((r["__pid__"], total, r["__cnt__"]))
         total += r["__cnt__"]
     if not offsets:
         offsets = [(0, 0)]
@@ -70,6 +72,8 @@ def _attach_positions(sdf, fresh: bool, pos_name: str = "__pos__"):
         .withColumn(pos_name, (local + F.coalesce(F.col(off_col), F.lit(0))).cast("long"))
         .drop(pid_col, off_col)
     )
+    if with_offsets:
+        return out, total, triples
     return out, total
 
 

@@ -199,6 +199,204 @@ def fill_columns(sdf, cols: dict, forward: bool = True):
     return out_sdf.select(*sel, *exprs).drop(*[k for _, k in keys.values()])
 
 
+def _rank_boundaries(sdf, c, n_bounds: int = 63):
+    """Driver-side splitter list for range-bucketed rank (the reference's
+    sample-sort splitter histogram, ``core/sort.py:113-174`` /
+    ``src/sorting/utilities.cc:27-48``, re-expressed as one aggregate job).
+
+    Numerics use ``percentile_approx`` (balanced buckets); other orderable
+    types fall back to a distinct-sample. Boundary QUALITY only affects bucket
+    balance, never rank correctness — ranks come from exact per-bucket counts.
+    """
+    probe = sdf.select(c.alias("__v__")).filter(F.col("__v__").isNotNull())
+    t = probe.schema[0].dataType.simpleString()
+    numeric = t in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or t.startswith("decimal")
+    if numeric:
+        qs = [i / (n_bounds + 1) for i in range(1, n_bounds + 1)]
+        row = probe.select(
+            F.percentile_approx("__v__", qs, 2000).alias("__b__")
+        ).first()
+        raw = row["__b__"] or [] if row else []
+    else:
+        raw = [
+            r["__v__"]
+            for r in probe.distinct().limit(4 * (n_bounds + 1)).collect()
+        ]
+    return sorted(set(b for b in raw if b is not None))
+
+
+def rank_column(
+    sdf,
+    out: str,
+    c,
+    method: str = "min",
+    ascending: bool = True,
+    pct: bool = False,
+):
+    """Append one global value-rank column — two-phase range-bucketed rank,
+    no unpartitioned window (the same carry discipline as ``cum_columns``).
+
+    Phase 0: splitter boundaries (one aggregate) define a bucket id that is
+    MONOTONIC in the value, so same values share a bucket and global rank =
+    per-bucket carry + partition-local rank.
+    Phase 1: per-bucket (row count, distinct count) — num_buckets scalars to
+    the driver, exclusive prefix-summed in rank order.
+    Phase 2: local rank over ``Window.partitionBy(bucket)`` + broadcast-joined
+    carry. Ties never straddle buckets by construction.
+
+    Methods: 'min' (SQL rank), 'dense', 'first' (row order breaks ties),
+    'average' (min + (peers-1)/2; peers via the RANGE CURRENT ROW frame on the
+    SAME window shuffle). Nulls rank null (pandas). ``pct`` divides by the
+    non-null total.
+    """
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    bounds = _rank_boundaries(sdf, c)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < c))
+    else:
+        bucket = F.lit(0)
+    uniq = next(_seq)
+    bkt = f"__rb_{uniq}__"
+    bsdf = sdf.withColumn(bkt, F.when(c.isNotNull(), bucket))
+    counts = (
+        bsdf.filter(c.isNotNull())
+        .groupBy(bkt)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.countDistinct(c).alias("__d__"),
+        )
+        .collect()
+    )
+    counts.sort(key=lambda r: r[bkt], reverse=not ascending)
+    offs, run_n, run_d = [], 0, 0
+    for r in counts:
+        offs.append((r[bkt], run_n, run_d))
+        run_n += r["__n__"]
+        run_d += r["__d__"]
+    total_nn = run_n
+    off_n, off_d = f"__ro_{uniq}__", f"__rd_{uniq}__"
+    off_df = bsdf.sparkSession.createDataFrame(
+        offs or [(0, 0, 0)], schema=f"{bkt} int, {off_n} long, {off_d} long"
+    )
+    joined = bsdf.join(F.broadcast(off_df), bkt, "left")
+    order = c.asc() if ascending else c.desc()
+    w = Window.partitionBy(F.col(bkt)).orderBy(order)
+    if method == "first":
+        w = Window.partitionBy(F.col(bkt)).orderBy(order, F.asc(ROW_ORDER))
+        expr = F.col(off_n) + F.row_number().over(w)
+    elif method == "dense":
+        expr = F.col(off_d) + F.dense_rank().over(w)
+    elif method == "average":
+        peers = F.count(F.lit(1)).over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        expr = F.col(off_n) + F.rank().over(w) + (peers - 1) / 2.0
+    elif method == "min":
+        expr = F.col(off_n) + F.rank().over(w)
+    else:
+        raise ValueError(f"unsupported rank method: {method!r}")
+    expr = expr.cast("double")
+    if pct:
+        expr = expr / F.lit(float(total_nn or 1))
+    return (
+        joined.withColumn(out, F.when(c.isNotNull(), expr))
+        .drop(bkt, off_n, off_d)
+    )
+
+
+def keyed_cumsum(sdf, out: str, value, lead_key, order_cols):
+    """Append a global running sum of ``value`` ordered by ``order_cols``
+    (whose FIRST element ``lead_key`` drives the range bucketing) — two-phase:
+    splitter boundaries bucket the leading key (rows with equal keys share a
+    bucket, so the intra-bucket window sees every tie), per-bucket partial
+    sums prefix-combine on the driver, and a broadcast carry lifts the
+    bucket-local running sum to the global one. No unpartitioned window; the
+    only full-data movement is ONE hash shuffle on the bucket id."""
+    bounds = _rank_boundaries(sdf, lead_key)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < lead_key))
+    else:
+        bucket = F.lit(0)
+    uniq = next(_seq)
+    bkt, car = f"__kb_{uniq}__", f"__kc_{uniq}__"
+    bsdf = sdf.withColumn(bkt, bucket)
+    counts = bsdf.groupBy(bkt).agg(F.sum(value).alias("__s__")).collect()
+    counts.sort(key=lambda r: r[bkt])
+    offs, run = [], 0
+    for r in counts:
+        offs.append((r[bkt], run))
+        run += r["__s__"] or 0
+    off_df = bsdf.sparkSession.createDataFrame(
+        offs or [(0, 0)], schema=f"{bkt} int, {car} long"
+    )
+    w = (
+        Window.partitionBy(F.col(bkt))
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bsdf.join(F.broadcast(off_df), bkt, "left")
+        .withColumn(out, F.sum(value).over(w) + F.coalesce(F.col(car), F.lit(0)))
+        .drop(bkt, car)
+    )
+
+
+def rolling_parts(sdf, k: int, fresh: bool):
+    """Build the pieces for a k-row rolling frame without an unpartitioned
+    window: (augmented sdf, window spec, ghost flag column name, helper cols).
+
+    The reference's boundary-exchange idea: a k-row window only ever needs the
+    k-1 rows PRECEDING each partition's start. Positions and per-partition
+    [start, count) ranges come from the offsets aggregate
+    (``_attach_positions``, driver-side scalars); each partition's required
+    boundary rows are found with a broadcast range-join against a tiny
+    (target_pid, lo, hi) map and re-targeted as GHOST copies. The rolling
+    window then partitions by target pid — partition-parallel, with at most
+    num_partitions × (k-1) duplicated rows.
+    """
+    from legate_pandas_spark.frontend.indexing import _attach_positions
+
+    uniq = next(_seq)
+    POS, TGT, GH = f"__rwp_{uniq}__", f"__rwt_{uniq}__", f"__rwg_{uniq}__"
+    with_pos, _total, triples = _attach_positions(
+        sdf, fresh, pos_name=POS, with_offsets=True
+    )
+    ranges = [
+        (pid, max(0, start - (k - 1)), start - 1)
+        for pid, start, _cnt in triples
+        if start > 0 and k > 1
+    ]
+    main = with_pos.withColumn(TGT, _pid()).withColumn(GH, F.lit(False))
+    if ranges:
+        lo, hi = f"__rwl_{uniq}__", f"__rwh_{uniq}__"
+        rmap = with_pos.sparkSession.createDataFrame(
+            ranges, schema=f"{TGT} long, {lo} long, {hi} long"
+        )
+        ghosts = (
+            with_pos.join(
+                F.broadcast(rmap),
+                (F.col(POS) >= F.col(lo)) & (F.col(POS) <= F.col(hi)),
+                "inner",
+            )
+            .drop(lo, hi)
+            .withColumn(GH, F.lit(True))
+        )
+        aug = main.unionByName(ghosts)
+    else:
+        aug = main
+    w = (
+        Window.partitionBy(F.col(TGT))
+        .orderBy(F.asc(POS))
+        .rowsBetween(-(k - 1), 0)
+    )
+    return aug, w, GH, [POS, TGT, GH]
+
+
 def shift_columns(sdf, cols: dict, periods: int, fresh: bool):
     """Append shifted columns via a global-position equi-join (no window).
 

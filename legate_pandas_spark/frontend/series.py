@@ -270,23 +270,24 @@ class Series:
     def bfill(self):
         return self._fill(forward=False)
 
-    def rank(self, method: str = "min", ascending: bool = True):
-        """Rank values (extension): 'min' = SQL rank, 'dense', 'first'=row_number,
-        'average' = pandas default. Nulls rank last and return null (pandas)."""
-        from pyspark.sql.window import Window
+    def rank(self, method: str = "min", ascending: bool = True, pct: bool = False):
+        """Rank values: 'min' = SQL rank, 'dense', 'first'=row_number,
+        'average' = pandas default; ``pct`` normalizes by the non-null count.
+        Nulls rank null (pandas).
 
-        # pin the caller's row order before the rank shuffle so exports and
-        # positional ops restore it
-        self._frame._sdf = self._frame._ordered_sdf()
-        order = self._col.asc_nulls_last() if ascending else self._col.desc_nulls_last()
-        w = Window.orderBy(order)
-        if method == "average":
-            cnt = F.count(F.lit(1)).over(Window.partitionBy(self._col))
-            expr = (F.rank().over(w) + (cnt - 1) / 2.0).cast("double")
-        else:
-            fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
-            expr = fn().over(w).cast("double")
-        return self._wrap(F.when(self._col.isNotNull(), expr))
+        Distributed two-phase rank (scan.rank_column): splitter boundaries
+        bucket the value range (the reference's sample-sort histogram,
+        core/sort.py:113-174), local rank runs per bucket, and a broadcast
+        carry of per-bucket counts lifts it to the global rank — no
+        unpartitioned window."""
+        from legate_pandas_spark.frontend.scan import _seq, rank_column
+
+        out = f"__rank_{next(_seq)}__"
+        self._frame._sdf = rank_column(
+            self._frame._ordered_sdf(), out, self._col,
+            method=method, ascending=ascending, pct=pct,
+        )
+        return self._wrap(F.col(out))
 
     def shift(self, periods: int = 1):
         """Shift by ``periods`` rows — a global-position equi-join on the
@@ -317,41 +318,41 @@ class Series:
         values equally spaced, leading nulls stay null, trailing nulls carry
         the last valid value forward).
 
-        Pure window expressions over the row-order key: last/first non-null
-        value and position on each side of the gap, then the linear blend.
-        NOTE global (unpartitioned) windows — same documented small-data path
-        as the global cumsum (reference two-phase scan,
-        core/column.py:644-687); partition first for the distributed path."""
-        from pyspark.sql.window import Window
-
+        Two-phase distributed (reference scan, core/column.py:644-687): global
+        positions come from partition-offset arithmetic, then ONE forward and
+        ONE backward carry pass (scan.fill_columns) deliver the bracketing
+        non-null (value, position) pairs; the linear blend is a pure
+        expression. No unpartitioned window."""
         from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq, fill_columns
 
         if method != "linear":
             raise NotImplementedError("only method='linear'")
-        sdf = self._frame._ordered_sdf()
-        POS = "__pos__"
-        if POS not in sdf.columns:
-            sdf = sdf.withColumn(
-                POS, F.row_number().over(Window.orderBy(F.asc(ROW_ORDER)))
-            )
-        self._frame._sdf = sdf
+        uniq = next(_seq)
+        POS = f"__ipos_{uniq}__"
+        fresh = ROW_ORDER not in self._frame._sdf.columns
+        sdf, _total = _attach_positions(
+            self._frame._ordered_sdf(), fresh, pos_name=POS
+        )
         col = self._col.cast("double")
+        pos_if_valid = F.when(col.isNotNull(), F.col(POS))
+        pv, pp = f"__ipv_{uniq}__", f"__ipp_{uniq}__"
+        nv, np_ = f"__inv_{uniq}__", f"__inp_{uniq}__"
+        sdf = fill_columns(sdf, {pv: col, pp: pos_if_valid}, forward=True)
+        sdf = fill_columns(sdf, {nv: col, np_: pos_if_valid}, forward=False)
+        self._frame._sdf = sdf  # POS/carry helpers stay hidden (__*__ names)
         pos = F.col(POS)
-        w_prev = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        w_next = Window.orderBy(F.asc(ROW_ORDER)).rowsBetween(
-            Window.currentRow, Window.unboundedFollowing
-        )
-        pv = F.last(col, ignorenulls=True).over(w_prev)
-        pp = F.last(F.when(col.isNotNull(), pos), ignorenulls=True).over(w_prev)
-        nv = F.first(col, ignorenulls=True).over(w_next)
-        np_ = F.first(F.when(col.isNotNull(), pos), ignorenulls=True).over(w_next)
         out = (
             F.when(col.isNotNull(), col)
-            .when(pv.isNull(), F.lit(None).cast("double"))
-            .when(nv.isNull(), pv)
-            .otherwise(pv + (nv - pv) * (pos - pp) / (np_ - pp))
+            .when(F.col(pv).isNull(), F.lit(None).cast("double"))
+            .when(F.col(nv).isNull(), F.col(pv))
+            .otherwise(
+                F.col(pv)
+                + (F.col(nv) - F.col(pv))
+                * (pos - F.col(pp))
+                / (F.col(np_) - F.col(pp))
+            )
         )
         return self._wrap(out)
 

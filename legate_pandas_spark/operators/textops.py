@@ -315,11 +315,15 @@ def doc_chunking_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign chunks to fixed-budget (1024-token) training
     sequences by exclusive prefix sum over a deterministic chunk order —
-    the concat-and-split packing used to build pretraining batches. The global
-    cumulative window runs over chunk-count rows (not tokens); per-partition
-    pre-aggregation + carry would distribute it at extreme scale (the
-    reference's own two-phase scan trick, core/column.py:644-687)."""
-    from pyspark.sql.window import Window
+    the concat-and-split packing used to build pretraining batches.
+
+    The corpus-sized running sum is the two-phase distributed scan (the
+    reference's carry trick, core/column.py:644-687, via scan.keyed_cumsum):
+    doc_id splitter boundaries bucket the chunk table, per-bucket token
+    totals prefix-combine on the driver, and the cumulative window runs
+    PARTITIONED by bucket with the broadcast carry added — never a
+    single-task global sort/scan."""
+    from legate_pandas_spark.frontend.scan import keyed_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -334,13 +338,12 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens"
         ),
     )
-    w = (
-        Window.orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = sized.withColumn(
+    packed = keyed_cumsum(
+        sized, "_cum", F.col("chunk_tokens"),
+        F.col("doc_id"), ["doc_id", "chunk_idx"],
+    ).withColumn(
         "seq_id",
-        F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / 1024).cast("long"),
+        F.floor((F.col("_cum") - F.col("chunk_tokens")) / 1024).cast("long"),
     )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),

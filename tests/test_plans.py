@@ -147,6 +147,44 @@ def test_cum_shift_fill_no_global_window(spark):
     assert "Window" not in plan
 
 
+def test_rank_interpolate_rolling_no_global_window(spark):
+    """Round-4 closure of the global-window family: Series.rank (range-bucketed
+    two-phase rank), Series.interpolate (position + ffill/bfill carries), and
+    frame-level Rolling (boundary ghost rows) / Expanding (running carry) must
+    never emit `Exchange SinglePartition`."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame(
+        {"a": [float(i % 11) if i % 5 else None for i in range(300)], "b": range(300)}
+    )
+    cases = []
+    for m in ("min", "dense", "first", "average"):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        cases.append((f"rank_{m}", ldf["a"].rank(method=m)._frame))
+    ldf = lps.from_pandas(pdf, spark=spark)
+    cases.append(("rank_desc_pct", ldf["a"].rank(ascending=False, pct=True)._frame))
+    ldf = lps.from_pandas(pdf, spark=spark)
+    cases.append(("interpolate", ldf["a"].interpolate()._frame))
+    ldf = lps.from_pandas(pdf, spark=spark)
+    cases.append(("rolling_sum", ldf.rolling(5).sum()))
+    cases.append(("rolling_std", ldf.rolling(5).std()))
+    cases.append(("expanding_sum", ldf.expanding().sum()))
+    cases.append(("expanding_var", ldf.expanding().var()))
+    for name, df in cases:
+        plan = plan_text(df._sdf, mode="simple")
+        assert "SinglePartition" not in plan, f"{name}: unpartitioned exchange"
+
+
+def test_pack_training_sequences_no_global_window(catalog, spark, sf_dir):
+    """The corpus-sized chunk running sum must be the two-phase keyed cumsum
+    (bucket shuffle + broadcast carry), not a global ordered window."""
+    df = catalog["pack_training_sequences"](spark, sf_dir)
+    plan = plan_text(df._sdf if hasattr(df, "_sdf") else df, mode="simple")
+    assert "SinglePartition" not in plan
+
+
 def test_cat_codes_plan_broadcast_dictionary(spark):
     """cat.codes must broadcast-join a lazy rank dictionary — no driver collect
     of the domain, no N-way CASE chain (reference replicated dictionary,

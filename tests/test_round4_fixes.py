@@ -80,6 +80,88 @@ def test_transform_dominant_group_bounded_sample(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_distributed_rank_matches_pandas(spark):
+    """Range-bucketed two-phase rank vs pandas across methods, directions,
+    pct, ties, and nulls — on a frame wide enough to span many partitions."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 40, 600).astype(float)
+    vals[rng.rand(600) < 0.1] = np.nan
+    pdf = pd.DataFrame({"v": vals})
+    for method in ("min", "dense", "first", "average"):
+        for asc in (True, False):
+            ldf = lps.from_pandas(pdf, spark=spark)
+            got = ldf["v"].rank(method=method, ascending=asc).to_pandas()
+            want = pdf["v"].rank(method=method, ascending=asc)
+            pd.testing.assert_series_equal(
+                got.reset_index(drop=True), want, check_names=False
+            )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].rank(pct=True).to_pandas().reset_index(drop=True)
+    want = pdf["v"].rank(method="min", pct=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_distributed_rank_strings(spark):
+    pdf = pd.DataFrame({"s": [f"w{i % 23:03d}" for i in range(200)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["s"].rank(method="dense").to_pandas().reset_index(drop=True)
+    want = pdf["s"].rank(method="dense")
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_rolling_ghost_boundaries_large(spark):
+    """Rolling over a frame spanning many ingest partitions: every partition
+    boundary exercises the ghost-row exchange; compare all stats to pandas."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vals = rng.randn(1000)
+    vals[rng.rand(1000) < 0.05] = np.nan
+    pdf = pd.DataFrame({"v": vals})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for fn in ("sum", "mean", "max", "min", "std", "var"):
+        got = getattr(ldf.rolling(7), fn)().to_pandas().reset_index(drop=True)
+        want = getattr(pdf.rolling(7), fn)()
+        pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+    got = ldf.rolling(3, min_periods=1).mean().to_pandas().reset_index(drop=True)
+    want = pdf.rolling(3, min_periods=1).mean()
+    pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+
+
+def test_expanding_carry_large(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    vals = rng.randn(800)
+    vals[rng.rand(800) < 0.05] = np.nan
+    pdf = pd.DataFrame({"v": vals})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for fn in ("sum", "mean", "max", "min", "std", "var", "count"):
+        got = getattr(ldf.expanding(), fn)().to_pandas().reset_index(drop=True)
+        want = getattr(pdf.expanding(), fn)()
+        pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+    got = ldf.expanding(min_periods=5).var().to_pandas().reset_index(drop=True)
+    want = pdf.expanding(min_periods=5).var()
+    pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+
+
+def test_interpolate_two_phase_large(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    vals = rng.randn(500)
+    vals[rng.rand(500) < 0.3] = np.nan
+    vals[:3] = np.nan  # leading nulls stay null
+    vals[-4:] = np.nan  # trailing nulls carry last valid forward
+    pdf = pd.DataFrame({"v": vals})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].interpolate().to_pandas().reset_index(drop=True)
+    want = pdf["v"].interpolate(limit_direction="forward")
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
 def test_apply_dominant_group_bounded_sample(spark):
     pdf = pd.DataFrame(
         {"k": ["big"] * 300 + ["small"] * 3, "v": [float(i) for i in range(303)]}
