@@ -135,7 +135,18 @@ def main() -> int:
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    # Also persist to a file: the driver captures a truncated output tail, so
+    # BENCH_r*.json "parsed" came back null when the one-line JSON got cut.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # the printed line remains the contract
     return 0
 
 

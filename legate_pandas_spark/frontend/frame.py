@@ -1504,11 +1504,54 @@ class DataFrame:
             pdf = pdf.set_index(list(self._index))
         return pdf
 
-    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None,
+                   index: bool = True) -> None:
         w = self._sdf.select(*(list(self._index) + self.columns)).write.mode(mode)
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
+        if index:
+            self._write_pandas_metadata(path)
+
+    def _write_pandas_metadata(self, path: str) -> None:
+        """Reference parity (core/io.py:56-68; core/table.py:1184-1288 writes
+        the pandas blob + a ``_metadata`` summary): record the frame's index
+        layout so ``read_parquet`` restores it without an explicit
+        ``index_col``. Spark's writer emits no pandas metadata, so the blob
+        goes into a ``_pandas_index_metadata`` sidecar — underscore-prefixed
+        so Spark's data scans skip it, and deliberately NOT named
+        ``_common_metadata``/``_metadata``, which Spark treats as parquet
+        summary files and folds into schema resolution. Driver-side,
+        schema-only (zero data)."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(path):
+            return  # single-file layouts: nowhere to put a sidecar
+        _PD = {
+            "tinyint": "int8", "smallint": "int16", "int": "int32",
+            "bigint": "int64", "float": "float32", "double": "float64",
+            "boolean": "bool", "string": "object", "date": "datetime64[ns]",
+        }
+        dtypes = dict(self._sdf.dtypes)
+        empty = pd.DataFrame(
+            {
+                c: pd.Series(
+                    dtype=_PD.get(
+                        dtypes[c],
+                        "datetime64[ns]" if dtypes[c].startswith("timestamp") else "object",
+                    )
+                )
+                for c in list(self._index) + self.columns
+            }
+        )
+        if self._index:
+            empty = empty.set_index(list(self._index))
+        schema = pa.Schema.from_pandas(empty)
+        pq.write_metadata(schema, os.path.join(path, "_pandas_index_metadata"))
 
     def to_orc(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
         w = self._sdf.select(*(list(self._index) + self.columns)).write.mode(mode)

@@ -23,14 +23,100 @@ def _session(spark):
     return get_spark()
 
 
+def _sniff_pandas_metadata(path):
+    """Driver-side, one footer: the parquet pandas-metadata blob (written by
+    pandas/pyarrow, or by our ``to_parquet`` sidecar). The reference
+    reconstructs the index from this blob automatically (core/io.py:56-68)."""
+    import glob
+    import json
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    if os.path.isfile(path):
+        candidates = [path]
+    else:
+        candidates = [
+            p
+            for p in (
+                os.path.join(path, "_pandas_index_metadata"),
+                os.path.join(path, "_common_metadata"),
+                os.path.join(path, "_metadata"),
+            )
+            if os.path.exists(p)
+        ] or sorted(glob.glob(os.path.join(path, "*.parquet")))[:1]
+    for f in candidates:
+        try:
+            meta = pq.read_schema(f).metadata
+        except Exception:
+            return None
+        if meta and b"pandas" in meta:
+            try:
+                return json.loads(meta[b"pandas"].decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+    return None
+
+
 def read_parquet(path, columns=None, index_col=None, spark=None) -> DataFrame:
+    """Parquet reader. Without an explicit ``index_col``, the pandas-metadata
+    blob (one footer read) restores the frame's index the way the reference
+    does (core/io.py:56-68; reference tests/io cover 6 index layouts):
+    stored/Multi indexes ``set_index`` their column(s), a non-default
+    RangeIndex(start, step) materializes via partition-offset positions, and
+    the default RangeIndex stays virtual (free)."""
     sdf = _session(spark).read.parquet(path)
+    meta = None if index_col else _sniff_pandas_metadata(path)
+    meta_index, range_spec = [], None
+    if meta:
+        renames = {
+            c["field_name"]: c["name"]
+            for c in meta.get("columns", [])
+            if c.get("field_name") and c.get("name")
+            and c["field_name"] != c["name"]
+        }
+        for entry in meta.get("index_columns", []):
+            if isinstance(entry, str):
+                name = renames.get(entry, entry)
+                # unnamed pandas indexes serialize as __index_level_N__ —
+                # our hidden-column convention would swallow that name
+                if name.startswith("__index_level_"):
+                    new = "index" if "index" not in sdf.columns else name.strip("_")
+                    renames[entry] = new
+                    name = new
+                meta_index.append(name)
+            elif isinstance(entry, dict) and entry.get("kind") == "range":
+                if entry.get("start", 0) != 0 or entry.get("step", 1) != 1:
+                    range_spec = entry
+        for old, new in renames.items():
+            if old in sdf.columns and old != new:
+                sdf = sdf.withColumnRenamed(old, new)
     if columns is not None:
-        keep = list(columns) + ([index_col] if index_col else [])
+        keep = list(columns) + ([index_col] if index_col else meta_index)
         sdf = sdf.select(*keep)
     df = DataFrame(sdf)
     if index_col:
-        df = df.set_index(index_col)
+        return df.set_index(index_col)
+    if meta_index:
+        return df.set_index(meta_index if len(meta_index) > 1 else meta_index[0])
+    if range_spec is not None:
+        # materialize RangeIndex(start, step) — positions from the
+        # partition-offset aggregate (reference MATERIALIZE task,
+        # core/column.py:697-702), never a global window
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        name = range_spec.get("name") or "index"
+        start = int(range_spec.get("start", 0))
+        step = int(range_spec.get("step", 1))
+        sdf = df._ordered_sdf()
+        with_pos, _ = _attach_positions(sdf, fresh=True, pos_name="__rpos__")
+        sdf = with_pos.withColumn(
+            name, (F.lit(start) + F.col("__rpos__") * F.lit(step)).cast("long")
+        ).drop("__rpos__")
+        return DataFrame(sdf).set_index(name)
     return df
 
 
@@ -69,6 +155,7 @@ def read_csv(
     true_values=None,
     false_values=None,
     skiprows: int = 0,
+    skipfooter: int = 0,
     nrows: int | None = None,
     quotechar: str = '"',
     doublequote: bool = True,
@@ -151,16 +238,49 @@ def read_csv(
             sdf = sdf.withColumn(
                 name, F.to_timestamp(F.col(name), fmt) if fmt else F.to_timestamp(F.col(name))
             )
-    if skiprows:
+    if skiprows or skipfooter:
         # positional skip via partition-offset arithmetic (same FIND_BOUNDS
         # design as iloc, indexing._attach_positions): per-partition counts →
         # driver prefix-sum → partition-local range filter. No global sort.
+        # skipfooter (reference option table, frontend/io.py:125-369) drops
+        # the LAST n rows — the total came free with the offsets aggregate.
         from legate_pandas_spark.frontend.frame import ROW_ORDER
         from legate_pandas_spark.frontend.indexing import _attach_positions
 
         sdf = sdf.withColumn(ROW_ORDER, F.monotonically_increasing_id())
-        with_pos, _total = _attach_positions(sdf, fresh=True)
-        sdf = with_pos.filter(F.col("__pos__") >= skiprows).drop("__pos__", ROW_ORDER)
+        with_pos, total = _attach_positions(sdf, fresh=True)
+        cond = F.col("__pos__") >= skiprows
+        if skipfooter:
+            cond = cond & (F.col("__pos__") < total - skipfooter)
+        sdf = with_pos.filter(cond).drop("__pos__", ROW_ORDER)
+        if dtype is None:
+            # pandas infers types AFTER dropping skipped rows; Spark inferred
+            # over the whole file (junk preamble/footer lines force string).
+            # Re-infer surviving string columns with ONE aggregate of
+            # try_cast probes (map-side combinable, 3 scalars per column).
+            str_cols = [c for c, t in sdf.dtypes if t == "string"]
+            if str_cols:
+                probes = []
+                for c in str_cols:
+                    nn = F.col(c).isNotNull()
+                    probes.append(
+                        F.max(
+                            F.when(nn & F.col(c).try_cast("bigint").isNull(), 1).otherwise(0)
+                        ).alias(f"nl_{c}")
+                    )
+                    probes.append(
+                        F.max(
+                            F.when(nn & F.col(c).try_cast("double").isNull(), 1).otherwise(0)
+                        ).alias(f"nd_{c}")
+                    )
+                    probes.append(F.max(F.when(nn, 1).otherwise(0)).alias(f"any_{c}"))
+                row = sdf.agg(*probes).collect()[0]
+                for c in str_cols:
+                    if row[f"any_{c}"] == 1:
+                        if row[f"nl_{c}"] == 0:
+                            sdf = sdf.withColumn(c, F.col(c).cast("bigint"))
+                        elif row[f"nd_{c}"] == 0:
+                            sdf = sdf.withColumn(c, F.col(c).cast("double"))
     if nrows is not None:
         sdf = sdf.limit(nrows)
     if usecols is not None:

@@ -35,6 +35,22 @@ def test_read_csv_multi_file(tmp_path, spark):
     _match(got, want)
 
 
+def test_read_csv_skipfooter(tmp_path, spark):
+    """skipfooter (reference option table, frontend/io.py:125-369): drop the
+    trailing n rows — positional filter from the same offsets aggregate as
+    skiprows."""
+    f = tmp_path / "sf.csv"
+    f.write_text("a,b\n1,x\n2,y\n3,z\n4,footer\n")
+    got = lps.read_csv(str(f), skipfooter=1, spark=spark)
+    want = pd.read_csv(str(f), skipfooter=1, engine="python")
+    _match(got, want)
+    got2 = lps.read_csv(str(f), skiprows=1, skipfooter=2, header=None,
+                        names=["a", "b"], spark=spark)
+    want2 = pd.read_csv(str(f), skiprows=1, skipfooter=2, header=None,
+                        names=["a", "b"], engine="python")
+    _match(got2, want2)
+
+
 def test_read_csv_quoted_fields(tmp_path, spark):
     f = tmp_path / "q.csv"
     f.write_text('a,b\n"hello, world",1\n"say ""hi""",2\n')
