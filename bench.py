@@ -83,6 +83,8 @@ HEADLINE = [
     # round 3: window-twin additions
     "first_nonnull_running",
     "percentile_disc_by_type",
+    # round 4: distributed rank + rolling facade pin
+    "pd_global_rank_rolling",
 ]
 
 

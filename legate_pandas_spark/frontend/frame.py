@@ -830,6 +830,96 @@ class DataFrame:
         # §2.6 PROD scan without a UDAF), distributed via the two-phase carry
         return self._cum("prod")
 
+    def interpolate(self, method: str = "linear") -> "DataFrame":
+        """Linear interpolation of nulls by row position for every numeric
+        column (pandas default: leading nulls stay null, trailing nulls carry
+        forward). ONE forward and ONE backward carry pass cover ALL columns
+        (scan.fill_columns batches specs into a single phase-1 aggregate each
+        way); positions come from partition-offset arithmetic. No
+        unpartitioned window."""
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq, fill_columns
+
+        if method != "linear":
+            raise NotImplementedError("only method='linear'")
+        targets = [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        ]
+        if not targets:
+            return self._replace(self._ordered_sdf())
+        uniq = next(_seq)
+        POS = f"__fip_{uniq}__"
+        fresh = ROW_ORDER not in self._sdf.columns
+        sdf, _total = _attach_positions(self._ordered_sdf(), fresh, pos_name=POS)
+        fwd, bwd, names = {}, {}, {}
+        for i, c in enumerate(targets):
+            d = F.col(c).cast("double")
+            pv, pp = f"__fipv_{uniq}_{i}__", f"__fipp_{uniq}_{i}__"
+            nv, np_ = f"__finv_{uniq}_{i}__", f"__finp_{uniq}_{i}__"
+            pos_if = F.when(d.isNotNull(), F.col(POS))
+            fwd[pv], fwd[pp] = d, pos_if
+            bwd[nv], bwd[np_] = d, pos_if
+            names[c] = (pv, pp, nv, np_)
+        sdf = fill_columns(sdf, fwd, forward=True)
+        sdf = fill_columns(sdf, bwd, forward=False)
+        pos = F.col(POS)
+        sel = []
+        for c in sdf.columns:
+            if c in names:
+                pv, pp, nv, np_ = names[c]
+                d = F.col(c).cast("double")
+                sel.append(
+                    F.when(d.isNotNull(), d)
+                    .when(F.col(pv).isNull(), F.lit(None).cast("double"))
+                    .when(F.col(nv).isNull(), F.col(pv))
+                    .otherwise(
+                        F.col(pv)
+                        + (F.col(nv) - F.col(pv))
+                        * (pos - F.col(pp))
+                        / (F.col(np_) - F.col(pp))
+                    )
+                    .alias(c)
+                )
+            elif c == POS or any(c in t for t in names.values()):
+                continue
+            else:
+                sel.append(F.col(c))
+        return self._replace(sdf.select(*sel))
+
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False) -> "DataFrame":
+        """Per-column global value rank (pandas DataFrame.rank, numeric
+        columns). Each column runs the two-phase range-bucketed rank
+        (scan.rank_column — splitter boundaries + per-bucket count carries;
+        no unpartitioned window); columns are independent rank problems, so
+        each pays its own bucket shuffle."""
+        from legate_pandas_spark.frontend.scan import _seq, rank_column
+
+        sdf = self._ordered_sdf()
+        targets = [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        ]
+        outs = {}
+        for c in targets:
+            out = f"__frank_{next(_seq)}_{c}__"
+            sdf = rank_column(
+                sdf, out, F.col(c), method=method, ascending=ascending, pct=pct
+            )
+            outs[c] = out
+        sel = []
+        for c in sdf.columns:
+            if c in outs:
+                sel.append(F.col(outs[c]).alias(c))
+            elif c in set(outs.values()):
+                continue
+            else:
+                sel.append(F.col(c))
+        return self._replace(sdf.select(*sel))
+
     def _map_numeric(self, fn) -> "DataFrame":
         """Apply a column expression to every numeric column (projection-only)."""
         out = []
@@ -950,10 +1040,10 @@ class DataFrame:
         return self._replace(out_sdf.select(*sel))
 
     def ewm(self, alpha: float) -> "Ewm":
-        """Exponentially weighted accessor. The whole frame is ONE sequential
-        recurrence (order-dependent), so this runs as a single Arrow batch
-        group — documented small-data path; groupby(...).ewm(alpha) is the
-        partition-parallel scale path."""
+        """Exponentially weighted accessor. The recurrence is linear, so it
+        distributes exactly: partition-local pandas ewm + geometric-decay
+        carries (scan.ewm_mean_columns) — two Arrow passes, both
+        partition-parallel; no single sequential group."""
         return Ewm(self, alpha)
 
     def quantile(self, q: float = 0.5):
@@ -1664,14 +1754,18 @@ class Resampler:
 
 
 class Ewm:
-    """Frame-level exponentially weighted window (single sequential group —
-    see DataFrame.ewm docstring for the scale contract)."""
+    """Frame-level exponentially weighted window — EXACT two-phase
+    distributed recurrence (scan.ewm_mean_columns: partition-local pandas ewm
+    recovered as num/den pairs + geometric-decay carries), no longer the
+    single-Arrow-group sequential pass."""
 
     def __init__(self, df: DataFrame, alpha: float):
         self._df = df
         self._alpha = alpha
 
     def mean(self) -> DataFrame:
+        from legate_pandas_spark.frontend.scan import _seq, ewm_mean_columns
+
         sdf = self._df._ordered_sdf()
         dtypes = dict(sdf.dtypes)
         value_cols = [
@@ -1681,23 +1775,17 @@ class Ewm:
             and c not in self._df._index
             and is_numeric_spark_type(dtypes[c])
         ]
-        keep = [c for c in sdf.columns if c not in value_cols]
-        out_schema = ", ".join(
-            [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{c}` double" for c in value_cols]
-        )
-        alpha = self._alpha
-
-        def wrapper(pdf):
-            pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
-            out = pdf[keep].copy()
-            for c in value_cols:
-                out[c] = pdf[c].ewm(alpha=alpha, adjust=True).mean()
-            return out
-
-        res = sdf.groupBy(F.lit(0).alias("__g__")).applyInPandas(
-            wrapper, schema=out_schema
-        )
-        return DataFrame(res, self._df._index)
+        if not value_cols:
+            return DataFrame(sdf, self._df._index)
+        uniq = next(_seq)
+        outs = {f"__ewm_{uniq}_{i}__": c for i, c in enumerate(value_cols)}
+        res = ewm_mean_columns(sdf, outs, self._alpha)
+        back = {c: o for o, c in outs.items()}
+        sel = [
+            F.col(back[c]).alias(c) if c in back else F.col(c)
+            for c in sdf.columns
+        ]
+        return DataFrame(res.select(*sel), self._df._index)
 
 
 class Rolling:

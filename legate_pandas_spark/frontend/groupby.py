@@ -681,12 +681,6 @@ class SeriesGroupBy:
         return Series(gb._src, expr, self._col)
 
 
-def _grouped_rolling_base():
-    from legate_pandas_spark.frontend.frame import Rolling
-
-    return Rolling
-
-
 class GroupedRolling:
     """Per-group rolling windows (pandas groupby.rolling): same aggregate
     surface as the frame-level Rolling, but the window is PARTITIONED by the
@@ -716,7 +710,26 @@ class GroupedRolling:
         return c == self._ROW_ORDER or c in self._df._index or c in self._keys
 
     def _apply(self, fn):
-        return _grouped_rolling_base()._apply(self, fn)
+        """Window-spec loop over the group-key-PARTITIONED frame (already
+        partition-parallel — the frame-level ghost machinery is unnecessary
+        here; the group keys ARE the partitioning)."""
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        sdf = self._df._ordered_sdf()
+        w = self._frame_spec()
+        mp = self._mp
+        dtypes = dict(sdf.dtypes)
+        sel = []
+        for c in sdf.columns:
+            if self._passthrough(c) or not is_numeric_spark_type(dtypes[c]):
+                sel.append(F.col(c))
+            else:
+                expr = fn(F.col(c)).over(w)
+                if mp > 1:
+                    expr = F.when(F.count(F.col(c)).over(w) >= mp, expr)
+                sel.append(expr.alias(c))
+        return DataFrame(sdf.select(*sel), self._df._index)
 
     def sum(self):
         return self._apply(F.sum)

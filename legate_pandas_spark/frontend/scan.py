@@ -346,6 +346,100 @@ def keyed_cumsum(sdf, out: str, value, lead_key, order_cols):
     )
 
 
+def ewm_mean_columns(sdf, cols: dict, alpha: float):
+    """Append exponentially-weighted means (pandas ewm(adjust=True,
+    ignore_na=False)) — EXACT two-phase distributed recurrence, replacing the
+    old single-Arrow-group sequential pass.
+
+    Math: ewm_i = num_i / den_i with num_i = Σ_{j≤i} b^{i-j}·x_j (non-null j)
+    and den_i the same sum of weights, b = 1-α. Within a partition both are
+    recovered from pandas' own local ewm (mean·den; den = mask-ewm · closed-
+    form all-ones sum). Across partitions the recurrences are linear, so row r
+    of partition p needs only b^{r+1} × the previous partitions' end state —
+    a driver-side prefix-combine of (end_num, end_den, b^rowcount) triples,
+    one per partition. Two Arrow passes, both partition-parallel.
+
+    ``cols`` maps out_name -> source column NAME (str).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    b = 1.0 - alpha
+    uniq = next(_seq)
+    PID = f"__ewp_{uniq}__"
+    work = sdf.withColumn(PID, _pid())
+    srcs = list(dict.fromkeys(cols.values()))
+
+    def _locals(pdf):
+        n = len(pdf)
+        r = np.arange(1, n + 1, dtype="float64")
+        dall = (1.0 - np.power(b, r)) / alpha if alpha < 1.0 else np.ones(n)
+        res = {}
+        for s in srcs:
+            x = pdf[s].astype("float64")
+            mask = x.notna().astype("float64")
+            mean_local = x.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+            mm = mask.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+            den = mm * dall
+            num = np.where(den > 0, np.nan_to_num(mean_local) * den, 0.0)
+            res[s] = (num, den)
+        return res
+
+    f1 = [T.StructField(PID, T.LongType()), T.StructField("__decay__", T.DoubleType())]
+    for i in range(len(srcs)):
+        f1 += [
+            T.StructField(f"__en_{i}__", T.DoubleType()),
+            T.StructField(f"__ed_{i}__", T.DoubleType()),
+        ]
+    schema1 = T.StructType(f1)
+
+    def phase1(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        n = len(pdf)
+        res = _locals(pdf)
+        row = {PID: [int(pdf[PID].iloc[0])], "__decay__": [float(b**n)]}
+        for i, s in enumerate(srcs):
+            num, den = res[s]
+            row[f"__en_{i}__"] = [float(num[-1]) if n else 0.0]
+            row[f"__ed_{i}__"] = [float(den[-1]) if n else 0.0]
+        return pd.DataFrame(row)
+
+    ends = work.groupBy(PID).applyInPandas(phase1, schema1).collect()
+    ends.sort(key=lambda r: r[PID])
+    carry: dict = {}
+    cn = {s: 0.0 for s in srcs}
+    cd = {s: 0.0 for s in srcs}
+    for r in ends:
+        carry[r[PID]] = (dict(cn), dict(cd))
+        for i, s in enumerate(srcs):
+            cn[s] = r[f"__en_{i}__"] + r["__decay__"] * cn[s]
+            cd[s] = r[f"__ed_{i}__"] + r["__decay__"] * cd[s]
+
+    schema2 = T.StructType(
+        list(work.schema.fields)
+        + [T.StructField(o, T.DoubleType()) for o in cols]
+    )
+
+    def phase2(pdf):
+        pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
+        n = len(pdf)
+        res = _locals(pdf)
+        prevn, prevd = carry.get(int(pdf[PID].iloc[0]) if n else -1, ({}, {}))
+        bpow = np.power(b, np.arange(1, n + 1, dtype="float64"))
+        out = pdf.copy()
+        for out_name, s in cols.items():
+            num, den = res[s]
+            gn = num + bpow * prevn.get(s, 0.0)
+            gd = den + bpow * prevd.get(s, 0.0)
+            out[out_name] = np.where(gd > 0, gn / np.where(gd > 0, gd, 1.0), np.nan)
+        return out
+
+    return work.groupBy(PID).applyInPandas(phase2, schema2).drop(PID)
+
+
 def rolling_parts(sdf, k: int, fresh: bool):
     """Build the pieces for a k-row rolling frame without an unpartitioned
     window: (augmented sdf, window spec, ghost flag column name, helper cols).

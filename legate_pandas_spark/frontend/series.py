@@ -252,6 +252,16 @@ class Series:
         their own position."""
         return self._cum("prod")
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """Series rolling window (pandas s.rolling(k).mean() idiom) — same
+        boundary-ghost distributed machinery as frame-level Rolling."""
+        return SeriesRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """Series expanding window — two-phase running carry, no
+        unpartitioned window."""
+        return SeriesExpanding(self, min_periods)
+
     def _fill(self, forward: bool):
         from legate_pandas_spark.frontend.scan import _seq, fill_columns
 
@@ -818,3 +828,144 @@ class _SeriesScalarIndexer:
         if not vals:
             raise KeyError(key)
         return vals[0]
+
+
+class SeriesRolling:
+    """k-row rolling over the parent frame's row order — the boundary-ghost
+    distributed window (scan.rolling_parts; no Exchange SinglePartition).
+    Each stat materializes a hidden column on the parent frame and wraps it."""
+
+    def __init__(self, s: "Series", window: int, min_periods: int | None = None):
+        self._s = s
+        self._n = window
+        self._mp = window if min_periods is None else min_periods
+
+    def _apply(self, fn) -> "Series":
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.scan import _seq, rolling_parts
+
+        s = self._s
+        fresh = ROW_ORDER not in s._frame._sdf.columns
+        sdf = s._frame._ordered_sdf()
+        aug, w, GH, helpers = rolling_parts(sdf, self._n, fresh)
+        out = f"__sroll_{next(_seq)}__"
+        expr = fn(s._col).over(w)
+        if self._mp > 1:
+            expr = F.when(F.count(s._col).over(w) >= self._mp, expr)
+        new = aug.withColumn(out, expr).filter(~F.col(GH))
+        s._frame._sdf = new.drop(*helpers)
+        return s._wrap(F.col(out))
+
+    def sum(self):
+        return self._apply(F.sum)
+
+    def mean(self):
+        return self._apply(F.avg)
+
+    def max(self):
+        return self._apply(F.max)
+
+    def min(self):
+        return self._apply(F.min)
+
+    def std(self, ddof: int = 1):
+        return self._apply(F.stddev_samp if ddof == 1 else F.stddev_pop)
+
+    def var(self, ddof: int = 1):
+        return self._apply(F.var_samp if ddof == 1 else F.var_pop)
+
+    def count(self):
+        return self._apply(lambda c: F.count(c).cast("double"))
+
+
+class SeriesExpanding:
+    """Expanding window over the parent frame's row order — partition-local
+    running aggregate + broadcast carry (scan.attach_carries); var/std
+    decompose into (n, Σx, Σx²)."""
+
+    def __init__(self, s: "Series", min_periods: int = 1):
+        self._s = s
+        self._mp = min_periods
+
+    def _apply(self, kind: str, ddof: int = 1) -> "Series":
+        from legate_pandas_spark.frontend.scan import (
+            _add,
+            _local_window,
+            _seq,
+            attach_carries,
+        )
+
+        s = self._s
+        sdf = s._frame._ordered_sdf()
+        c = s._col
+        d = c.cast("double")
+        uniq = next(_seq)
+        kc = f"__sexn_{uniq}__"
+        specs = {kc: (F.count(c), _add)}
+        ks = kq = km = None
+        if kind in ("sum", "mean", "var", "std"):
+            ks = f"__sexs_{uniq}__"
+            specs[ks] = (F.sum(c), _add)
+        if kind in ("var", "std"):
+            kq = f"__sexq_{uniq}__"
+            specs[kq] = (F.sum(d * d), _add)
+        if kind in ("max", "min"):
+            km = f"__sexm_{uniq}__"
+            specs[km] = (
+                (F.max(c), max) if kind == "max" else (F.min(c), min)
+            )
+        out_sdf = attach_carries(sdf, specs)
+        lw = _local_window()
+        n = F.count(c).over(lw) + F.coalesce(F.col(kc), F.lit(0))
+        if kind in ("sum", "mean", "var", "std"):
+            ls = F.sum(c).over(lw)
+            ssum = F.when(ls.isNull() & F.col(ks).isNull(), F.lit(None)).otherwise(
+                F.coalesce(ls, F.lit(0)) + F.coalesce(F.col(ks), F.lit(0))
+            )
+        if kind == "sum":
+            expr = ssum
+        elif kind == "count":
+            expr = n.cast("double")
+        elif kind == "mean":
+            expr = ssum / n
+        elif kind == "max":
+            expr = F.greatest(F.max(c).over(lw), F.col(km))
+        elif kind == "min":
+            expr = F.least(F.min(c).over(lw), F.col(km))
+        elif kind in ("var", "std"):
+            lq = F.sum(d * d).over(lw)
+            q = F.coalesce(lq, F.lit(0.0)) + F.coalesce(F.col(kq), F.lit(0.0))
+            denom = n - F.lit(ddof)
+            v = F.greatest(
+                (q - ssum.cast("double") * ssum.cast("double") / n) / denom,
+                F.lit(0.0),
+            )
+            expr = F.when(denom > 0, F.sqrt(v) if kind == "std" else v)
+        else:
+            raise ValueError(kind)
+        out = f"__sexp_{uniq}__"
+        s._frame._sdf = out_sdf.withColumn(
+            out, F.when(n >= self._mp, expr)
+        ).drop(*[k for k in (kc, ks, kq, km) if k])
+        return s._wrap(F.col(out))
+
+    def sum(self):
+        return self._apply("sum")
+
+    def mean(self):
+        return self._apply("mean")
+
+    def max(self):
+        return self._apply("max")
+
+    def min(self):
+        return self._apply("min")
+
+    def std(self, ddof: int = 1):
+        return self._apply("std", ddof)
+
+    def var(self, ddof: int = 1):
+        return self._apply("var", ddof)
+
+    def count(self):
+        return self._apply("count")

@@ -460,3 +460,40 @@ def pd_global_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prev_qty", 4).alias("prev_qty"),
         F.round("qty_locf", 4).alias("qty_locf"),
     )
+
+
+@query(
+    "pd_global_rank_rolling",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 5000
+    )
+    SELECT o_orderkey,
+           CAST(rank() OVER (ORDER BY o_totalprice) AS DOUBLE) AS price_rank,
+           CASE WHEN count(o_totalprice) OVER w >= 3
+                THEN round(avg(o_totalprice) OVER w, 4) END AS rolling_avg
+    FROM s
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def pd_global_rank_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: global Series.rank (round-4 two-phase range-bucketed
+    rank — splitter boundaries + per-bucket count carries) and a global
+    Series.rolling mean (boundary-ghost partitioned window). Ordered by the
+    UNIQUE o_orderkey so the rolling frame is a total order (window-dedup
+    gotcha: ties would make neighbor choice engine-dependent). The oracle is
+    a plain global window; the Spark plan contains NO unpartitioned window
+    (plan-audited in tests/test_plans.py)."""
+    ords = _read(spark, sf_dir, "orders")
+    sub = ords[ords["o_orderkey"] <= 5000][["o_orderkey", "o_totalprice"]]
+    srt = sub.sort_values(["o_orderkey"])
+    srt["price_rank"] = srt["o_totalprice"].rank(method="min")
+    srt["rolling_avg"] = srt["o_totalprice"].rolling(3).mean()
+    sdf = srt.to_spark()
+    return sdf.select(
+        "o_orderkey",
+        F.col("price_rank"),
+        F.round("rolling_avg", 4).alias("rolling_avg"),
+    )

@@ -4,6 +4,7 @@ from legate_pandas_spark.streaming.events import (  # noqa: F401
     windowed_distinct_users,
     sessionized_event_stats,
     dedup_stream,
+    stateful_first_last_reading,
     stateful_running_totals,
     purchase_click_attribution,
     run_available_now,

@@ -173,6 +173,65 @@ def stateful_running_totals(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+_FL_STATE_SCHEMA = StructType(
+    [
+        StructField("first_reading", DoubleType()),
+        StructField("last_reading", DoubleType()),
+    ]
+)
+_FL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_reading", DoubleType()),
+        StructField("last_reading", DoubleType()),
+    ]
+)
+
+
+def stateful_first_last_reading(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``first_nonnull_running`` catalog query:
+    per-user earliest/latest non-null sensor reading ('view' events carry no
+    reading), state carried across micro-batches via applyInPandasWithState.
+    Rows are ordered (ts, event_id) within each batch; the running-frame
+    semantics match the batch window exactly when batches arrive in event-time
+    order (the file-source backfill contract)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        first, last = state.get if state.exists else (None, None)
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            mask = (batch["event_type"] != "view") & batch["value"].notna()
+            vals = batch.loc[mask, "value"]
+            if len(vals):
+                if first is None or (isinstance(first, float) and first != first):
+                    first = float(vals.iloc[0])
+                last = float(vals.iloc[-1])
+        state.update((first, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_reading": [first],
+                "last_reading": [last],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FL_OUTPUT_SCHEMA,
+            stateStructType=_FL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def purchase_click_attribution(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -172,6 +172,9 @@ def test_rank_interpolate_rolling_no_global_window(spark):
     cases.append(("rolling_std", ldf.rolling(5).std()))
     cases.append(("expanding_sum", ldf.expanding().sum()))
     cases.append(("expanding_var", ldf.expanding().var()))
+    cases.append(("frame_interpolate", lps.from_pandas(pdf, spark=spark).interpolate()))
+    cases.append(("frame_rank", lps.from_pandas(pdf, spark=spark).rank()))
+    cases.append(("ewm_mean", lps.from_pandas(pdf, spark=spark).ewm(alpha=0.4).mean()))
     for name, df in cases:
         plan = plan_text(df._sdf, mode="simple")
         assert "SinglePartition" not in plan, f"{name}: unpartitioned exchange"
@@ -181,6 +184,12 @@ def test_pack_training_sequences_no_global_window(catalog, spark, sf_dir):
     """The corpus-sized chunk running sum must be the two-phase keyed cumsum
     (bucket shuffle + broadcast carry), not a global ordered window."""
     df = catalog["pack_training_sequences"](spark, sf_dir)
+    plan = plan_text(df._sdf if hasattr(df, "_sdf") else df, mode="simple")
+    assert "SinglePartition" not in plan
+
+
+def test_pd_global_rank_rolling_no_global_window(catalog, spark, sf_dir):
+    df = catalog["pd_global_rank_rolling"](spark, sf_dir)
     plan = plan_text(df._sdf if hasattr(df, "_sdf") else df, mode="simple")
     assert "SinglePartition" not in plan
 

@@ -111,6 +111,48 @@ def test_distributed_rank_strings(spark):
     pd.testing.assert_series_equal(got, want, check_names=False)
 
 
+def test_dataframe_rank_matches_pandas(spark):
+    """DataFrame.rank: per-column two-phase rank, non-numerics pass through."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.randint(0, 9, 300).astype(float),
+            "b": rng.randn(300),
+            "s": [f"x{i % 4}" for i in range(300)],
+        }
+    )
+    pdf.loc[rng.rand(300) < 0.1, "a"] = None
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.rank(method="average").to_pandas().reset_index(drop=True)
+    want = pdf.rank(method="average", numeric_only=True)
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
+    assert got["s"].tolist() == pdf["s"].tolist()
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got_pct = ldf.rank(pct=True).to_pandas().reset_index(drop=True)
+    want_pct = pdf.rank(method="min", pct=True, numeric_only=True)
+    pd.testing.assert_frame_equal(got_pct[["a", "b"]], want_pct, check_dtype=False)
+
+
+def test_series_rolling_expanding_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    v = rng.randn(500)
+    v[rng.rand(500) < 0.08] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    for fn in ("sum", "mean", "std"):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = getattr(ldf["v"].rolling(4), fn)().to_pandas().reset_index(drop=True)
+        want = getattr(pdf["v"].rolling(4), fn)()
+        pd.testing.assert_series_equal(got, want, check_names=False)
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = getattr(ldf["v"].expanding(), fn)().to_pandas().reset_index(drop=True)
+        want = getattr(pdf["v"].expanding(), fn)()
+        pd.testing.assert_series_equal(got, want, check_names=False)
+
+
 def test_rolling_ghost_boundaries_large(spark):
     """Rolling over a frame spanning many ingest partitions: every partition
     boundary exercises the ghost-row exchange; compare all stats to pandas."""
@@ -145,6 +187,39 @@ def test_expanding_carry_large(spark):
     got = ldf.expanding(min_periods=5).var().to_pandas().reset_index(drop=True)
     want = pdf.expanding(min_periods=5).var()
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+
+
+def test_ewm_distributed_matches_pandas(spark):
+    """Two-phase distributed EWM (num/den recurrences + geometric-decay
+    carries) vs pandas, across alphas, nulls, and leading-null runs."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    v = rng.randn(700)
+    v[rng.rand(700) < 0.12] = np.nan
+    v[:5] = np.nan
+    pdf = pd.DataFrame({"v": v, "w": rng.randn(700)})
+    for alpha in (0.1, 0.5, 0.97):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = ldf.ewm(alpha=alpha).mean().to_pandas().reset_index(drop=True)
+        want = pdf.ewm(alpha=alpha, adjust=True).mean()
+        pd.testing.assert_frame_equal(got[["v", "w"]], want, check_dtype=False)
+
+
+def test_frame_interpolate_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    a = rng.randn(300)
+    a[rng.rand(300) < 0.25] = np.nan
+    b = rng.randn(300)
+    b[rng.rand(300) < 0.4] = np.nan
+    pdf = pd.DataFrame({"a": a, "b": b, "s": [f"t{i}" for i in range(300)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.interpolate().to_pandas().reset_index(drop=True)
+    want = pdf[["a", "b"]].interpolate(limit_direction="forward")
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
+    assert got["s"].tolist() == pdf["s"].tolist()
 
 
 def test_interpolate_two_phase_large(spark):

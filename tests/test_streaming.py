@@ -85,6 +85,43 @@ def test_stateful_running_totals(spark, events_dir, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stateful_first_last_reading_matches_batch(spark, events_dir, sf_dir):
+    """Streaming twin of first_nonnull_running: the final per-user state must
+    equal the batch running-window query's LAST row per user."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        stateful_first_last_reading,
+        stream_events,
+    )
+
+    load_all()
+    stream = stateful_first_last_reading(stream_events(spark, events_dir))
+    run_available_now(stream, "first_last", output_mode="update")
+    got = spark.table("first_last").toPandas()
+    # keep only each user's final update
+    got = got.groupby("user_id").tail(1)
+
+    # re-attach ts so the final row per user is max (ts, event_id) — the
+    # batch window's ordering
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    batch = QUERIES["first_nonnull_running"](spark, sf_dir).join(ev, "event_id")
+    want = (
+        batch.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "first_reading", "last_reading")
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)[want.columns]
+    want = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_checkpoint_state_continuity(spark, sf_dir, tmp_path):
     """Stateful streaming across restarts: batch 1 is processed, the query
     stops, batch 2 arrives, a NEW query with the same checkpoint resumes state —
