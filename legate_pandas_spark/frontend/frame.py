@@ -1807,6 +1807,9 @@ class Rolling:
         return c == ROW_ORDER or c in self._df._index
 
     def _apply(self, fn) -> DataFrame:
+        return self._apply_expr(lambda c, w: fn(c).over(w))
+
+    def _apply_expr(self, make) -> DataFrame:
         from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
         from legate_pandas_spark.frontend.scan import rolling_parts
 
@@ -1820,12 +1823,23 @@ class Rolling:
             if self._passthrough(c) or not is_numeric_spark_type(dtypes[c]):
                 sel.append(F.col(c))
             else:
-                expr = fn(F.col(c)).over(w)
+                expr = make(F.col(c), w)
                 if mp > 1:
                     expr = F.when(F.count(F.col(c)).over(w) >= mp, expr)
                 sel.append(expr.alias(c))
         out = aug.select(*sel, F.col(GH)).filter(~F.col(GH)).drop(GH)
         return DataFrame(out, self._df._index)
+
+    def median(self):
+        return self.quantile(0.5)
+
+    def quantile(self, q: float):
+        """Exact interpolated rolling quantile (pandas interpolation='linear'):
+        sorted window-frame list + bracketing blend (scan.window_quantile_expr
+        — the list is k-sized, never partition-sized)."""
+        from legate_pandas_spark.frontend.scan import window_quantile_expr
+
+        return self._apply_expr(lambda c, w: window_quantile_expr(c, w, q))
 
     def sum(self):
         return self._apply(F.sum)

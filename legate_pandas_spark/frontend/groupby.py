@@ -710,6 +710,9 @@ class GroupedRolling:
         return c == self._ROW_ORDER or c in self._df._index or c in self._keys
 
     def _apply(self, fn):
+        return self._apply_expr(lambda c, w: fn(c).over(w))
+
+    def _apply_expr(self, make):
         """Window-spec loop over the group-key-PARTITIONED frame (already
         partition-parallel — the frame-level ghost machinery is unnecessary
         here; the group keys ARE the partitioning)."""
@@ -725,11 +728,21 @@ class GroupedRolling:
             if self._passthrough(c) or not is_numeric_spark_type(dtypes[c]):
                 sel.append(F.col(c))
             else:
-                expr = fn(F.col(c)).over(w)
+                expr = make(F.col(c), w)
                 if mp > 1:
                     expr = F.when(F.count(F.col(c)).over(w) >= mp, expr)
                 sel.append(expr.alias(c))
         return DataFrame(sdf.select(*sel), self._df._index)
+
+    def median(self):
+        return self.quantile(0.5)
+
+    def quantile(self, q: float):
+        """Exact interpolated per-group rolling quantile — k-sized frame
+        lists; see frame-level Rolling.quantile."""
+        from legate_pandas_spark.frontend.scan import window_quantile_expr
+
+        return self._apply_expr(lambda c, w: window_quantile_expr(c, w, q))
 
     def sum(self):
         return self._apply(F.sum)
@@ -765,6 +778,13 @@ class GroupedExpanding(GroupedRolling):
             self._Window.partitionBy(*self._keys)
             .orderBy(F.asc(self._ROW_ORDER))
             .rowsBetween(self._Window.unboundedPreceding, self._Window.currentRow)
+        )
+
+    def quantile(self, q: float):
+        raise NotImplementedError(
+            "expanding quantile would collect an O(rows²) list per group; "
+            "use groupby(...).agg percentile/approx_percentile for the "
+            "final-state quantile"
         )
 
 

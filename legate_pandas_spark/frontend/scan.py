@@ -234,6 +234,7 @@ def rank_column(
     method: str = "min",
     ascending: bool = True,
     pct: bool = False,
+    na_option: str = "keep",
 ):
     """Append one global value-rank column — two-phase range-bucketed rank,
     no unpartitioned window (the same carry discipline as ``cum_columns``).
@@ -248,8 +249,10 @@ def rank_column(
 
     Methods: 'min' (SQL rank), 'dense', 'first' (row order breaks ties),
     'average' (min + (peers-1)/2; peers via the RANGE CURRENT ROW frame on the
-    SAME window shuffle). Nulls rank null (pandas). ``pct`` divides by the
-    non-null total.
+    SAME window shuffle). ``na_option``: 'keep' → nulls rank null (pandas
+    default); 'top'/'bottom' → nulls rank before/after every value (they share
+    the null bucket, so their ranks are pure offset arithmetic). ``pct``
+    divides by the non-null total ('keep') or the row total (otherwise).
     """
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
@@ -263,21 +266,25 @@ def rank_column(
     bkt = f"__rb_{uniq}__"
     bsdf = sdf.withColumn(bkt, F.when(c.isNotNull(), bucket))
     counts = (
-        bsdf.filter(c.isNotNull())
-        .groupBy(bkt)
+        bsdf.groupBy(bkt)
         .agg(
             F.count(F.lit(1)).alias("__n__"),
             F.countDistinct(c).alias("__d__"),
         )
         .collect()
     )
+    null_n = sum(r["__n__"] for r in counts if r[bkt] is None)
+    counts = [r for r in counts if r[bkt] is not None]
     counts.sort(key=lambda r: r[bkt], reverse=not ascending)
-    offs, run_n, run_d = [], 0, 0
+    # nulls-first offsets when they outrank every value
+    run_n = null_n if na_option == "top" else 0
+    run_d = (1 if null_n else 0) if na_option == "top" else 0
+    offs = []
     for r in counts:
         offs.append((r[bkt], run_n, run_d))
         run_n += r["__n__"]
         run_d += r["__d__"]
-    total_nn = run_n
+    total_nn = run_n - (null_n if na_option == "top" else 0)
     off_n, off_d = f"__ro_{uniq}__", f"__rd_{uniq}__"
     off_df = bsdf.sparkSession.createDataFrame(
         offs or [(0, 0, 0)], schema=f"{bkt} int, {off_n} long, {off_d} long"
@@ -300,12 +307,45 @@ def rank_column(
     else:
         raise ValueError(f"unsupported rank method: {method!r}")
     expr = expr.cast("double")
-    if pct:
-        expr = expr / F.lit(float(total_nn or 1))
-    return (
-        joined.withColumn(out, F.when(c.isNotNull(), expr))
-        .drop(bkt, off_n, off_d)
-    )
+    if na_option == "keep":
+        denom = float(total_nn or 1)
+        out_expr = F.when(c.isNotNull(), expr / denom if pct else expr)
+    elif na_option in ("top", "bottom"):
+        base = 0 if na_option == "top" else total_nn
+        if method == "first":
+            wn = Window.partitionBy(F.col(bkt)).orderBy(F.asc(ROW_ORDER))
+            null_rank = F.lit(base) + F.row_number().over(wn)
+        elif method == "dense":
+            null_rank = F.lit((0 if na_option == "top" else run_d) + 1)
+        elif method == "average":
+            null_rank = F.lit(base + (1 + null_n) / 2.0)
+        else:  # min
+            null_rank = F.lit(base + 1)
+        out_expr = F.when(c.isNotNull(), expr).otherwise(
+            null_rank.cast("double")
+        )
+        if pct:
+            out_expr = out_expr / F.lit(float((total_nn + null_n) or 1))
+    else:
+        raise ValueError(f"unsupported na_option: {na_option!r}")
+    return joined.withColumn(out, out_expr).drop(bkt, off_n, off_d)
+
+
+def window_quantile_expr(c, w, q: float):
+    """Exact interpolated quantile over a window FRAME — Spark refuses
+    median/percentile with a frame spec, so sort the frame's collected values
+    and blend the bracketing elements (pandas linear interpolation). Intended
+    for k-row rolling frames (the list is window-sized, not partition-sized).
+    Nulls are excluded by collect_list; empty frame → null (ANSI-safe
+    element_at guard)."""
+    s = F.array_sort(F.collect_list(c).over(w))
+    n = F.size(s)
+    idx = (n - 1) * F.lit(float(q))
+    lo = F.floor(idx).cast("int")
+    hi = F.ceil(idx).cast("int")
+    lov = F.element_at(s, lo + 1).cast("double")
+    hiv = F.element_at(s, hi + 1).cast("double")
+    return F.when(n > 0, lov + (hiv - lov) * (idx - lo))
 
 
 def keyed_cumsum(sdf, out: str, value, lead_key, order_cols):

@@ -280,10 +280,11 @@ class Series:
     def bfill(self):
         return self._fill(forward=False)
 
-    def rank(self, method: str = "min", ascending: bool = True, pct: bool = False):
+    def rank(self, method: str = "min", ascending: bool = True, pct: bool = False,
+             na_option: str = "keep"):
         """Rank values: 'min' = SQL rank, 'dense', 'first'=row_number,
-        'average' = pandas default; ``pct`` normalizes by the non-null count.
-        Nulls rank null (pandas).
+        'average' = pandas default; ``pct`` normalizes by the valid count.
+        ``na_option``: 'keep' (nulls rank null), 'top', 'bottom'.
 
         Distributed two-phase rank (scan.rank_column): splitter boundaries
         bucket the value range (the reference's sample-sort histogram,
@@ -295,7 +296,7 @@ class Series:
         out = f"__rank_{next(_seq)}__"
         self._frame._sdf = rank_column(
             self._frame._ordered_sdf(), out, self._col,
-            method=method, ascending=ascending, pct=pct,
+            method=method, ascending=ascending, pct=pct, na_option=na_option,
         )
         return self._wrap(F.col(out))
 
@@ -841,6 +842,9 @@ class SeriesRolling:
         self._mp = window if min_periods is None else min_periods
 
     def _apply(self, fn) -> "Series":
+        return self._apply_expr(lambda c, w: fn(c).over(w))
+
+    def _apply_expr(self, make) -> "Series":
         from legate_pandas_spark.frontend.frame import ROW_ORDER
         from legate_pandas_spark.frontend.scan import _seq, rolling_parts
 
@@ -849,12 +853,20 @@ class SeriesRolling:
         sdf = s._frame._ordered_sdf()
         aug, w, GH, helpers = rolling_parts(sdf, self._n, fresh)
         out = f"__sroll_{next(_seq)}__"
-        expr = fn(s._col).over(w)
+        expr = make(s._col, w)
         if self._mp > 1:
             expr = F.when(F.count(s._col).over(w) >= self._mp, expr)
         new = aug.withColumn(out, expr).filter(~F.col(GH))
         s._frame._sdf = new.drop(*helpers)
         return s._wrap(F.col(out))
+
+    def median(self):
+        return self.quantile(0.5)
+
+    def quantile(self, q: float):
+        from legate_pandas_spark.frontend.scan import window_quantile_expr
+
+        return self._apply_expr(lambda c, w: window_quantile_expr(c, w, q))
 
     def sum(self):
         return self._apply(F.sum)

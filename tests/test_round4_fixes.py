@@ -189,6 +189,69 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_rolling_median_quantile_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    v = rng.randn(400)
+    v[rng.rand(400) < 0.07] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.rolling(5).median().to_pandas().reset_index(drop=True)
+    want = pdf.rolling(5).median()
+    pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.rolling(7, min_periods=2).quantile(0.25).to_pandas().reset_index(drop=True)
+    want = pdf.rolling(7, min_periods=2).quantile(0.25)
+    pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got_s = ldf["v"].rolling(4).median().to_pandas().reset_index(drop=True)
+    want_s = pdf["v"].rolling(4).median()
+    pd.testing.assert_series_equal(got_s, want_s, check_names=False)
+
+
+def test_grouped_rolling_median(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    pdf = pd.DataFrame(
+        {"g": [f"g{i % 5}" for i in range(200)], "v": rng.randn(200)}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf.groupby("g").rolling(3, min_periods=1).median().to_pandas()["v"]
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.groupby("g")["v"].rolling(3, min_periods=1).median()
+        .reset_index(level=0).sort_index()["v"].reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_rank_na_option_top_bottom(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    v = rng.randint(0, 15, 250).astype(float)
+    v[rng.rand(250) < 0.15] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    for na in ("top", "bottom"):
+        for method in ("min", "dense", "first", "average"):
+            ldf = lps.from_pandas(pdf, spark=spark)
+            got = ldf["v"].rank(method=method, na_option=na).to_pandas()
+            want = pdf["v"].rank(method=method, na_option=na)
+            pd.testing.assert_series_equal(
+                got.reset_index(drop=True), want, check_names=False
+            )
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = ldf["v"].rank(na_option=na, pct=True).to_pandas()
+        want = pdf["v"].rank(method="min", na_option=na, pct=True)
+        pd.testing.assert_series_equal(
+            got.reset_index(drop=True), want, check_names=False
+        )
+
+
 def test_ewm_distributed_matches_pandas(spark):
     """Two-phase distributed EWM (num/den recurrences + geometric-decay
     carries) vs pandas, across alphas, nulls, and leading-null runs."""
