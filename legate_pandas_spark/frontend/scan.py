@@ -348,6 +348,15 @@ def window_quantile_expr(c, w, q: float):
     return F.when(n > 0, lov + (hiv - lov) * (idx - lo))
 
 
+def bucket_of(bounds: list, key):
+    """Monotonic range-bucket id for ``key`` given driver-side splitter
+    boundaries (count of boundaries strictly below the key)."""
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(barr, lambda b: b < key))
+
+
 def keyed_cumsum(sdf, out: str, value, lead_key, order_cols):
     """Append a global running sum of ``value`` ordered by ``order_cols``
     (whose FIRST element ``lead_key`` drives the range bucketing) — two-phase:

@@ -497,3 +497,39 @@ def pd_global_rank_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_rank"),
         F.round("rolling_avg", 4).alias("rolling_avg"),
     )
+
+
+@query(
+    "pd_rolling_median_quantile",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 4000
+    )
+    SELECT o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w >= 5
+                THEN round(median(o_totalprice) OVER w, 4) END AS med5,
+           CASE WHEN count(o_totalprice) OVER w >= 5
+                THEN round(quantile_cont(o_totalprice, 0.25) OVER w, 4) END AS q25
+    FROM s
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def pd_rolling_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: global rolling median/quantile (round-4
+    window_quantile_expr — sorted k-sized frame list + linear interpolation,
+    over the boundary-ghost partitioned window; Spark's own median/percentile
+    refuse window frames). Ordered by the unique o_orderkey (total order).
+    DuckDB twin: median / quantile_cont window aggregates."""
+    ords = _read(spark, sf_dir, "orders")
+    sub = ords[ords["o_orderkey"] <= 4000][["o_orderkey", "o_totalprice"]]
+    srt = sub.sort_values(["o_orderkey"])
+    srt["med5"] = srt["o_totalprice"].rolling(5).median()
+    srt["q25"] = srt["o_totalprice"].rolling(5).quantile(0.25)
+    sdf = srt.to_spark()
+    return sdf.select(
+        "o_orderkey",
+        F.round("med5", 4).alias("med5"),
+        F.round("q25", 4).alias("q25"),
+    )

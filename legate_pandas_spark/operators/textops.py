@@ -318,17 +318,55 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concat-and-split packing used to build pretraining batches.
 
     The corpus-sized running sum is the two-phase distributed scan (the
-    reference's carry trick, core/column.py:644-687, via scan.keyed_cumsum):
-    doc_id splitter boundaries bucket the chunk table, per-bucket token
-    totals prefix-combine on the driver, and the cumulative window runs
-    PARTITIONED by bucket with the broadcast carry added — never a
-    single-task global sort/scan."""
-    from legate_pandas_spark.frontend.scan import keyed_cumsum
+    reference's carry trick, core/column.py:644-687): doc_id splitter
+    boundaries bucket the chunk table, per-bucket token totals prefix-combine
+    on the driver, and the cumulative window runs PARTITIONED by bucket with
+    the broadcast carry added — never a single-task global sort/scan.
+
+    Cost discipline: the query only ever needs token COUNTS, never the token
+    arrays — ``regexp_count`` counts separators without allocating a split
+    array, and the (doc_id, n) table is localCheckpointed (2 longs per doc)
+    so the single text scan feeds all three phases: splitter boundaries,
+    per-bucket partials (a closed-form-ish fold over chunk starts — chunks
+    overlap 50/25, so the total is NOT just n), and the final chunk explode
+    (which explodes an integer SEQUENCE, not tokens)."""
+    from pyspark.sql.window import Window
+
+    from legate_pandas_spark.frontend.scan import (
+        _rank_boundaries,
+        _seq,
+        bucket_of,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    tokenized = docs.select("doc_id", F.size(toks).alias("_n"))
+    # size(split(x, sep)) == regexp_count(x, sep) + 1 for every input incl.
+    # empty text (split('') -> [''] -> 1; regexp_count('') -> 0 -> 1)
+    tokenized = docs.select(
+        "doc_id",
+        (F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1).alias("_n"),
+    ).localCheckpoint()
     starts = F.sequence(F.lit(1), F.col("_n"), F.lit(25))
+    bounds = _rank_boundaries(tokenized, F.col("doc_id"))
+    bucket = bucket_of(bounds, F.col("doc_id"))
+    doc_total = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(s + 49, F.col("_n")) - s + 1,
+    )
+    uniq = next(_seq)
+    bkt, car = f"__pb_{uniq}__", f"__pc_{uniq}__"
+    parts = (
+        tokenized.withColumn(bkt, bucket)
+        .groupBy(bkt)
+        .agg(F.sum(doc_total).alias("__s__"))
+        .collect()
+    )
+    parts.sort(key=lambda r: r[bkt])
+    offs, run = [], 0
+    for r in parts:
+        offs.append((r[bkt], run))
+        run += r["__s__"] or 0
+    carry = spark.createDataFrame(offs or [(0, 0)], schema=f"{bkt} int, {car} long")
     sized = tokenized.select(
         "doc_id", "_n", F.explode(starts).alias("start")
     ).select(
@@ -338,12 +376,22 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens"
         ),
     )
-    packed = keyed_cumsum(
-        sized, "_cum", F.col("chunk_tokens"),
-        F.col("doc_id"), ["doc_id", "chunk_idx"],
-    ).withColumn(
-        "seq_id",
-        F.floor((F.col("_cum") - F.col("chunk_tokens")) / 1024).cast("long"),
+    w = (
+        Window.partitionBy(F.col(bkt))
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        sized.withColumn(bkt, bucket)
+        .join(F.broadcast(carry), bkt, "left")
+        .withColumn(
+            "_cum",
+            F.sum("chunk_tokens").over(w) + F.coalesce(F.col(car), F.lit(0)),
+        )
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("_cum") - F.col("chunk_tokens")) / 1024).cast("long"),
+        )
     )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
