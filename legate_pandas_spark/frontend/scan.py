@@ -348,6 +348,55 @@ def window_quantile_expr(c, w, q: float):
     return F.when(n > 0, lov + (hiv - lov) * (idx - lo))
 
 
+def ordered_row_number(sdf, order_cols: list, out: str, partitions: int | None = None):
+    """Append a 0-based global row number in ``order_cols`` order — the
+    reference's sample-sort + weighted-partition design (core/sort.py:93-174,
+    core/runtime.py:1001-1008) with no single-partition exchange:
+
+    1. range-partition + local sort on the order keys (Spark's
+       RangePartitioner IS the sample sort), pin the partition id as a column
+       and ``localCheckpoint`` so every later job sees the SAME partitions
+       (range sampling is not deterministic across executions);
+    2. per-partition counts (num_partitions scalars) → driver prefix sums;
+    3. row number = broadcast offset + partition-local row_number.
+
+    Intended for derived tables whose global ordering IS the result (vocab
+    ranking, dense ids) — the checkpoint materializes the table once.
+    """
+    spark = sdf.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    uniq = next(_seq)
+    pid_col, off_col = f"__orp_{uniq}__", f"__oro_{uniq}__"
+    arranged = (
+        sdf.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(pid_col, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = (
+        arranged.groupBy(pid_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()
+    )
+    counts.sort(key=lambda r: r[pid_col])
+    offs, run = [], 0
+    for r in counts:
+        offs.append((r[pid_col], run))
+        run += r["__c__"]
+    off_df = spark.createDataFrame(
+        offs or [(0, 0)], schema=f"{pid_col} int, {off_col} long"
+    )
+    w = Window.partitionBy(F.col(pid_col)).orderBy(*order_cols)
+    return (
+        arranged.join(F.broadcast(off_df), pid_col, "left")
+        .withColumn(
+            out,
+            (F.row_number().over(w) - 1 + F.coalesce(F.col(off_col), F.lit(0))).cast("long"),
+        )
+        .drop(pid_col, off_col)
+    )
+
+
 def bucket_of(bounds: list, key):
     """Monotonic range-bucket id for ``key`` given driver-side splitter
     boundaries (count of boundaries strictly below the key)."""

@@ -415,18 +415,20 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def build_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: corpus token frequencies ranked into stable ids
-    (count desc, token asc). The global ranking window runs over the DISTINCT
-    token table (vocab-sized, not corpus-sized) — the standard tokenizer-prep
-    reduction."""
-    from pyspark.sql.window import Window
+    (count desc, token asc). The ranking runs over the DISTINCT token table
+    (vocab-sized) via the distributed sample-sort row number
+    (scan.ordered_row_number: range-partition + per-partition offset carry) —
+    a web-scale vocab can reach 10⁸-10⁹ distinct tokens, so even the
+    dictionary ranking must not be a single-partition window."""
+    from legate_pandas_spark.frontend.scan import ordered_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     tok = outer_explode(docs, F.split(F.trim(F.col("text")), r"\s+"), "token")
     counted = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counted.select(
-        "token", (F.row_number().over(w) - 1).cast("long").alias("token_id"), "n"
+    ranked = ordered_row_number(
+        counted, [F.desc("n"), F.asc("token")], "token_id"
     )
+    return ranked.select("token", F.col("token_id"), "n")
 
 
 @query(
@@ -561,9 +563,9 @@ def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: posexplode keeps token positions without a window; the
     vocabulary is dictionary-sized and BROADCAST into the id-mapping join, so
     the corpus stream never shuffles at all — the output is produced in the
-    scan stage. The id-ranking window runs only over the distinct-token
-    table."""
-    from pyspark.sql.window import Window
+    scan stage. The id ranking itself is the distributed sample-sort row
+    number (scan.ordered_row_number), never a single-partition window."""
+    from legate_pandas_spark.frontend.scan import ordered_row_number
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
@@ -573,10 +575,7 @@ def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos0", "w"),
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "w")
     counted = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    vocab = counted.select(
-        "w",
-        (
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))) - 1
-        ).cast("long").alias("token_id"),
-    )
+    vocab = ordered_row_number(
+        counted, [F.desc("n"), F.asc("w")], "token_id"
+    ).select("w", "token_id")
     return toks.join(F.broadcast(vocab), "w").select("doc_id", "pos", "token_id")

@@ -194,6 +194,16 @@ def test_pd_global_rank_rolling_no_global_window(catalog, spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_vocab_ranking_no_global_window(catalog, spark, sf_dir):
+    """Vocab id ranking must be the distributed sample-sort row number
+    (range partition + offset carry), not a single-partition window — a
+    web-scale vocabulary is itself hundreds of millions of rows."""
+    for q in ("build_token_vocab", "tokenize_to_vocab_ids"):
+        df = catalog[q](spark, sf_dir)
+        plan = plan_text(df._sdf if hasattr(df, "_sdf") else df, mode="simple")
+        assert "SinglePartition" not in plan, q
+
+
 def test_cat_codes_plan_broadcast_dictionary(spark):
     """cat.codes must broadcast-join a lazy rank dictionary — no driver collect
     of the domain, no N-way CASE chain (reference replicated dictionary,
