@@ -264,7 +264,29 @@ class DataFrame:
         )
         return self._replace(out)
 
-    def dropna(self, how: str = "any", thresh: int | None = None, subset=None) -> "DataFrame":
+    def dropna(self, how: str = "any", thresh: int | None = None, subset=None,
+               axis: int = 0) -> "DataFrame":
+        if axis in (1, "columns"):
+            # drop COLUMNS by null profile: ONE aggregate of per-column null
+            # counts (map-side combinable scalars), then a pure projection
+            probes = [
+                F.sum(F.col(c).isNull().cast("long")).alias(c) for c in self.columns
+            ] + [F.count(F.lit(1)).alias("__total__")]
+            row = self._sdf.agg(*probes).collect()[0]
+            total = row["__total__"]
+            keep = []
+            for c in self.columns:
+                nulls = row[c] or 0
+                if thresh is not None:
+                    ok = (total - nulls) >= thresh
+                elif how == "all":
+                    ok = nulls < total
+                else:
+                    ok = nulls == 0
+                if ok:
+                    keep.append(c)
+            sel = [c for c in self._sdf.columns if c not in self.columns or c in keep]
+            return self._replace(self._sdf.select(*sel))
         cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
         if thresh is not None:
             non_null = sum(F.col(c).isNotNull().cast("int") for c in cols)
@@ -919,6 +941,37 @@ class DataFrame:
             else:
                 sel.append(F.col(c))
         return self._replace(sdf.select(*sel))
+
+    def idxmax(self):
+        """Per-column index label of the max (pandas idxmax, axis=0) — ONE
+        aggregate of max_by(label, col) pairs; a stored index supplies labels,
+        a virtual RangeIndex uses partition-offset positions. Returns a
+        pandas Series indexed by column names (driver-side action)."""
+        return self._idx_reduce(F.max_by)
+
+    def idxmin(self):
+        return self._idx_reduce(F.min_by)
+
+    def _idx_reduce(self, picker):
+        import pandas as pd
+
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        targets = [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        ]
+        if self._index:
+            sdf, label = self._sdf, F.col(self._index[0])
+        else:
+            fresh = ROW_ORDER not in self._sdf.columns
+            sdf, _ = _attach_positions(self._ordered_sdf(), fresh)
+            label = F.col("__pos__")
+        row = sdf.agg(
+            *[picker(label, F.col(c)).alias(c) for c in targets]
+        ).collect()[0]
+        return pd.Series({c: row[c] for c in targets})
 
     def _map_numeric(self, fn) -> "DataFrame":
         """Apply a column expression to every numeric column (projection-only)."""

@@ -564,6 +564,14 @@ class Series:
     def rename(self, name: str) -> "Series":
         return self._wrap(self._col, name)
 
+    def duplicated(self, keep: str | bool = "first"):
+        """Boolean mask of duplicate values (pandas Series.duplicated) — the
+        one-column frame's dedup machinery (row_number per value over the
+        value-partitioned window)."""
+        name = self.name or "0"
+        frame = self.to_frame(name)
+        return frame.duplicated(subset=[name], keep=keep)
+
     def drop_duplicates(self, keep: str | bool = "first") -> "Series":
         """Distinct values in first-occurrence order semantics (exported via
         the one-column frame's dedup machinery — row_number per value)."""

@@ -189,6 +189,28 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_facade_extras_round4(spark):
+    """dropna(axis=1), DataFrame.idxmax/idxmin, Series.duplicated."""
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 9.0, 3.0, None],
+            "b": [None, None, None, None],
+            "c": [5, 1, 7, 2],
+            "s": ["x", "y", "x", "z"],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for kw in ({}, {"how": "all"}, {"thresh": 3}):
+        got = ldf.dropna(axis=1, **kw).to_pandas()
+        want = pdf.dropna(axis=1, **kw)
+        assert list(got.columns) == list(want.columns), kw
+    assert dict(ldf.idxmax()) == dict(pdf[["a", "c"]].idxmax())
+    assert dict(ldf.idxmin()) == dict(pdf[["a", "c"]].idxmin())
+    for keep in ("first", "last", False):
+        got = ldf["s"].duplicated(keep=keep).to_pandas().tolist()
+        assert got == pdf["s"].duplicated(keep=keep).tolist(), keep
+
+
 def test_rolling_median_quantile_matches_pandas(spark):
     import numpy as np
 
