@@ -911,14 +911,19 @@ class DataFrame:
         return self._replace(sdf.select(*sel))
 
     def rank(self, method: str = "min", ascending: bool = True,
-             pct: bool = False) -> "DataFrame":
+             pct: bool = False, axis: int = 0) -> "DataFrame":
         """Per-column global value rank (pandas DataFrame.rank, numeric
         columns). Each column runs the two-phase range-bucketed rank
         (scan.rank_column — splitter boundaries + per-bucket count carries;
         no unpartitioned window); columns are independent rank problems, so
-        each pays its own bucket shuffle."""
+        each pays its own bucket shuffle.
+
+        ``axis=1`` ranks within each row across the numeric columns — a pure
+        array expression (no shuffle, no window at all)."""
         from legate_pandas_spark.frontend.scan import _seq, rank_column
 
+        if axis in (1, "columns"):
+            return self._rank_rowwise(method, ascending, pct)
         sdf = self._ordered_sdf()
         targets = [
             c
@@ -941,6 +946,58 @@ class DataFrame:
             else:
                 sel.append(F.col(c))
         return self._replace(sdf.select(*sel))
+
+    def _rank_rowwise(self, method: str, ascending: bool, pct: bool) -> "DataFrame":
+        targets = [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._index and c != ROW_ORDER and is_numeric_spark_type(t)
+        ]
+        arr = F.array(*[F.col(c).cast("double") for c in targets])
+        valid = F.filter(arr, lambda x: x.isNotNull())
+        n_valid = F.size(valid)
+        sel = []
+        for i, c in enumerate(self._sdf.columns):
+            if c not in targets:
+                sel.append(F.col(c))
+                continue
+            d = F.col(c).cast("double")
+            if ascending:
+                before = F.size(F.filter(valid, lambda x: x < d))
+            else:
+                before = F.size(F.filter(valid, lambda x: x > d))
+            ties = F.size(F.filter(valid, lambda x: x == d))
+            if method == "min":
+                expr = before + 1
+            elif method == "average":
+                expr = before + (ties + 1) / 2.0
+            elif method == "dense":
+                distinct_before = F.size(
+                    F.array_distinct(
+                        F.filter(valid, (lambda x: x < d) if ascending else (lambda x: x > d))
+                    )
+                )
+                expr = distinct_before + 1
+            elif method == "first":
+                j = targets.index(c)
+                earlier_ties = (
+                    sum(
+                        F.coalesce(
+                            (F.col(t2).cast("double") == d).cast("int"), F.lit(0)
+                        )
+                        for t2 in targets[:j]
+                    )
+                    if j
+                    else F.lit(0)
+                )
+                expr = before + earlier_ties + 1
+            else:
+                raise ValueError(f"unsupported rank method: {method!r}")
+            expr = expr.cast("double")
+            if pct:
+                expr = expr / n_valid
+            sel.append(F.when(d.isNotNull(), expr).alias(c))
+        return self._replace(self._sdf.select(*sel))
 
     def idxmax(self):
         """Per-column index label of the max (pandas idxmax, axis=0) — ONE

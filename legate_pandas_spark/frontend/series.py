@@ -257,6 +257,11 @@ class Series:
         boundary-ghost distributed machinery as frame-level Rolling."""
         return SeriesRolling(self, window, min_periods)
 
+    def ewm(self, alpha: float):
+        """Series exponentially weighted accessor — the exact two-phase
+        distributed recurrence (scan.ewm_mean_columns)."""
+        return SeriesEwm(self, alpha)
+
     def expanding(self, min_periods: int = 1):
         """Series expanding window — two-phase running carry, no
         unpartitioned window."""
@@ -989,3 +994,25 @@ class SeriesExpanding:
 
     def count(self):
         return self._apply("count")
+
+
+class SeriesEwm:
+    """Exponentially weighted accessor over the parent frame's row order —
+    exact two-phase distributed recurrence (scan.ewm_mean_columns)."""
+
+    def __init__(self, s: "Series", alpha: float):
+        self._s = s
+        self._alpha = alpha
+
+    def mean(self) -> "Series":
+        from legate_pandas_spark.frontend.scan import _seq, ewm_mean_columns
+
+        s = self._s
+        src = s.name or "0"
+        sdf = s._frame._ordered_sdf()
+        if src not in sdf.columns:
+            src = f"__ewsrc_{next(_seq)}__"
+            sdf = sdf.withColumn(src, s._col)
+        out = f"__sewm_{next(_seq)}__"
+        s._frame._sdf = ewm_mean_columns(sdf, {out: src}, self._alpha)
+        return s._wrap(F.col(out))

@@ -141,3 +141,32 @@ def test_rolling_sum_matches_pandas(spark, pdf):
     got = ldf[["v"]].rolling(3).sum().to_pandas()["v"]
     want = pdf[["v"]].rolling(3).sum()["v"]
     pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_global_rank_matches_pandas(spark, pdf):
+    """Round-4 two-phase distributed rank across random frames/ties."""
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["i"].rank(method="average").to_pandas().reset_index(drop=True)
+    want = pdf["i"].rank(method="average")
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_ewm_mean_matches_pandas(spark, pdf):
+    """Round-4 exact distributed EWM across random frames."""
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["f"].ewm(alpha=0.35).mean().to_pandas().reset_index(drop=True)
+    want = pdf["f"].ewm(alpha=0.35, adjust=True).mean()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+@given(pdf=small_frame())
+@settings(**_SETTINGS)
+def test_expanding_var_matches_pandas(spark, pdf):
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["f"]].expanding().var().to_pandas().reset_index(drop=True)
+    want = pdf[["f"]].expanding().var()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

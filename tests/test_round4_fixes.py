@@ -189,6 +189,44 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_rank_axis1_rowwise(spark):
+    """DataFrame.rank(axis=1): pure array expression, all methods, nulls."""
+    import numpy as np
+
+    rng = np.random.RandomState(53)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.randint(0, 5, 40).astype(float),
+            "b": rng.randint(0, 5, 40).astype(float),
+            "c": rng.randint(0, 5, 40).astype(float),
+        }
+    )
+    pdf.loc[rng.rand(40) < 0.2, "b"] = None
+    for m in ("min", "average", "dense", "first"):
+        for asc in (True, False):
+            ldf = lps.from_pandas(pdf, spark=spark)
+            got = ldf.rank(method=m, ascending=asc, axis=1).to_pandas().reset_index(drop=True)
+            want = pdf.rank(method=m, ascending=asc, axis=1)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.rank(axis=1, pct=True).to_pandas().reset_index(drop=True)
+    want = pdf.rank(method="min", axis=1, pct=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_series_ewm_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(59)
+    v = rng.randn(300)
+    v[rng.rand(300) < 0.1] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].ewm(alpha=0.4).mean().to_pandas().reset_index(drop=True)
+    want = pdf["v"].ewm(alpha=0.4, adjust=True).mean()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
 def test_facade_extras_round4(spark):
     """dropna(axis=1), DataFrame.idxmax/idxmin, Series.duplicated."""
     pdf = pd.DataFrame(
