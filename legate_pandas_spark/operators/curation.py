@@ -626,3 +626,47 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
     )
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH hashed AS (
+        SELECT lang, n_chars,
+               ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS h
+        FROM documents
+    ),
+    tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN h < 0.8 THEN 'train'
+                    WHEN h < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the standard training-data
+    partitioning: a Knuth multiplicative hash of the STABLE doc_id maps every
+    document to [0,1) identically on any engine/cluster size (no RNG, no
+    shuffle-order dependence), then fraction thresholds assign splits.
+    Reported per (split, lang) so class balance is auditable. Pure
+    expression + one aggregate: scale-free. Exact integer arithmetic keeps
+    the DuckDB oracle bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    tagged = docs.select(
+        "lang",
+        "n_chars",
+        F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
