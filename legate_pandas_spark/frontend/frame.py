@@ -1951,6 +1951,47 @@ class Rolling:
 
         return self._apply_expr(lambda c, w: window_quantile_expr(c, w, q))
 
+    def apply(self, func, raw: bool = False):
+        """Arbitrary Python rolling function (pandas rolling.apply) — the UDF
+        escape hatch, still distributed: each ingest partition plus its k-1
+        boundary ghost rows becomes ONE Arrow batch, pandas computes the
+        rolling apply locally, and ghost rows are dropped after providing
+        left context. Partition-parallel; one Python hop per partition."""
+        from pyspark.sql import types as T
+
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+        from legate_pandas_spark.frontend.scan import rolling_parts
+
+        fresh = ROW_ORDER not in self._df._sdf.columns
+        sdf = self._df._ordered_sdf()
+        aug, _w, GH, helpers = rolling_parts(sdf, self._n, fresh)
+        POS, TGT = helpers[0], helpers[1]
+        dtypes = dict(sdf.dtypes)
+        targets = [
+            c
+            for c in sdf.columns
+            if not self._passthrough(c) and is_numeric_spark_type(dtypes[c])
+        ]
+        fields = []
+        for f in sdf.schema.fields:
+            if f.name in targets:
+                fields.append(T.StructField(f.name, T.DoubleType()))
+            else:
+                fields.append(f)
+        schema = T.StructType(fields)
+        n, mp = self._n, self._mp
+        out_cols = [f.name for f in fields]
+
+        def fn(pdf):
+            pdf = pdf.sort_values(POS).reset_index(drop=True)
+            out = pdf.copy()
+            for c in targets:
+                out[c] = pdf[c].rolling(n, min_periods=mp).apply(func, raw=raw)
+            return out.loc[~pdf[GH], out_cols]
+
+        res = aug.groupBy(TGT).applyInPandas(fn, schema=schema)
+        return DataFrame(res, self._df._index)
+
     def sum(self):
         return self._apply(F.sum)
 

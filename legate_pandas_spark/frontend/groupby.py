@@ -744,6 +744,39 @@ class GroupedRolling:
 
         return self._apply_expr(lambda c, w: window_quantile_expr(c, w, q))
 
+    def apply(self, func, raw: bool = False):
+        """Arbitrary Python rolling function per group (pandas
+        groupby.rolling().apply) — each group is one Arrow batch (groups ARE
+        the partition unit, no boundary exchange needed)."""
+        from pyspark.sql import types as T
+
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        sdf = self._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        targets = [
+            c
+            for c in sdf.columns
+            if not self._passthrough(c) and is_numeric_spark_type(dtypes[c])
+        ]
+        fields = [
+            T.StructField(f.name, T.DoubleType()) if f.name in targets else f
+            for f in sdf.schema.fields
+        ]
+        schema = T.StructType(fields)
+        n, mp, order = self._n, self._mp, self._ROW_ORDER
+
+        def fn(pdf):
+            pdf = pdf.sort_values(order).reset_index(drop=True)
+            out = pdf.copy()
+            for c in targets:
+                out[c] = pdf[c].rolling(n, min_periods=mp).apply(func, raw=raw)
+            return out
+
+        res = sdf.groupBy(*self._keys).applyInPandas(fn, schema=schema)
+        return DataFrame(res, self._df._index)
+
     def sum(self):
         return self._apply(F.sum)
 

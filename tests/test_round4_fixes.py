@@ -189,6 +189,51 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_rolling_apply_matches_pandas(spark):
+    """rolling.apply (UDF path): ghost-augmented Arrow batches per partition;
+    ghosts give left context then drop."""
+    import numpy as np
+
+    rng = np.random.RandomState(61)
+    v = rng.randn(400)
+    v[rng.rand(400) < 0.05] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    f = lambda x: x.max() - x.min()  # noqa: E731
+    got = (
+        lps.from_pandas(pdf, spark=spark)
+        .rolling(6, min_periods=2)
+        .apply(f)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = pdf.rolling(6, min_periods=2).apply(f)
+    pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
+
+
+def test_grouped_rolling_apply_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(67)
+    pdf = pd.DataFrame({"g": [f"g{i % 4}" for i in range(200)], "v": rng.randn(200)})
+    got = (
+        lps.from_pandas(pdf, spark=spark)
+        .groupby("g")
+        .rolling(3, min_periods=1)
+        .apply(lambda x: x.sum(), raw=True)
+        .to_pandas()["v"]
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.groupby("g")["v"]
+        .rolling(3, min_periods=1)
+        .apply(lambda x: x.sum(), raw=True)
+        .reset_index(level=0)
+        .sort_index()["v"]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
 def test_rank_axis1_rowwise(spark):
     """DataFrame.rank(axis=1): pure array expression, all methods, nulls."""
     import numpy as np
