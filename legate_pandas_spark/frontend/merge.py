@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+class MergeError(ValueError):
+    """pandas.errors.MergeError twin (subclasses ValueError like pandas)."""
+
+
 _HOW_MAP = {
     "inner": "inner",
     "left": "left",
@@ -37,6 +41,7 @@ def merge(
     suffixes: tuple[str, str] = ("_x", "_y"),
     broadcast: bool = False,
     indicator: bool = False,
+    validate: str | None = None,
 ):
     from legate_pandas_spark.frontend.frame import DataFrame
 
@@ -78,6 +83,38 @@ def merge(
     for k in rkeys:
         if k not in rcols:
             raise KeyError(f"right key {k!r} not in columns")
+
+    if validate is not None:
+        # pandas validate=: key-uniqueness audits, one cheap aggregate per
+        # checked side (groupBy keys → any count>1; map-side combinable,
+        # limit(1) short-circuits the scan of the duplicate list)
+        _VALID = {
+            "one_to_one": (True, True), "1:1": (True, True),
+            "one_to_many": (True, False), "1:m": (True, False),
+            "many_to_one": (False, True), "m:1": (False, True),
+            "many_to_many": (False, False), "m:m": (False, False),
+        }
+        if validate not in _VALID:
+            raise ValueError(f"invalid validate: {validate!r}")
+        need_left, need_right = _VALID[validate]
+
+        def _has_dupes(sdf, keys):
+            return bool(
+                sdf.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1)
+                .limit(1)
+                .collect()
+            )
+
+        if need_left and lkeys and _has_dupes(left._sdf, lkeys):
+            raise MergeError(
+                f"Merge keys are not unique in left dataset; not a {validate} merge"
+            )
+        if need_right and rkeys and _has_dupes(right._sdf, rkeys):
+            raise MergeError(
+                f"Merge keys are not unique in right dataset; not a {validate} merge"
+            )
 
     # ---- build disambiguated join ----------------------------------------
     rpref = "__r__"

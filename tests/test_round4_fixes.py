@@ -189,6 +189,22 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_merge_validate(spark):
+    """merge(validate=): pandas key-uniqueness audits (MergeError twin)."""
+    from legate_pandas_spark.frontend.merge import MergeError
+
+    left = lps.from_pandas(pd.DataFrame({"k": [1, 2, 2], "a": [1, 2, 3]}), spark=spark)
+    right = lps.from_pandas(pd.DataFrame({"k": [1, 2], "b": [10, 20]}), spark=spark)
+    assert len(left.merge(right, on="k", validate="many_to_one").to_pandas()) == 3
+    assert len(right.merge(left, on="k", validate="one_to_many").to_pandas()) == 3
+    with pytest.raises(MergeError):
+        left.merge(right, on="k", validate="one_to_one")
+    with pytest.raises(MergeError):
+        right.merge(left, on="k", validate="1:1")
+    with pytest.raises(ValueError):
+        left.merge(right, on="k", validate="bogus")
+
+
 def test_rolling_apply_matches_pandas(spark):
     """rolling.apply (UDF path): ghost-augmented Arrow batches per partition;
     ghosts give left context then drop."""
