@@ -670,3 +670,63 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+def _split_expr(col):
+    h = ((col * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    return F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test")
+
+
+def _leakage_oracle():
+    from legate_pandas_spark.operators.dedup import _SQL_LSH_PAIRS
+
+    return f"""
+    WITH pairs AS ({_SQL_LSH_PAIRS}),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
+                    THEN 'train'
+                    WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           round(sum(p.jaccard), 4) AS sum_jaccard
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+    """
+
+
+@query("cross_split_leakage", oracle=_leakage_oracle())
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs (MinHash-LSH +
+    exact Jaccard verify) that STRADDLE the deterministic train/val/test
+    split — the leakage a held-out eval set must not have. Composes the
+    sub-linear LSH candidate generation with the hash-based split (both
+    engine-deterministic), so the whole audit is oracle-checkable; the
+    splits join is a broadcast of two tiny columns onto the pair list."""
+    from legate_pandas_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), _split_expr(F.col("doc_id")).alias("split_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), _split_expr(F.col("doc_id")).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+        )
+    )
