@@ -83,8 +83,11 @@ HEADLINE = [
     # round 3: window-twin additions
     "first_nonnull_running",
     "percentile_disc_by_type",
-    # round 4: distributed rank + rolling facade pin
+    # round 4: distributed rank + rolling facade pin, training-split ops
     "pd_global_rank_rolling",
+    "pd_rolling_median_quantile",
+    "train_val_test_split",
+    "cross_split_leakage",
 ]
 
 

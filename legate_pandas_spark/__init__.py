@@ -20,8 +20,11 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     crosstab,
     cut,
     get_dummies,
+    merge,
     merge_asof,
     qcut,
+    to_datetime,
+    to_numeric,
     read_csv,
     read_json,
     read_orc,

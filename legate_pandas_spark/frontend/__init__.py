@@ -24,3 +24,25 @@ def merge_asof(left, right, on, by, tolerance_seconds=None):
         tolerance_seconds=tolerance_seconds,
     )
     return DataFrame(out)
+
+
+def to_datetime(s, format: str | None = None):
+    """Module-level pandas.to_datetime for Series (delegates to the Series'
+    string→timestamp cast with strftime-format translation)."""
+    return s.to_datetime(format)
+
+
+def to_numeric(s, errors: str = "raise"):
+    """Module-level pandas.to_numeric: cast to double; ``errors='coerce'``
+    nulls unparseable values (try_cast), ``'raise'`` surfaces them via the
+    ANSI cast."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    if errors == "coerce":
+        return s._wrap(s._col.try_cast("double"))
+    return s.astype("float64")
+
+
+def merge(left, right, **kwargs):
+    """Module-level pandas.merge (same as DataFrame.merge)."""
+    return left.merge(right, **kwargs)
