@@ -189,6 +189,22 @@ def test_expanding_carry_large(spark):
     pd.testing.assert_frame_equal(got[["v"]], want, check_dtype=False)
 
 
+def test_ordered_row_number_unit(spark):
+    """Distributed sample-sort row number == sorted enumerate, with ties on
+    the primary key broken by the secondary."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.frontend.scan import ordered_row_number
+
+    rows = [(i % 7, f"w{i % 13:02d}") for i in range(500)]
+    sdf = spark.createDataFrame(rows, schema="n int, w string").repartition(11)
+    out = ordered_row_number(sdf, [F.desc("n"), F.asc("w")], "rid")
+    got = [(r["n"], r["w"], r["rid"]) for r in out.orderBy("rid").collect()]
+    want = sorted(rows, key=lambda t: (-t[0], t[1]))
+    assert [t[:2] for t in got] == want
+    assert [t[2] for t in got] == list(range(500))
+
+
 def test_merge_validate(spark):
     """merge(validate=): pandas key-uniqueness audits (MergeError twin)."""
     from legate_pandas_spark.frontend.merge import MergeError
