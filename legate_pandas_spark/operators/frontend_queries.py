@@ -533,3 +533,52 @@ def pd_rolling_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med5", 4).alias("med5"),
         F.round("q25", 4).alias("q25"),
     )
+
+
+@query(
+    "pd_global_interpolate",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 IN (1, 2) THEN NULL
+                    ELSE round(o_totalprice, 2) END AS v
+        FROM orders WHERE o_orderkey <= 4000
+    ),
+    pos AS (
+        SELECT o_orderkey, v,
+               row_number() OVER (ORDER BY o_orderkey) AS p
+        FROM s
+    ),
+    ctx AS (
+        SELECT o_orderkey, v, p,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wp AS pp,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wn AS np
+        FROM pos
+        WINDOW wp AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderkey,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (p - pp) * 1.0 / (np - pp)
+                 END, 4) AS interp
+    FROM ctx
+    """,
+)
+def pd_global_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: mask + GLOBAL Series.interpolate — driver-pins the
+    round-4 two-phase interpolation (positions from partition-offset
+    arithmetic, bracketing (value, pos) pairs from one forward and one
+    backward carry pass; frontend/series.py). The oracle spells the identical
+    blend with DuckDB ignore-nulls windows."""
+    ords = _read(spark, sf_dir, "orders")
+    sub = ords[ords["o_orderkey"] <= 4000][["o_orderkey", "o_totalprice"]]
+    srt = sub.sort_values(["o_orderkey"])
+    masked = srt["o_totalprice"].round(2).mask((srt["o_orderkey"] % 7).isin([1, 2]))
+    srt["v"] = masked
+    srt["interp"] = srt["v"].interpolate()
+    sdf = srt.to_spark()
+    return sdf.select("o_orderkey", F.round("interp", 4).alias("interp"))

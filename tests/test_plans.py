@@ -194,6 +194,12 @@ def test_pd_global_rank_rolling_no_global_window(catalog, spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_pd_global_interpolate_no_global_window(catalog, spark, sf_dir):
+    df = catalog["pd_global_interpolate"](spark, sf_dir)
+    plan = plan_text(df._sdf if hasattr(df, "_sdf") else df, mode="simple")
+    assert "SinglePartition" not in plan
+
+
 def test_vocab_ranking_no_global_window(catalog, spark, sf_dir):
     """Vocab id ranking must be the distributed sample-sort row number
     (range partition + offset carry), not a single-partition window — a
