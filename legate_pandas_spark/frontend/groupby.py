@@ -555,9 +555,11 @@ class GroupBy:
 
     def ewm(self, alpha: float):
         """Per-group exponentially weighted accessor (pandas groupby.ewm).
-        Each group is one pandas ewm computation inside applyInPandas — groups
-        process in parallel, Arrow-batched; the sequential recurrence only ever
-        spans one group (the reference has no ewm; nearest is the two-phase
+        EXACT fully-distributed keyed two-phase recurrence
+        (``scan.grouped_ewm_mean_columns``): partition-local EWM states per
+        (group, partition) + a distributed per-group prefix-combine of the
+        carries — no per-group sequential task, so one giant skewed group
+        still parallelizes (the reference has no ewm; nearest is the two-phase
         scan machinery, core/column.py:644-687)."""
         return GroupByEwm(self, alpha)
 
@@ -841,19 +843,13 @@ class GroupByEwm:
             and is_numeric_spark_type(dtypes[c])
         ]
         keep = [c for c in sdf.columns if c not in value_cols]
-        out_schema = ", ".join(
-            [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{c}` double" for c in value_cols]
+        from legate_pandas_spark.frontend import scan
+
+        tmp = {f"__gewm_out_{i}__": c for i, c in enumerate(value_cols)}
+        res = scan.grouped_ewm_mean_columns(sdf, list(gb._keys), tmp, self._alpha)
+        res = res.select(
+            *keep, *[F.col(t).alias(c) for t, c in zip(tmp, value_cols)]
         )
-        alpha = self._alpha
-
-        def wrapper(pdf):
-            pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
-            out = pdf[keep].copy()
-            for c in value_cols:
-                out[c] = pdf[c].ewm(alpha=alpha, adjust=True).mean()
-            return out
-
-        res = sdf.groupBy(*gb._keys).applyInPandas(wrapper, schema=out_schema)
         return DataFrame(res, gb._df._index)
 
 

@@ -538,6 +538,168 @@ def ewm_mean_columns(sdf, cols: dict, alpha: float):
     return work.groupBy(PID).applyInPandas(phase2, schema2).drop(PID)
 
 
+def _ewm_local_num_den(x_ser, alpha: float):
+    """Local (within one ordered run) EWM numerator/denominator arrays.
+
+    num_i = Σ_{j≤i, x_j non-null} b^{i-j}·x_j, den_i = same sum of weights
+    (b = 1-α) — recovered from pandas' own ewm so the adjust=True /
+    ignore_na=False weighting is bit-compatible with pandas.
+    """
+    import numpy as np
+
+    b = 1.0 - alpha
+    n = len(x_ser)
+    r = np.arange(1, n + 1, dtype="float64")
+    dall = (1.0 - np.power(b, r)) / alpha if alpha < 1.0 else np.ones(n)
+    x = x_ser.astype("float64")
+    mask = x.notna().astype("float64")
+    mean_local = x.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+    mm = mask.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+    den = mm * dall
+    num = np.where(den > 0, np.nan_to_num(mean_local) * den, 0.0)
+    return num, den
+
+
+def grouped_ewm_mean_columns(sdf, keys: list, cols: dict, alpha: float):
+    """Append per-group exponentially-weighted means
+    (pandas ``groupby(keys).ewm(alpha, adjust=True).mean()``) — EXACT and
+    fully distributed: no per-group sequential task, so one giant (skewed)
+    group still parallelizes across partitions.
+
+    Same linear-recurrence math as ``ewm_mean_columns`` (reference carry
+    design: ``legate/pandas/core/column.py:644-687``, generalized to keyed
+    scans) but the carry is per (group, partition) and the prefix-combine is
+    itself DISTRIBUTED: phase 1 emits one tiny state row per
+    (partition, group) — (end_num, end_den, b^rows) — those states are
+    prefix-combined per group by a second applyInPandas over the state table
+    (≤ num_partitions rows per group), and the carries join back on
+    (pid, keys) with null-safe key equality. Nothing is collected to the
+    driver, so millions of groups are fine; a single global group degrades to
+    exactly ``ewm_mean_columns``' shape.
+
+    ``cols`` maps out_name -> source column NAME (str); outputs are appended
+    as doubles.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    b = 1.0 - alpha
+    uniq = next(_seq)
+    PID = f"__gep_{uniq}__"
+    work = sdf.withColumn(PID, _pid())
+    srcs = list(dict.fromkeys(cols.values()))
+    key_fields = {f.name: f for f in work.schema.fields}
+    en = [f"__gen_{uniq}_{i}__" for i in range(len(srcs))]
+    ed = [f"__ged_{uniq}_{i}__" for i in range(len(srcs))]
+    cn = [f"__gcn_{uniq}_{i}__" for i in range(len(srcs))]
+    cd = [f"__gcd_{uniq}_{i}__" for i in range(len(srcs))]
+    DEC = f"__gdec_{uniq}__"
+
+    state_schema = T.StructType(
+        [T.StructField(PID, T.LongType())]
+        + [key_fields[k] for k in keys]
+        + [T.StructField(DEC, T.DoubleType())]
+        + [T.StructField(c, T.DoubleType()) for pair in zip(en, ed) for c in pair]
+    )
+
+    def phase1(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        outs = []
+        for _, g in pdf.groupby(keys, dropna=False, sort=False):
+            o = g.iloc[[0]][[PID] + keys].copy()
+            o[DEC] = float(b ** len(g))
+            for i, s in enumerate(srcs):
+                num, den = _ewm_local_num_den(g[s], alpha)
+                o[en[i]] = float(num[-1])
+                o[ed[i]] = float(den[-1])
+            outs.append(o)
+        if not outs:
+            o = pdf.iloc[0:0][[PID] + keys].copy()
+            o[DEC] = pd.Series(dtype="float64")
+            for i in range(len(srcs)):
+                o[en[i]] = pd.Series(dtype="float64")
+                o[ed[i]] = pd.Series(dtype="float64")
+            outs.append(o)
+        return pd.concat(outs)
+
+    states = work.groupBy(PID).applyInPandas(phase1, state_schema)
+
+    carry_schema = T.StructType(
+        [T.StructField(PID, T.LongType())]
+        + [key_fields[k] for k in keys]
+        + [T.StructField(c, T.DoubleType()) for pair in zip(cn, cd) for c in pair]
+    )
+
+    def combine(pdf):
+        pdf = pdf.sort_values(PID).reset_index(drop=True)
+        out = pdf[[PID] + keys].copy()
+        for i in range(len(srcs)):
+            ns, ds = [], []
+            an, ad = 0.0, 0.0
+            for dec, e_n, e_d in zip(pdf[DEC], pdf[en[i]], pdf[ed[i]]):
+                ns.append(an)
+                ds.append(ad)
+                an = e_n + dec * an
+                ad = e_d + dec * ad
+            out[cn[i]] = ns
+            out[cd[i]] = ds
+        return out
+
+    carries = states.groupBy(*keys).applyInPandas(combine, carry_schema)
+
+    cpid = f"__gcp_{uniq}__"
+    ckeys = [f"__gck_{uniq}_{i}__" for i in range(len(keys))]
+    carries = carries.select(
+        F.col(PID).alias(cpid),
+        *[F.col(k).alias(a) for k, a in zip(keys, ckeys)],
+        *[c for pair in zip(cn, cd) for c in pair],
+    )
+    cond = F.col(PID) == F.col(cpid)
+    for k, a in zip(keys, ckeys):
+        cond = cond & F.col(k).eqNullSafe(F.col(a))
+    work2 = work.join(carries, cond, "left").drop(cpid, *ckeys)
+
+    out_schema = T.StructType(
+        list(work2.schema.fields)
+        + [T.StructField(o, T.DoubleType()) for o in cols]
+    )
+
+    def phase2(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        outs = []
+        for _, g in pdf.groupby(keys, dropna=False, sort=False):
+            n = len(g)
+            bpow = np.power(b, np.arange(1, n + 1, dtype="float64"))
+            o = g.copy()
+            for out_name, s in cols.items():
+                i = srcs.index(s)
+                num, den = _ewm_local_num_den(g[s], alpha)
+                pn = g[cn[i]].iloc[0]
+                pdn = g[cd[i]].iloc[0]
+                pn = 0.0 if pd.isna(pn) else float(pn)
+                pdn = 0.0 if pd.isna(pdn) else float(pdn)
+                gn = num + bpow * pn
+                gd = den + bpow * pdn
+                o[out_name] = np.where(gd > 0, gn / np.where(gd > 0, gd, 1.0), np.nan)
+            outs.append(o)
+        if not outs:
+            o = pdf.copy()
+            for out_name in cols:
+                o[out_name] = pd.Series(dtype="float64")
+            outs.append(o)
+        return pd.concat(outs)
+
+    drop_helpers = [c for pair in zip(cn, cd) for c in pair]
+    return (
+        work2.groupBy(PID)
+        .applyInPandas(phase2, out_schema)
+        .drop(PID, *drop_helpers)
+    )
+
+
 def rolling_parts(sdf, k: int, fresh: bool):
     """Build the pieces for a k-row rolling frame without an unpartitioned
     window: (augmented sdf, window spec, ghost flag column name, helper cols).

@@ -730,3 +730,107 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
         )
     )
+
+
+_BLOOM_BITS = 1 << 20  # m: bitmap width (128 KiB); production: size for ~10 bits/elem
+_BLOOM_K = 3  # hash count
+
+
+def _bloom_positions(gcol):
+    """K bit positions per gram, computed JVM-side (xxhash64 with k distinct
+    salt columns — identical expressions on build and probe side, so the two
+    stages agree by construction; no Python hashing anywhere)."""
+    return [
+        F.pmod(F.xxhash64(gcol, F.lit(i)), F.lit(_BLOOM_BITS)).alias(f"__bp{i}__")
+        for i in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "bloom_prefilter_decontaminate",
+    oracle=_SQL_GRAMS
+    + f"""
+    , bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), cand AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+        )
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+    FROM cand c JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom-filter prefilter — the scale path
+    for when the benchmark n-gram set is too big to broadcast as strings.
+
+    100 TB design: a 1B-gram benchmark is ~50 GB of strings (unbroadcastable)
+    but ~1.2 GB as a 10-bit/elem Bloom bitmap. Build = one pass over bench
+    grams: each partition sets bits in a LOCAL m-bit numpy bitmap and ships
+    only the m/8 bytes (treeAggregate shape — cost independent of data size);
+    the driver ORs num_partitions bitmaps and broadcasts the result once.
+    Probe = JVM-side xxhash64 positions + an Arrow-vectorized bitmap lookup,
+    then the few surviving (doc, gram) candidates take the EXACT verify join —
+    Bloom filters have no false negatives, so the final answer is exact and
+    the oracle is the plain join. False positives only cost verify-join input.
+
+    Beyond the reference (no corpus tooling there); the two-stage
+    prefilter+verify discipline mirrors dedup_minhash_lsh."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    grams = toks.select("doc_id", _word_ngrams(F.col("t"), _N).alias("gs"))
+    bench = outer_explode(
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0), "gs", "g"
+    ).distinct()
+
+    # --- build: per-partition bitmaps, OR-combined on the driver ---
+    pos_cols = [f"__bp{i}__" for i in range(_BLOOM_K)]
+    bench_pos = bench.select(*_bloom_positions(F.col("g")))
+
+    def build(batches):
+        bm = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for c in pos_cols:
+                p = pdf[c].to_numpy()
+                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            any_rows = any_rows or len(pdf) > 0
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for row in bench_pos.mapInPandas(build, "bm binary").collect():
+        bloom |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bloom_bc = spark.sparkContext.broadcast(bloom.tobytes())
+
+    # --- probe: vectorized bitmap membership on JVM-computed positions ---
+    @pandas_udf("boolean")
+    def might_contain(p0, p1, p2):
+        bm = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        ok = np.ones(len(p0), dtype=bool)
+        for p in (p0, p1, p2):
+            pv = p.to_numpy()
+            ok &= (bm[pv >> 3] & (1 << (pv & 7)).astype(np.uint8)) != 0
+        return pd.Series(ok)
+
+    cand = (
+        outer_explode(
+            grams.filter(F.col("doc_id") % _BENCH_MOD != 0), "gs", "g", "doc_id"
+        )
+        .distinct()
+        .select("doc_id", "g", *_bloom_positions(F.col("g")))
+    )
+    survivors = cand.filter(might_contain(*[F.col(c) for c in pos_cols])).select(
+        "doc_id", "g"
+    )
+    # exact verify: no false negatives upstream, so this join IS the answer
+    return (
+        survivors.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )

@@ -175,6 +175,13 @@ def test_rank_interpolate_rolling_no_global_window(spark):
     cases.append(("frame_interpolate", lps.from_pandas(pdf, spark=spark).interpolate()))
     cases.append(("frame_rank", lps.from_pandas(pdf, spark=spark).rank()))
     cases.append(("ewm_mean", lps.from_pandas(pdf, spark=spark).ewm(alpha=0.4).mean()))
+    pdf_k = pdf.assign(k=[i % 3 for i in range(300)])
+    cases.append(
+        (
+            "grouped_ewm_mean",
+            lps.from_pandas(pdf_k, spark=spark).groupby("k").ewm(alpha=0.4).mean(),
+        )
+    )
     for name, df in cases:
         plan = plan_text(df._sdf, mode="simple")
         assert "SinglePartition" not in plan, f"{name}: unpartitioned exchange"

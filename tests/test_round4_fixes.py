@@ -457,3 +457,52 @@ def test_apply_dominant_group_bounded_sample(spark):
         .reset_index(drop=True)
     )
     assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_grouped_ewm_distributed_skewed_group(spark):
+    """One giant group spanning many partitions + nulls: the keyed two-phase
+    carry must stitch partition-local EWM states exactly (no per-group
+    sequential task)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    keys = np.where(rng.rand(n) < 0.9, "big", rng.choice(["s1", "s2"], n))
+    vals = rng.randn(n) * 10
+    vals[rng.rand(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").ewm(alpha=0.25).mean().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=True).mean()
+    )
+    np.testing.assert_allclose(
+        got["v"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+def test_grouped_ewm_multikey_and_null_keys(spark):
+    """Composite keys incl. null keys: null-key rows are EXCLUDED (pandas
+    dropna=True groupby contract, matching the reference's cudf EXCLUDE);
+    surviving groups match pandas exactly across partition boundaries."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "k1": ["a", "a", None, "b", None, "a", "b", None] * 30,
+            "k2": [1, 2, 1, 1, 1, 2, 1, 1] * 30,
+            "v": [float(i % 17) for i in range(240)],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby(["k1", "k2"]).ewm(alpha=0.4).mean().to_pandas()
+    keep = pdf["k1"].notna()
+    assert len(got) == int(keep.sum())
+    want = (
+        pdf[keep]
+        .groupby(["k1", "k2"])["v"]
+        .transform(lambda s: s.ewm(alpha=0.4, adjust=True).mean())
+    )
+    np.testing.assert_allclose(
+        got["v"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
