@@ -88,6 +88,10 @@ HEADLINE = [
     "pd_rolling_median_quantile",
     "train_val_test_split",
     "cross_split_leakage",
+    # round 4 (cont.): sketch-shaped scale paths
+    "bloom_prefilter_decontaminate",
+    "heavy_hitters_tokens",
+    "embedding_quantize_int8",
 ]
 
 

@@ -533,3 +533,69 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pruned").cast("bigint").alias("n_pruned"),
         F.round(F.sum("pruned") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("prune_rate"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), m AS (
+        SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+    ), s AS (
+        SELECT label, v, mx,
+               CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale
+        FROM m
+    ), err AS (
+        SELECT label, mx,
+               sqrt(list_sum(list_transform(
+                   v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / {DIM}.0)
+                   AS rmse
+        FROM s
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(rmse), 6) AS avg_rmse,
+           round(max(rmse), 6) AS max_rmse,
+           round(avg(mx), 6) AS avg_absmax
+    FROM err GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with reconstruction-error
+    audit — the memory-side half of a 100 TB ANN story: 4× smaller vectors
+    (float32→int8) mean 4× more corpus per executor before any index
+    structure; this query measures what that costs in fidelity, per label.
+
+    Codes are floor(x/scale + 0.5) with scale = max|x|/127 (floor is
+    rounding-mode-identical across engines, unlike round()); the error fold is
+    the same order-stable sequential F.aggregate as the dot products. Pure
+    JVM array expressions — no UDF, no shuffle except the final label-count
+    aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    work = emb.select(
+        "label",
+        ve.alias("v"),
+        F.array_max(F.transform(ve, lambda x: F.abs(x))).alias("mx"),
+    )
+    work = work.withColumn(
+        "scale", F.when(F.col("mx") > 0, F.col("mx") / 127.0).otherwise(F.lit(1.0))
+    )
+    errsq = F.transform(
+        F.col("v"),
+        lambda x: F.pow(
+            x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), F.lit(2.0)
+        ),
+    )
+    sse = F.aggregate(errsq, F.lit(0.0), lambda acc, v: acc + v)
+    scored = work.select(
+        "label", "mx", F.sqrt(sse / F.lit(float(DIM))).alias("rmse")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+        F.round(F.max("rmse"), 6).alias("max_rmse"),
+        F.round(F.avg("mx"), 6).alias("avg_absmax"),
+    )

@@ -579,3 +579,69 @@ def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, [F.desc("n"), F.asc("w")], "token_id"
     ).select("w", "token_id")
     return toks.join(F.broadcast(vocab), "w").select("doc_id", "pos", "token_id")
+
+
+_HH_INV_SUPPORT = 400  # heavy hitter = token with count > total_tokens / 400
+
+
+@query(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY token
+    HAVING count(*) > (SELECT n FROM tot) / {_HH_INV_SUPPORT}.0
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (count > corpus_tokens/400) via a two-phase
+    candidate prefilter — the space-saving/Misra-Gries shape with an exact
+    recount, so the answer is identical to the naive global groupBy.
+
+    100 TB design: a naive groupBy(token) shuffles one partial row per
+    DISTINCT token per partition — at web scale that is billions of shuffle
+    rows for a query whose answer has a few hundred. Phase 1 instead counts
+    tokens locally per partition (Arrow-vectorized, shuffle-free) and emits
+    only tokens with LOCAL count > local_n/400: by pigeonhole any token with
+    GLOBAL count > n/400 must exceed that local threshold in at least one
+    partition, so the candidate union (≤ 400 rows per partition) is a strict
+    superset of the answer. Phase 2 recounts ONLY candidates via a broadcast
+    semi-join (map-side partial agg bounds the shuffle at candidates ×
+    partitions) and applies the exact global threshold. Candidate-set
+    variation across partitionings cannot change the result — the final
+    filter uses exact counts."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = outer_explode(docs, F.split(F.trim(F.col("text")), r"\s+"), "token").select(
+        "token"
+    )
+
+    def phase1(batches):
+        parts = []
+        for pdf in batches:
+            parts.append(pdf["token"].value_counts())
+        if not parts:
+            return
+        vc = pd.concat(parts).groupby(level=0).sum()
+        n_p = int(vc.sum())
+        heavy = vc[vc * _HH_INV_SUPPORT > n_p]
+        out = pd.DataFrame(
+            {"token": heavy.index.astype(str), "part_n": [0] * len(heavy)}
+        )
+        marker = pd.DataFrame({"token": [None], "part_n": [n_p]})
+        yield pd.concat([out, marker])
+
+    summary = tok.mapInPandas(phase1, "token string, part_n long").collect()
+    total = sum(r["part_n"] for r in summary)
+    cand = sorted({r["token"] for r in summary if r["token"] is not None})
+    cand_df = spark.createDataFrame([(c,) for c in cand], "token string")
+    return (
+        tok.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > total / float(_HH_INV_SUPPORT))
+    )
