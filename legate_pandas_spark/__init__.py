@@ -19,9 +19,11 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     concat,
     crosstab,
     cut,
+    factorize,
     get_dummies,
     merge,
     merge_asof,
+    pivot_table,
     qcut,
     to_datetime,
     to_numeric,

@@ -5,7 +5,7 @@ from legate_pandas_spark.frontend.frame import DataFrame, concat, from_pandas  #
 from legate_pandas_spark.frontend.series import Series  # noqa: F401
 from legate_pandas_spark.frontend.io import read_csv, read_json, read_orc, read_parquet  # noqa: F401
 from legate_pandas_spark.frontend.query import translate_query_expr  # noqa: F401
-from legate_pandas_spark.frontend.encode import crosstab, cut, get_dummies, qcut  # noqa: F401
+from legate_pandas_spark.frontend.encode import crosstab, cut, get_dummies, pivot_table, qcut  # noqa: F401
 
 
 def merge_asof(left, right, on, by, tolerance_seconds=None):
@@ -46,3 +46,8 @@ def to_numeric(s, errors: str = "raise"):
 def merge(left, right, **kwargs):
     """Module-level pandas.merge (same as DataFrame.merge)."""
     return left.merge(right, **kwargs)
+
+
+def factorize(s, sort: bool = False):
+    """Module-level pandas.factorize for Series — see ``Series.factorize``."""
+    return s.factorize(sort=sort)

@@ -188,3 +188,58 @@ def _apply_labels(series: Series, code, labels, nbins: int, edges=None, right: b
     for i, lab in enumerate(labels):
         expr = F.when(code == F.lit(i), F.lit(str(lab))).otherwise(expr)
     return series._wrap(expr, series.name)
+
+
+_PIVOT_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "first": F.first,
+}
+
+
+def pivot_table(
+    data: DataFrame,
+    values: str,
+    index,
+    columns: str,
+    aggfunc: str = "mean",
+    fill_value=None,
+) -> DataFrame:
+    """pandas.pivot_table: one hash aggregate + pivot.
+
+    The pivoted column's dictionary is one distinct aggregate, bounded by
+    ``MAX_DICT_VALUES`` (its values become schema — only sensible for
+    low-cardinality keys, same contract as crosstab/get_dummies). The
+    aggregation itself is a single groupBy over (index × columns) with
+    map-side partial aggregation — fact-table sized input, dictionary-sized
+    output. The reference has no reshape ops at all (SURVEY §2.7) — extension
+    surface."""
+    if isinstance(values, (list, tuple)):
+        raise NotImplementedError(
+            "pivot_table(values=list): one values column per call "
+            "(pandas MultiIndex output columns are out of scope)"
+        )
+    if aggfunc not in _PIVOT_AGGS:
+        raise ValueError(
+            f"pivot_table: aggfunc {aggfunc!r} not in {sorted(_PIVOT_AGGS)}"
+        )
+    index = [index] if isinstance(index, str) else list(index)
+    sdf = data._sdf
+    vals = _collect_dictionary(sdf, F.col(columns), f"pivot_table({columns!r})")
+    fn = _PIVOT_AGGS[aggfunc]
+    pivoted = (
+        sdf.filter(F.col(columns).isNotNull())
+        .groupBy(*index)
+        .pivot(columns, vals)
+        .agg(fn(F.col(values)))
+        .orderBy(*index)
+    )
+    pivoted = pivoted.select(
+        *index, *[F.col(f"`{v}`").alias(str(v)) for v in vals]
+    )
+    if fill_value is not None:
+        pivoted = pivoted.fillna(fill_value, subset=[str(v) for v in vals])
+    return DataFrame(pivoted, tuple(index))

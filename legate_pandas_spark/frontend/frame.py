@@ -1542,6 +1542,31 @@ class DataFrame:
         )
         return DataFrame(self._sdf.select(*id_vars, stacked), ())
 
+    def pivot_table(
+        self, values, index, columns, aggfunc: str = "mean", fill_value=None
+    ) -> "DataFrame":
+        """pandas.DataFrame.pivot_table — see ``encode.pivot_table``."""
+        from legate_pandas_spark.frontend.encode import pivot_table
+
+        return pivot_table(self, values, index, columns, aggfunc, fill_value)
+
+    def pivot(self, index, columns, values) -> "DataFrame":
+        """pandas.DataFrame.pivot: reshape WITHOUT aggregation — raises
+        ValueError on duplicate (index, columns) entries like pandas (the
+        duplicate probe is one max-count aggregate, scalars to the driver)."""
+        from legate_pandas_spark.frontend.encode import pivot_table
+
+        idx = [index] if isinstance(index, str) else list(index)
+        dup = (
+            self._sdf.groupBy(*idx, columns)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.max("__n__"))
+            .collect()[0][0]
+        )
+        if dup is not None and dup > 1:
+            raise ValueError("Index contains duplicate entries, cannot reshape")
+        return pivot_table(self, values, index, columns, aggfunc="first")
+
     def explode(self, column: str) -> "DataFrame":
         """One row per array element (pandas explode; empty/null arrays keep a
         null row, matching pandas)."""

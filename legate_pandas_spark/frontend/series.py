@@ -505,6 +505,42 @@ class Series:
     def nunique(self):
         return self._reduce(F.countDistinct(self._col))
 
+    def factorize(self, sort: bool = False):
+        """pandas.factorize: (codes Series, uniques list). Codes follow first
+        appearance (or sorted values with ``sort=True``); nulls code as -1.
+
+        Distributed shape: the dictionary is a distinct aggregate ranked by
+        min(row-order) through the sample-sort row number
+        (``scan.ordered_row_number`` — no single-partition window even for a
+        web-scale dictionary), then joined back onto the parent frame (plain
+        equi-join; AQE broadcasts it when small). Only the uniques LIST is
+        collected — that is the pandas return contract. The reference's
+        nearest analog is the categorical dictionary (core/column.py:831-911),
+        which it replicates wholesale."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.scan import _seq, ordered_row_number
+
+        uniq = next(_seq)
+        val, mo, code = (
+            f"__fz_val_{uniq}__",
+            f"__fz_mo_{uniq}__",
+            f"__fz_code_{uniq}__",
+        )
+        frame = self._frame
+        frame._sdf = frame._ordered_sdf()
+        base = frame._sdf.select(
+            self._col.alias(val), F.col(ROW_ORDER).alias(mo)
+        ).filter(F.col(val).isNotNull())
+        dic = base.groupBy(val).agg(F.min(mo).alias(mo))
+        order = [F.asc(val)] if sort else [F.asc(mo)]
+        dic = ordered_row_number(dic, order, code).select(val, code)
+        uniques = [r[val] for r in dic.orderBy(code).collect()]
+        frame._sdf = frame._sdf.join(
+            dic, self._col == F.col(val), "left"
+        ).drop(val)
+        codes = self._wrap(F.coalesce(F.col(code), F.lit(-1)).cast("long"))
+        return codes, uniques
+
     def quantile(self, q=0.5):
         """Exact interpolated quantile (scalar, or list for list input).
         Exact `percentile` is a per-sort-key aggregate; at 100 TB swap to

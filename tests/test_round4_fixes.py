@@ -506,3 +506,97 @@ def test_grouped_ewm_multikey_and_null_keys(spark):
     np.testing.assert_allclose(
         got["v"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
     )
+
+
+def test_pivot_table_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "a", "b", "c"],
+            "col": ["x", "y", "x", "y", "x", "x", "y"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    for aggfunc in ("mean", "sum", "min", "max"):
+        got = lps.pivot_table(
+            ldf, values="v", index="k", columns="col", aggfunc=aggfunc
+        ).to_pandas()
+        want = pd.pivot_table(
+            pdf, values="v", index="k", columns="col", aggfunc=aggfunc
+        ).reset_index()
+        want.columns.name = None
+        got = got.reset_index() if "k" not in got.columns else got
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[["k", "x", "y"]],
+            want[["k", "x", "y"]],
+            check_dtype=False,
+        )
+
+
+def test_pivot_table_fill_value_and_method(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "b"], "col": ["x", "y"], "v": [1.0, 2.0]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.pivot_table(
+        values="v", index="k", columns="col", aggfunc="sum", fill_value=0.0
+    ).to_pandas()
+    want = pd.pivot_table(
+        pdf, values="v", index="k", columns="col", aggfunc="sum", fill_value=0.0
+    ).reset_index()
+    want.columns.name = None
+    pd.testing.assert_frame_equal(
+        got.reset_index() if "k" not in got.columns else got,
+        want,
+        check_dtype=False,
+    )
+
+
+def test_pivot_raises_on_duplicates(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a"], "col": ["x", "x"], "v": [1.0, 2.0]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        ldf.pivot(index="k", columns="col", values="v")
+    # non-duplicate case reshapes like pandas
+    pdf2 = pd.DataFrame(
+        {"k": ["a", "a", "b"], "col": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}
+    )
+    got = lps.from_pandas(pdf2, spark=spark).pivot(
+        index="k", columns="col", values="v"
+    ).to_pandas()
+    want = pdf2.pivot(index="k", columns="col", values="v").reset_index()
+    want.columns.name = None
+    pd.testing.assert_frame_equal(
+        got.reset_index() if "k" not in got.columns else got, want, check_dtype=False
+    )
+
+
+def test_factorize_first_appearance_and_sorted(spark):
+    pdf = pd.DataFrame({"s": ["b", "a", None, "b", "c", "a", "c", "c"]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    codes, uniques = ldf["s"].factorize()
+    want_codes, want_uniques = pd.factorize(pdf["s"])
+    assert codes.to_pandas().tolist() == list(want_codes)
+    assert uniques == list(want_uniques)
+
+    ldf2 = lps.from_pandas(pdf, spark=spark)
+    codes_s, uniques_s = lps.factorize(ldf2["s"], sort=True)
+    want_codes_s, want_uniques_s = pd.factorize(pdf["s"], sort=True)
+    assert codes_s.to_pandas().tolist() == list(want_codes_s)
+    assert uniques_s == list(want_uniques_s)
+
+
+def test_factorize_large_first_appearance(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"s": rng.randint(0, 500, 5000).astype(str)})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    codes, uniques = ldf["s"].factorize()
+    want_codes, want_uniques = pd.factorize(pdf["s"])
+    assert codes.to_pandas().tolist() == list(want_codes)
+    assert uniques == list(want_uniques)

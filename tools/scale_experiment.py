@@ -50,6 +50,9 @@ QUERIES = [
     "event_transition_matrix",
     "running_distinct_users",
     "ntile_quantile_buckets",
+    "bloom_prefilter_decontaminate",
+    "heavy_hitters_tokens",
+    "embedding_quantize_int8",
 ]
 
 SHIFT_KEYS = {
