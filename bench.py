@@ -92,6 +92,7 @@ HEADLINE = [
     "bloom_prefilter_decontaminate",
     "heavy_hitters_tokens",
     "embedding_quantize_int8",
+    "pagerank_two_iter",
 ]
 
 

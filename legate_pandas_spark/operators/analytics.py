@@ -525,3 +525,97 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg(F.sqrt("d")), 4).alias("avg_dist"),
     )
+
+
+@query(
+    "pagerank_two_iter",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    m0 AS (SELECT dst, sum(1.0/d) AS m FROM edges JOIN deg USING (src) GROUP BY dst),
+    r1 AS (SELECT node,
+                  0.15/(SELECT n FROM nn)
+                  + 0.85*coalesce(m.m, 0)/(SELECT n FROM nn) AS r
+           FROM nodes LEFT JOIN m0 m ON m.dst = nodes.node),
+    m1 AS (SELECT e.dst, sum(r1.r/deg.d) AS m
+           FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT node, 0.15/(SELECT n FROM nn) + 0.85*coalesce(m1.m, 0) AS r
+           FROM nodes LEFT JOIN m1 ON m1.dst = nodes.node)
+    SELECT node, round(r*1000, 8) AS score_x1000
+    FROM r2 WHERE node LIKE 's%'
+    """,
+)
+def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed PageRank iterations (damping 0.85, uniform init, no dangling
+    redistribution — every node of the bidirectional graph has out-edges) over
+    the customer↔supplier trade graph, reporting supplier scores.
+
+    Graph-analytics family twin of kmeans_two_rounds / connected components:
+    deterministic bounded-round iteration, fully oracle-paired. 100 TB shape:
+    the only fact-sized work is the one DISTINCT edge projection (lineitem ⋈
+    orders); each iteration after that is edge-table-sized — a hash join of
+    edges against the node-sized rank vector plus one aggregation, the
+    standard Pregel-on-joins formulation that AQE load-balances. Nothing is
+    collected to the driver; the node count enters the plan as a broadcast
+    1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    m0 = (
+        edges.join(deg, "src")
+        .groupBy("dst")
+        .agg(F.sum(1.0 / F.col("d")).alias("m"))
+    )
+    r1 = (
+        nodes.crossJoin(F.broadcast(nn))
+        .join(m0, F.col("node") == m0.dst, "left")
+        .select(
+            "node",
+            "n_nodes",
+            (
+                0.15 / F.col("n_nodes")
+                + 0.85 * F.coalesce(F.col("m"), F.lit(0.0)) / F.col("n_nodes")
+            ).alias("r"),
+        )
+    )
+    m1 = (
+        edges.join(r1.select(F.col("node").alias("src"), "r"), "src")
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+    )
+    r2 = (
+        nodes.crossJoin(F.broadcast(nn))
+        .join(m1, F.col("node") == m1.dst, "left")
+        .select(
+            "node",
+            (
+                0.15 / F.col("n_nodes")
+                + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
+        )
+    )
+    return r2.filter(F.col("node").like("s%")).select(
+        "node", F.round(F.col("r") * 1000, 8).alias("score_x1000")
+    )
