@@ -6,6 +6,7 @@ from legate_pandas_spark.streaming.events import (  # noqa: F401
     dedup_stream,
     stateful_first_last_reading,
     stateful_running_totals,
+    topk_event_type_leaderboard,
     purchase_click_attribution,
     run_available_now,
 )

@@ -283,3 +283,21 @@ def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "co
     )
     q.awaitTermination()
     return q
+
+
+def topk_event_type_leaderboard(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming-legal global top-k leaderboard: event types ranked by total
+    value. Aggregation + orderBy/limit is allowed ONLY in complete output
+    mode — the sort runs on the compact RESULT table each trigger, never on
+    the stream itself. Per-group rank windows are illegal on streams (the
+    batch twin with per-day ranking is ``window_topk_per_day``); global
+    top-k with a total-order tiebreak is the streaming-native form."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("event_type"))
+        .limit(k)
+    )

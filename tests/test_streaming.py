@@ -300,3 +300,35 @@ def test_windowed_distinct_users_matches_batch(spark, sf_dir, events_dir):
     got = got.sort_values(key).reset_index(drop=True)[want.columns]
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_topk_leaderboard_matches_batch(spark, events_dir, sf_dir):
+    """Complete-mode top-k (agg + orderBy + limit, streaming-legal) must equal
+    the batch leaderboard over the same data."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.sources.tables import load_table
+    from legate_pandas_spark.streaming import (
+        run_available_now,
+        stream_events,
+        topk_event_type_leaderboard,
+    )
+
+    stream = topk_event_type_leaderboard(stream_events(spark, events_dir), k=3)
+    run_available_now(stream, "leaderboard", output_mode="complete")
+    got = spark.table("leaderboard").toPandas()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("event_type"))
+        .limit(3)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
