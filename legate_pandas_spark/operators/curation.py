@@ -795,12 +795,10 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def build(batches):
         bm = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-        any_rows = False
         for pdf in batches:
             for c in pos_cols:
                 p = pdf[c].to_numpy()
                 np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
-            any_rows = any_rows or len(pdf) > 0
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
     bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
