@@ -832,3 +832,89 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("matched_ngrams"))
     )
+
+
+_C_THRESHOLD = 0.6  # directional containment cut
+_C_MIN_GRAMS = 5  # ignore docs too short for containment to mean anything
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= {_J_N}
+                    THEN list_distinct(list_transform(range(1, len(t) - {_J_N - 2}),
+                                                      i -> array_to_string(t[i:i+{_J_N - 1}], ' ')))
+                    ELSE [] END AS gs
+        FROM toks
+    ), exploded AS (
+        SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM grams
+        WHERE len(gs) >= {_C_MIN_GRAMS}
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.sz) AS sz_a, count(*) AS isect
+        FROM exploded a JOIN exploded b
+          ON a.lang = b.lang AND a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, round(isect * 1.0 / sz_a, 4) AS containment
+    FROM inter
+    WHERE isect * 1.0 / sz_a >= {_C_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs: containment(A→B) =
+    |grams(A) ∩ grams(B)| / |grams(A)| — catches a document whose content is
+    embedded inside a much larger one, which symmetric Jaccard (and its
+    length-band blocking) structurally cannot: a 100-gram doc quoted inside a
+    10,000-gram doc has Jaccard ≈ 0.01 but containment 1.0. The standard
+    training-data case is boilerplate-wrapped copies and quote-heavy
+    aggregator pages.
+
+    Scale design: same shared-gram self-join discipline as
+    ``dedup_ngram_jaccard`` (candidates exist only where two same-lang docs
+    share an actual n-gram — never a doc×doc cartesian), minus the length
+    band, which containment must not use. The n-gram join key bounds pair
+    generation exactly like LSH banding; short docs (fewer than 5 grams) are
+    dropped before the join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    grams = toks.select("doc_id", "lang", _word_ngrams(F.col("t"), _J_N).alias("gs"))
+    exploded = outer_explode(
+        grams.filter(F.size("gs") >= _C_MIN_GRAMS),
+        "gs",
+        "g",
+        "doc_id",
+        "lang",
+        F.size("gs").alias("sz"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.count(F.lit(1)).alias("isect"),
+        )
+    )
+    return inter.filter(
+        F.col("isect") / F.col("sz_a") >= _C_THRESHOLD
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("isect") / F.col("sz_a"), 4).alias("containment"),
+    )
