@@ -93,7 +93,6 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "embedding_quantize_int8",
     "pagerank_two_iter",
-    "dedup_containment_pairs",
 ]
 
 

@@ -846,9 +846,9 @@ _C_MIN_GRAMS = 5  # ignore docs too short for containment to mean anything
         FROM documents
     ), grams AS (
         SELECT doc_id, lang,
-               CASE WHEN len(t) >= {_J_N}
-                    THEN list_distinct(list_transform(range(1, len(t) - {_J_N - 2}),
-                                                      i -> array_to_string(t[i:i+{_J_N - 1}], ' ')))
+               CASE WHEN len(t) >= {_N}
+                    THEN list_distinct(list_transform(range(1, len(t) - {_N - 2}),
+                                                      i -> array_to_string(t[i:i+{_N - 1}], ' ')))
                     ELSE [] END AS gs
         FROM toks
     ), exploded AS (
@@ -885,7 +885,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
     )
-    grams = toks.select("doc_id", "lang", _word_ngrams(F.col("t"), _J_N).alias("gs"))
+    grams = toks.select("doc_id", "lang", _word_ngrams(F.col("t"), _N).alias("gs"))
     exploded = outer_explode(
         grams.filter(F.size("gs") >= _C_MIN_GRAMS),
         "gs",
@@ -895,7 +895,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("gs").alias("sz"),
     )
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle-hash hint: Catalyst's size estimate predates the explode, so it
+    # would happily broadcast a corpus-sized gram table; a shuffled hash join
+    # on (lang, gram) is the scale-safe physical shape
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
