@@ -582,3 +582,69 @@ def pd_global_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     srt["interp"] = srt["v"].interpolate()
     sdf = srt.to_spark()
     return sdf.select("o_orderkey", F.round("interp", 4).alias("interp"))
+
+
+@query(
+    "pd_pivot_table_status",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_orderpriority FROM orders)
+    SELECT o_orderstatus,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+           round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+           round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pd_pivot_table_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: pivot_table(values, index, columns, aggfunc='sum') —
+    the facade reshape added this round (one hash aggregate + pivot; the
+    pivoted dictionary is one bounded distinct aggregate). Totals rounded at
+    the oracle side too; 2dp sums of 2dp values are exact-width-safe."""
+    orders = _read(spark, sf_dir, "orders")
+    pt = orders.pivot_table(
+        values="o_totalprice",
+        index="o_orderstatus",
+        columns="o_orderpriority",
+        aggfunc="sum",
+    )
+    sdf = pt.reset_index().to_spark()
+    val_cols = [c for c in sdf.columns if c != "o_orderstatus"]
+    return sdf.select(
+        "o_orderstatus",
+        *[F.round(F.col(f"`{c}`"), 2).alias(c) for c in val_cols],
+    )
+
+
+@query(
+    "pd_factorize_priority",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS v, min(o_orderkey) AS mo
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT v, CAST(row_number() OVER (ORDER BY mo) - 1 AS BIGINT) AS code
+        FROM m
+    )
+    SELECT d.code, d.v AS priority, CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN d ON o.o_orderpriority = d.v
+    GROUP BY d.code, d.v
+    """,
+)
+def pd_factorize_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: Series.factorize first-appearance codes (facade addition;
+    distributed sample-sort dictionary ranking) pinned through the driver
+    gate. First appearance is made deterministic by sorting on the unique
+    o_orderkey first, so the oracle can express it as row_number over
+    min(o_orderkey)."""
+    orders = _read(spark, sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    srt = orders.sort_values("o_orderkey")
+    codes, _uniques = srt["o_orderpriority"].factorize()
+    srt["code"] = codes
+    out = srt.to_spark()
+    return (
+        out.groupBy(F.col("code"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
