@@ -938,6 +938,38 @@ class SeriesRolling:
     def count(self):
         return self._apply(lambda c: F.count(c).cast("double"))
 
+    def corr(self, other: "Series") -> "Series":
+        """Rolling Pearson correlation against another Series of the SAME
+        frame (pandas s.rolling(k).corr(other)). Pairwise-complete rows only
+        (Spark's corr skips a row when either side is null, matching pandas),
+        and the min_periods gate counts pairwise-complete observations."""
+        return self._pairwise(other, F.corr)
+
+    def cov(self, other: "Series") -> "Series":
+        """Rolling sample covariance (ddof=1) against another Series of the
+        same frame (pandas s.rolling(k).cov(other))."""
+        return self._pairwise(other, F.covar_samp)
+
+    def _pairwise(self, other: "Series", fn) -> "Series":
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.scan import _seq, rolling_parts
+
+        s = self._s
+        if other._frame is not s._frame:
+            raise ValueError(
+                "rolling corr/cov requires Series from the same frame"
+            )
+        fresh = ROW_ORDER not in s._frame._sdf.columns
+        sdf = s._frame._ordered_sdf()
+        aug, w, GH, helpers = rolling_parts(sdf, self._n, fresh)
+        out = f"__sroll_{next(_seq)}__"
+        both = F.when(s._col.isNotNull() & other._col.isNotNull(), F.lit(1))
+        expr = fn(s._col, other._col).over(w)
+        expr = F.when(F.count(both).over(w) >= self._mp, expr)
+        new = aug.withColumn(out, expr).filter(~F.col(GH))
+        s._frame._sdf = new.drop(*helpers)
+        return s._wrap(F.col(out))
+
 
 class SeriesExpanding:
     """Expanding window over the parent frame's row order — partition-local

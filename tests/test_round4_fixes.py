@@ -600,3 +600,32 @@ def test_factorize_large_first_appearance(spark):
     want_codes, want_uniques = pd.factorize(pdf["s"])
     assert codes.to_pandas().tolist() == list(want_codes)
     assert uniques == list(want_uniques)
+
+
+def test_rolling_corr_cov_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    a = rng.randn(400)
+    b = 0.6 * a + rng.randn(400)
+    a[rng.rand(400) < 0.07] = np.nan
+    b[rng.rand(400) < 0.07] = np.nan
+    pdf = pd.DataFrame({"a": a, "b": b})
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].rolling(6).corr(ldf["b"]).to_pandas().reset_index(drop=True)
+    want = pdf["a"].rolling(6).corr(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].rolling(6).cov(ldf["b"]).to_pandas().reset_index(drop=True)
+    want = pdf["a"].rolling(6).cov(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf["a"].rolling(10, min_periods=4).corr(ldf["b"])
+        .to_pandas().reset_index(drop=True)
+    )
+    want = pdf["a"].rolling(10, min_periods=4).corr(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
