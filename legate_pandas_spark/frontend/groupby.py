@@ -800,6 +800,32 @@ class GroupedRolling:
     def count(self):
         return self._apply(F.count)
 
+    def corr(self, a: str, b: str):
+        """Per-group rolling Pearson correlation between two columns,
+        appended as ``<a>_<b>_corr`` (pairwise-complete rows; min_periods
+        counts pairwise observations). The window is group-key-partitioned —
+        every group computes in parallel. Inherited by GroupedExpanding with
+        its unbounded frame."""
+        return self._pairwise(a, b, F.corr, "corr")
+
+    def cov(self, a: str, b: str):
+        """Per-group rolling sample covariance (ddof=1), appended as
+        ``<a>_<b>_cov``."""
+        return self._pairwise(a, b, F.covar_samp, "cov")
+
+    def _pairwise(self, a: str, b: str, fn, suffix: str):
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        sdf = self._df._ordered_sdf()
+        w = self._frame_spec()
+        both = F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), F.lit(1))
+        expr = F.when(
+            F.count(both).over(w) >= self._mp, fn(F.col(a), F.col(b)).over(w)
+        )
+        return DataFrame(
+            sdf.withColumn(f"{a}_{b}_{suffix}", expr), self._df._index
+        )
+
 
 class GroupedExpanding(GroupedRolling):
     """Per-group expanding window = grouped rolling with an unbounded-preceding

@@ -1063,6 +1063,72 @@ class SeriesExpanding:
     def count(self):
         return self._apply("count")
 
+    def corr(self, other: "Series") -> "Series":
+        """Expanding Pearson correlation against another Series of the same
+        frame — window-free: six running pairwise sums (n, Σx, Σy, Σxy, Σx²,
+        Σy² over pairwise-complete rows) through the SAME one-aggregate carry
+        pass, then pure arithmetic. No rolling frame, no extra shuffle."""
+        return self._pairwise(other, "corr")
+
+    def cov(self, other: "Series") -> "Series":
+        """Expanding sample covariance (ddof=1) — same running-sum
+        decomposition as corr."""
+        return self._pairwise(other, "cov")
+
+    def _pairwise(self, other: "Series", kind: str) -> "Series":
+        from legate_pandas_spark.frontend.scan import (
+            _add,
+            _local_window,
+            _seq,
+            attach_carries,
+        )
+
+        s = self._s
+        if other._frame is not s._frame:
+            raise ValueError(
+                "expanding corr/cov requires Series from the same frame"
+            )
+        sdf = s._frame._ordered_sdf()
+        mask = s._col.isNotNull() & other._col.isNotNull()
+        xa = F.when(mask, s._col).cast("double")
+        xb = F.when(mask, other._col).cast("double")
+        uniq = next(_seq)
+        names = [f"__sxp{i}_{uniq}__" for i in range(6)]
+        parts = [
+            F.count(F.when(mask, 1)),
+            F.sum(xa),
+            F.sum(xb),
+            F.sum(xa * xb),
+            F.sum(xa * xa),
+            F.sum(xb * xb),
+        ]
+        specs = {nm: (e, _add) for nm, e in zip(names, parts)}
+        out_sdf = attach_carries(sdf, specs)
+        lw = _local_window()
+        locs = [
+            F.count(F.when(mask, 1)).over(lw),
+            F.sum(xa).over(lw),
+            F.sum(xb).over(lw),
+            F.sum(xa * xb).over(lw),
+            F.sum(xa * xa).over(lw),
+            F.sum(xb * xb).over(lw),
+        ]
+        run = [
+            F.coalesce(l.cast("double"), F.lit(0.0))
+            + F.coalesce(F.col(nm).cast("double"), F.lit(0.0))
+            for l, nm in zip(locs, names)
+        ]
+        n, sx, sy, sxy, sxx, syy = run
+        gate = n >= F.greatest(F.lit(float(self._mp)), F.lit(2.0))
+        if kind == "cov":
+            expr = F.when(gate, (sxy - sx * sy / n) / (n - 1))
+        else:
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            expr = F.when(gate & (den > 0), (n * sxy - sx * sy) / F.sqrt(den))
+        out = f"__sexp_{uniq}__"
+        s._frame._sdf = out_sdf.withColumn(out, expr).drop(*names)
+        return s._wrap(F.col(out))
+
 
 class SeriesEwm:
     """Exponentially weighted accessor over the parent frame's row order —

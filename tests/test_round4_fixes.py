@@ -629,3 +629,97 @@ def test_rolling_corr_cov_matches_pandas(spark):
     )
     want = pdf["a"].rolling(10, min_periods=4).corr(pdf["b"])
     pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+
+def test_expanding_corr_cov_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    a = rng.randn(350)
+    b = -0.4 * a + rng.randn(350)
+    a[rng.rand(350) < 0.06] = np.nan
+    b[rng.rand(350) < 0.06] = np.nan
+    pdf = pd.DataFrame({"a": a, "b": b})
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].expanding().corr(ldf["b"]).to_pandas().reset_index(drop=True)
+    want = pdf["a"].expanding().corr(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].expanding().cov(ldf["b"]).to_pandas().reset_index(drop=True)
+    want = pdf["a"].expanding().cov(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf["a"].expanding(min_periods=10).corr(ldf["b"])
+        .to_pandas().reset_index(drop=True)
+    )
+    want = pdf["a"].expanding(min_periods=10).corr(pdf["b"])
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+
+def test_grouped_rolling_corr_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["p", "q", "r"], n),
+            "a": rng.randn(n),
+            "b": rng.randn(n),
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").rolling(5).corr("a", "b").to_pandas()
+    want = pdf.groupby("k", group_keys=False).apply(
+        lambda g: g["a"].rolling(5).corr(g["b"])
+    )
+    import numpy.testing as npt
+
+    npt.assert_allclose(
+        got["a_b_corr"].to_numpy(),
+        want.sort_index().to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").rolling(5).cov("a", "b").to_pandas()
+    want = pdf.groupby("k", group_keys=False).apply(
+        lambda g: g["a"].rolling(5).cov(g["b"])
+    )
+    npt.assert_allclose(
+        got["a_b_cov"].to_numpy(),
+        want.sort_index().to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+
+def test_grouped_expanding_corr_matches_pandas(spark):
+    import numpy as np
+    import numpy.testing as npt
+
+    rng = np.random.RandomState(43)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["p", "q"], n),
+            "a": rng.randn(n),
+            "b": rng.randn(n),
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").expanding().corr("a", "b").to_pandas()
+    want = pdf.groupby("k", group_keys=False).apply(
+        lambda g: g["a"].expanding().corr(g["b"])
+    )
+    npt.assert_allclose(
+        got["a_b_corr"].to_numpy(),
+        want.sort_index().to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
