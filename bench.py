@@ -93,6 +93,8 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "embedding_quantize_int8",
     "pagerank_two_iter",
+    "merge_micro_padded_strings",
+    "sort_micro_checksum",
 ]
 
 

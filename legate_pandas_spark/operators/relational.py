@@ -963,3 +963,94 @@ def query_expr_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(cond).select(
         "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
     )
+
+
+@query(
+    "merge_micro_padded_strings",
+    oracle="""
+    WITH lhs AS (
+        SELECT lpad(CAST(l_orderkey % 100000 AS VARCHAR), 10, '0') AS k,
+               l_quantity
+        FROM lineitem
+    ),
+    rhs AS (
+        SELECT lpad(CAST(o_orderkey % 100000 AS VARCHAR), 10, '0') AS k,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matches,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM lhs JOIN rhs USING (k)
+    """,
+)
+def merge_micro_padded_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's join microbenchmark shape (benchmarks/micro/merge.py:
+    89-121 — the workload behind BASELINE.md's weak-scaling chart): LHS at
+    fact size, RHS ≈ 1/3 of it (`scale_lhs_only`), STRING keys zero-padded to
+    width 10, partial match rate. A padded-string shuffle join is the
+    reference's hardest-published case (string gather + hash); here it is one
+    Spark shuffle join whose key is a computed column — Catalyst pushes the
+    projection into the scan and AQE sizes the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lpad((F.col("l_orderkey") % 100000).cast("string"), 10, "0").alias("k"),
+        "l_quantity",
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.lpad((F.col("o_orderkey") % 100000).cast("string"), 10, "0").alias(
+                "k"
+            ),
+            "o_totalprice",
+        )
+    )
+    return li.join(orders, "k").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "sort_micro_checksum",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   - 1 AS rn
+        FROM lineitem
+    )
+    SELECT CAST(sum((rn % 97) * (l_orderkey % 89)) AS BIGINT) AS order_checksum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked
+    """,
+)
+def sort_micro_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sort microbenchmark shape (benchmarks/micro/sort.py:
+    80-100) with a verifiable output: a GLOBAL total-order rank of the fact
+    table (price, then unique key tiebreak — total order, so both engines
+    agree on every position), folded into a modular checksum that pins the
+    entire permutation.
+
+    The Spark side ranks through the distributed sample-sort row number
+    (scan.ordered_row_number: range partition + per-partition offset carry —
+    the reference's splitter-histogram design, core/sort.py:93-174), NOT a
+    single-partition window; the oracle uses DuckDB's native global sort."""
+    from legate_pandas_spark.frontend.scan import ordered_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = ordered_row_number(
+        li,
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "rn",
+    )
+    return ranked.agg(
+        F.sum((F.col("rn") % 97) * (F.col("l_orderkey") % 89))
+        .cast("bigint")
+        .alias("order_checksum"),
+        F.count(F.lit(1)).alias("n"),
+    )
