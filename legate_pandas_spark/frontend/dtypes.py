@@ -114,3 +114,41 @@ def truediv(left: Column, right: Column) -> Column:
 
 def floordiv(left: Column, right: Column) -> Column:
     return F.floor(left.cast("double") / right.cast("double")).cast("double")
+
+
+def resolve_ewm_alpha(alpha=None, com=None, span=None, halflife=None) -> float:
+    """pandas ewm parameter resolution: exactly one of alpha/com/span/halflife,
+    converted to the smoothing factor (pandas.core.window.ewm semantics:
+    alpha = 1/(1+com) = 2/(span+1) = 1 - exp(-ln2/halflife))."""
+    import math
+
+    given = [
+        n
+        for n, v in (
+            ("alpha", alpha),
+            ("com", com),
+            ("span", span),
+            ("halflife", halflife),
+        )
+        if v is not None
+    ]
+    if len(given) != 1:
+        raise ValueError(
+            "ewm: pass exactly one of alpha, com, span, halflife "
+            f"(got {given or 'none'})"
+        )
+    if alpha is not None:
+        if not 0 < alpha <= 1:
+            raise ValueError("ewm: alpha must be in (0, 1]")
+        return float(alpha)
+    if com is not None:
+        if com < 0:
+            raise ValueError("ewm: com must be >= 0")
+        return 1.0 / (1.0 + float(com))
+    if span is not None:
+        if span < 1:
+            raise ValueError("ewm: span must be >= 1")
+        return 2.0 / (float(span) + 1.0)
+    if halflife <= 0:
+        raise ValueError("ewm: halflife must be > 0")
+    return 1.0 - math.exp(-math.log(2.0) / float(halflife))

@@ -1149,12 +1149,15 @@ class DataFrame:
                 sel.append(F.col(c))
         return self._replace(out_sdf.select(*sel))
 
-    def ewm(self, alpha: float) -> "Ewm":
-        """Exponentially weighted accessor. The recurrence is linear, so it
-        distributes exactly: partition-local pandas ewm + geometric-decay
-        carries (scan.ewm_mean_columns) — two Arrow passes, both
-        partition-parallel; no single sequential group."""
-        return Ewm(self, alpha)
+    def ewm(self, alpha: float = None, com=None, span=None, halflife=None) -> "Ewm":
+        """Exponentially weighted accessor (alpha/com/span/halflife, pandas
+        parameter resolution). The recurrence is linear, so it distributes
+        exactly: partition-local pandas ewm + geometric-decay carries
+        (scan.ewm_mean_columns) — two Arrow passes, both partition-parallel;
+        no single sequential group."""
+        from legate_pandas_spark.frontend.dtypes import resolve_ewm_alpha
+
+        return Ewm(self, resolve_ewm_alpha(alpha, com, span, halflife))
 
     def quantile(self, q: float = 0.5):
         """Exact interpolated per-column quantile → pandas Series (swap to

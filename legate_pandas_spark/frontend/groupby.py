@@ -553,15 +553,18 @@ class GroupBy:
         res = sdf.groupBy(*self._keys).applyInPandas(wrapper, schema=schema)
         return DataFrame(res, tuple(self._keys) if self._as_index else ())
 
-    def ewm(self, alpha: float):
-        """Per-group exponentially weighted accessor (pandas groupby.ewm).
+    def ewm(self, alpha: float = None, com=None, span=None, halflife=None):
+        """Per-group exponentially weighted accessor (pandas groupby.ewm;
+        alpha/com/span/halflife parameter resolution).
         EXACT fully-distributed keyed two-phase recurrence
         (``scan.grouped_ewm_mean_columns``): partition-local EWM states per
         (group, partition) + a distributed per-group prefix-combine of the
         carries — no per-group sequential task, so one giant skewed group
         still parallelizes (the reference has no ewm; nearest is the two-phase
         scan machinery, core/column.py:644-687)."""
-        return GroupByEwm(self, alpha)
+        from legate_pandas_spark.frontend.dtypes import resolve_ewm_alpha
+
+        return GroupByEwm(self, resolve_ewm_alpha(alpha, com, span, halflife))
 
     def __getitem__(self, col: str) -> "SeriesGroupBy":
         """``df.groupby(k)[col]`` — single-column grouped view."""

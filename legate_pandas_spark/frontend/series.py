@@ -257,10 +257,13 @@ class Series:
         boundary-ghost distributed machinery as frame-level Rolling."""
         return SeriesRolling(self, window, min_periods)
 
-    def ewm(self, alpha: float):
-        """Series exponentially weighted accessor — the exact two-phase
-        distributed recurrence (scan.ewm_mean_columns)."""
-        return SeriesEwm(self, alpha)
+    def ewm(self, alpha: float = None, com=None, span=None, halflife=None):
+        """Series exponentially weighted accessor (alpha/com/span/halflife,
+        pandas parameter resolution) — the exact two-phase distributed
+        recurrence (scan.ewm_mean_columns)."""
+        from legate_pandas_spark.frontend.dtypes import resolve_ewm_alpha
+
+        return SeriesEwm(self, resolve_ewm_alpha(alpha, com, span, halflife))
 
     def expanding(self, min_periods: int = 1):
         """Series expanding window — two-phase running carry, no

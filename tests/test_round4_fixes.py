@@ -723,3 +723,30 @@ def test_grouped_expanding_corr_matches_pandas(spark):
         rtol=1e-9,
         equal_nan=True,
     )
+
+
+def test_ewm_span_com_halflife_params(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    pdf = pd.DataFrame({"v": [1.0, 4.0, 2.0, 8.0, 5.0, 3.0]})
+    for kwargs in ({"span": 5}, {"com": 2.0}, {"halflife": 3.0}):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = ldf["v"].ewm(**kwargs).mean().to_pandas().reset_index(drop=True)
+        want = pdf["v"].ewm(adjust=True, **kwargs).mean()
+        pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-12)
+    ldf = lps.from_pandas(pdf, spark=spark)
+    with _pytest.raises(ValueError, match="exactly one"):
+        ldf["v"].ewm()
+    with _pytest.raises(ValueError, match="exactly one"):
+        ldf["v"].ewm(alpha=0.5, span=3)
+    # grouped path accepts the same parameters
+    pdf2 = pdf.assign(k=["a", "b", "a", "b", "a", "b"])
+    ldf2 = lps.from_pandas(pdf2, spark=spark)
+    got = ldf2.groupby("k").ewm(span=4).mean().to_pandas()
+    want = pdf2.groupby("k")["v"].transform(
+        lambda s: s.ewm(span=4, adjust=True).mean()
+    )
+    import numpy.testing as npt
+
+    npt.assert_allclose(got["v"].to_numpy(), want.to_numpy(), rtol=1e-12)
