@@ -1925,6 +1925,38 @@ class Ewm:
         ]
         return DataFrame(res.select(*sel), self._df._index)
 
+    def var(self) -> DataFrame:
+        """Exact distributed ewm variance (pandas bias=False) per numeric
+        column — four-moment carry decomposition (scan.ewm_var_columns)."""
+        return self._moments(std=False)
+
+    def std(self) -> DataFrame:
+        return self._moments(std=True)
+
+    def _moments(self, std: bool) -> DataFrame:
+        from legate_pandas_spark.frontend.scan import _seq, ewm_var_columns
+
+        sdf = self._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        value_cols = [
+            c
+            for c in sdf.columns
+            if c != ROW_ORDER
+            and c not in self._df._index
+            and is_numeric_spark_type(dtypes[c])
+        ]
+        if not value_cols:
+            return DataFrame(sdf, self._df._index)
+        uniq = next(_seq)
+        outs = {f"__ewv_{uniq}_{i}__": c for i, c in enumerate(value_cols)}
+        res = ewm_var_columns(sdf, outs, self._alpha, std=std)
+        back = {c: o for o, c in outs.items()}
+        sel = [
+            F.col(back[c]).alias(c) if c in back else F.col(c)
+            for c in sdf.columns
+        ]
+        return DataFrame(res.select(*sel), self._df._index)
+
 
 class Rolling:
     """pandas rolling semantics: min_periods defaults to the window size, and

@@ -538,6 +538,115 @@ def ewm_mean_columns(sdf, cols: dict, alpha: float):
     return work.groupBy(PID).applyInPandas(phase2, schema2).drop(PID)
 
 
+def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
+    """Append exact distributed pandas ``ewm(adjust=True).var()`` (bias=False)
+    or ``.std()`` — the four-moment extension of ``ewm_mean_columns``.
+
+    Math: per row i over non-null x, with w_j = b^{i-j} (ignore_na=False so
+    weights decay across nulls): A=Σw·x, B=Σw, C=Σw·x², D=Σw².
+    var = (C/B − (A/B)²) · B²/(B² − D); pandas yields null until two
+    observations (B² − D = 0 at one). A, B, C are local-ewm recoveries at
+    decay b (C from x²); D is the WEIGHT-SQUARED sum — exactly the den of an
+    EWM at decay b², so the same pandas-local recovery applies with
+    alpha2 = 1 − b². Carries decay by b^rows (A, B, C) and b^{2·rows} (D);
+    the per-partition state is 4 scalars per column, prefix-combined on the
+    driver like ``ewm_mean_columns``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    b = 1.0 - alpha
+    alpha2 = 1.0 - b * b
+    uniq = next(_seq)
+    PID = f"__evp_{uniq}__"
+    work = sdf.withColumn(PID, _pid())
+    srcs = list(dict.fromkeys(cols.values()))
+
+    def _moments(pdf):
+        res = {}
+        for s in srcs:
+            x = pdf[s].astype("float64")
+            A, B = _ewm_local_num_den(x, alpha)
+            C, _ = _ewm_local_num_den(x * x, alpha)
+            if b > 0:
+                _, D = _ewm_local_num_den(x, alpha2)
+            else:
+                D = B.copy()  # b=0: only the current obs carries weight
+            # exact running observation count: the bias gate (>= 2 obs) must
+            # not depend on float-epsilon denominators
+            N = x.notna().astype("float64").cumsum().to_numpy()
+            res[s] = (A, B, C, D, N)
+        return res
+
+    names = [f"__ev{m}_{uniq}_{i}__" for i in range(len(srcs)) for m in "abcdn"]
+    f1 = [T.StructField(PID, T.LongType()), T.StructField("__dec__", T.DoubleType())]
+    f1 += [T.StructField(n, T.DoubleType()) for n in names]
+    schema1 = T.StructType(f1)
+
+    def phase1(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        n = len(pdf)
+        res = _moments(pdf)
+        row = {PID: [int(pdf[PID].iloc[0])], "__dec__": [float(b**n)]}
+        for i, s in enumerate(srcs):
+            for m, arr in zip("abcdn", res[s]):
+                row[f"__ev{m}_{uniq}_{i}__"] = [float(arr[-1]) if n else 0.0]
+        return pd.DataFrame(row)
+
+    ends = work.groupBy(PID).applyInPandas(phase1, schema1).collect()
+    ends.sort(key=lambda r: r[PID])
+    carry: dict = {}
+    acc = {s: [0.0, 0.0, 0.0, 0.0, 0.0] for s in srcs}
+    for r in ends:
+        carry[r[PID]] = {s: list(acc[s]) for s in srcs}
+        dec = r["__dec__"]
+        for i, s in enumerate(srcs):
+            vals = [r[f"__ev{m}_{uniq}_{i}__"] for m in "abcdn"]
+            acc[s] = [
+                vals[0] + dec * acc[s][0],
+                vals[1] + dec * acc[s][1],
+                vals[2] + dec * acc[s][2],
+                vals[3] + dec * dec * acc[s][3],
+                vals[4] + acc[s][4],
+            ]
+
+    schema2 = T.StructType(
+        list(work.schema.fields)
+        + [T.StructField(o, T.DoubleType()) for o in cols]
+    )
+
+    def phase2(pdf):
+        pdf = pdf.sort_values(ROW_ORDER).reset_index(drop=True)
+        n = len(pdf)
+        res = _moments(pdf)
+        prev = carry.get(int(pdf[PID].iloc[0]) if n else -1, {})
+        bp = np.power(b, np.arange(1, n + 1, dtype="float64"))
+        bp2 = bp * bp
+        out = pdf.copy()
+        for out_name, s in cols.items():
+            A, B, C, D, N = res[s]
+            pa, pb, pc, pd_, pn = prev.get(s, [0.0, 0.0, 0.0, 0.0, 0.0])
+            At, Bt, Ct, Dt = A + bp * pa, B + bp * pb, C + bp * pc, D + bp2 * pd_
+            Nt = N + pn
+            denom = Bt * Bt - Dt
+            ok = (Bt > 0) & (Nt >= 2) & (denom > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = np.where(Bt > 0, At / np.where(Bt > 0, Bt, 1.0), np.nan)
+                biased = Ct / np.where(Bt > 0, Bt, 1.0) - mean * mean
+                v = np.where(
+                    ok,
+                    np.maximum(biased, 0.0) * (Bt * Bt) / np.where(denom > 0, denom, 1.0),
+                    np.nan,
+                )
+            out[out_name] = np.sqrt(v) if std else v
+        return out
+
+    return work.groupBy(PID).applyInPandas(phase2, schema2).drop(PID)
+
+
 def _ewm_local_num_den(x_ser, alpha: float):
     """Local (within one ordered run) EWM numerator/denominator arrays.
 

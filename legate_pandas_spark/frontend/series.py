@@ -1142,7 +1142,26 @@ class SeriesEwm:
         self._alpha = alpha
 
     def mean(self) -> "Series":
-        from legate_pandas_spark.frontend.scan import _seq, ewm_mean_columns
+        from legate_pandas_spark.frontend.scan import ewm_mean_columns
+
+        return self._via(ewm_mean_columns)
+
+    def var(self) -> "Series":
+        """Exact distributed ewm variance (pandas bias=False) — four-moment
+        carry decomposition (scan.ewm_var_columns)."""
+        from legate_pandas_spark.frontend.scan import ewm_var_columns
+
+        return self._via(lambda sdf, cols, a: ewm_var_columns(sdf, cols, a))
+
+    def std(self) -> "Series":
+        from legate_pandas_spark.frontend.scan import ewm_var_columns
+
+        return self._via(
+            lambda sdf, cols, a: ewm_var_columns(sdf, cols, a, std=True)
+        )
+
+    def _via(self, fn) -> "Series":
+        from legate_pandas_spark.frontend.scan import _seq
 
         s = self._s
         src = s.name or "0"
@@ -1151,5 +1170,5 @@ class SeriesEwm:
             src = f"__ewsrc_{next(_seq)}__"
             sdf = sdf.withColumn(src, s._col)
         out = f"__sewm_{next(_seq)}__"
-        s._frame._sdf = ewm_mean_columns(sdf, {out: src}, self._alpha)
+        s._frame._sdf = fn(sdf, {out: src}, self._alpha)
         return s._wrap(F.col(out))

@@ -750,3 +750,29 @@ def test_ewm_span_com_halflife_params(spark):
     import numpy.testing as npt
 
     npt.assert_allclose(got["v"].to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
+def test_ewm_var_std_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    v = rng.randn(500) * 3
+    v[rng.rand(500) < 0.1] = np.nan
+    v[0] = np.nan  # leading null: var must stay null until two observations
+    pdf = pd.DataFrame({"v": v})
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].ewm(alpha=0.3).var().to_pandas().reset_index(drop=True)
+    want = pdf["v"].ewm(alpha=0.3, adjust=True).var(bias=False)
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].ewm(alpha=0.55).std().to_pandas().reset_index(drop=True)
+    want = pdf["v"].ewm(alpha=0.55, adjust=True).std(bias=False)
+    pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+    pdf2 = pd.DataFrame({"a": rng.randn(300), "b": rng.randn(300) * 10})
+    ldf2 = lps.from_pandas(pdf2, spark=spark)
+    got = ldf2.ewm(span=7).var().to_pandas().reset_index(drop=True)
+    want = pdf2.ewm(span=7, adjust=True).var(bias=False)
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False, atol=1e-9)
