@@ -182,6 +182,7 @@ def test_rank_interpolate_rolling_no_global_window(spark):
             lps.from_pandas(pdf_k, spark=spark).groupby("k").ewm(alpha=0.4).mean(),
         )
     )
+    cases.append(("ewm_var", lps.from_pandas(pdf, spark=spark).ewm(alpha=0.4).var()))
     for name, df in cases:
         plan = plan_text(df._sdf, mode="simple")
         assert "SinglePartition" not in plan, f"{name}: unpartitioned exchange"
