@@ -170,3 +170,31 @@ def test_expanding_var_matches_pandas(spark, pdf):
     got = ldf[["f"]].expanding().var().to_pandas().reset_index(drop=True)
     want = pdf[["f"]].expanding().var()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(pdf=frame_with_nulls(), alpha=st.floats(min_value=0.05, max_value=0.95))
+@settings(**_SETTINGS)
+def test_ewm_var_matches_pandas(spark, pdf, alpha):
+    """Round-4 cont.: four-moment distributed ewm variance across random
+    null patterns and alphas."""
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].ewm(alpha=alpha).var().to_pandas().reset_index(drop=True)
+    want = pdf["v"].ewm(alpha=alpha, adjust=True).var(bias=False)
+    pd.testing.assert_series_equal(
+        got, want, check_names=False, rtol=1e-8, atol=1e-10
+    )
+
+
+@given(pdf=frame_with_nulls())
+@settings(**_SETTINGS)
+def test_grouped_ewm_matches_pandas(spark, pdf):
+    """Round-4 cont.: keyed two-phase grouped EWM across random key/null
+    patterns."""
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").ewm(alpha=0.4).mean().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.4, adjust=True).mean()
+    )
+    np.testing.assert_allclose(
+        got["v"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
