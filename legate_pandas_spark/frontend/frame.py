@@ -1534,10 +1534,13 @@ class DataFrame:
     def itertuples(self, index: bool = True, name: str = "Pandas"):
         yield from self.to_pandas().itertuples(index=index, name=name)
 
-    def melt(self, id_vars, value_vars, var_name: str = "variable",
+    def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":
-        """Wide→long unpivot (Spark stack expression — one narrow pass)."""
+        """Wide→long unpivot (Spark stack expression — one narrow pass).
+        ``value_vars=None`` melts every non-id column (pandas default)."""
         id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        if value_vars is None:
+            value_vars = [c for c in self.columns if c not in id_vars]
         value_vars = [value_vars] if isinstance(value_vars, str) else list(value_vars)
         pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
         stacked = F.expr(

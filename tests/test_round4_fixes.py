@@ -776,3 +776,20 @@ def test_ewm_var_std_matches_pandas(spark):
     got = ldf2.ewm(span=7).var().to_pandas().reset_index(drop=True)
     want = pdf2.ewm(span=7, adjust=True).var(bias=False)
     pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False, atol=1e-9)
+
+
+def test_melt_default_value_vars(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "a": [3.0, 4.0], "b": [5.0, 6.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf.melt("id")
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.melt("id")
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
