@@ -46,6 +46,47 @@ class StringMethods:
     def len(self):
         return self._wrap(F.length(self._s._col).cast("long"))
 
+    def title(self):
+        """Word-capitalize (pandas str.title ≈ initcap for space-delimited
+        words — the reference's STRING_UOP family, core/column.py:928-1010)."""
+        return self._wrap(F.initcap(self._s._col))
+
+    def capitalize(self):
+        c = self._s._col
+        return self._wrap(
+            F.when(
+                c.isNotNull(),
+                F.concat(
+                    F.upper(F.substring(c, 1, 1)),
+                    F.lower(F.substring(c, 2, 2147483647)),
+                ),
+            )
+        )
+
+    def isdigit(self):
+        c = self._s._col
+        return self._wrap(
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^[0-9]+$"))
+        )
+
+    def isalpha(self):
+        c = self._s._col
+        return self._wrap(
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^[A-Za-z]+$"))
+        )
+
+    def isupper(self):
+        c = self._s._col
+        return self._wrap(
+            null_compare_false(c.rlike("[A-Za-z]") & (F.upper(c) == c))
+        )
+
+    def islower(self):
+        c = self._s._col
+        return self._wrap(
+            null_compare_false(c.rlike("[A-Za-z]") & (F.lower(c) == c))
+        )
+
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         c = self._s._col
         if side == "left":

@@ -793,3 +793,40 @@ def test_melt_default_value_vars(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_str_title_capitalize_predicates(spark):
+    pdf = pd.DataFrame(
+        {
+            "s": [
+                "hello world",
+                "ALL CAPS",
+                "123",
+                "abc",
+                "MiXeD",
+                "",
+                None,
+                "lower case words",
+            ]
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got_title = ldf["s"].str.title().to_pandas().tolist()
+    want_title = pdf["s"].str.title().tolist()
+    assert got_title == want_title
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got_cap = ldf["s"].str.capitalize().to_pandas().tolist()
+    want_cap = pdf["s"].str.capitalize().tolist()
+    assert got_cap == want_cap
+
+    for meth in ("isdigit", "isalpha", "isupper", "islower"):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = getattr(ldf["s"].str, meth)().to_pandas().tolist()
+        # null-compare-false engine contract: nulls come back False, pandas
+        # propagates None — align on the non-null entries
+        want = [
+            bool(v) if v is not None and not pd.isna(v) else False
+            for v in getattr(pdf["s"].str, meth)()
+        ]
+        assert got == want, meth
