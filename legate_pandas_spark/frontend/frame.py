@@ -157,11 +157,15 @@ class DataFrame:
         raise AttributeError(name)
 
     def assign(self, **kwargs) -> "DataFrame":
-        sdf = self._sdf
+        """Add columns from Series, scalars, or callables taking the frame
+        (pandas assign; callables see earlier assignments, left-to-right)."""
+        out = self._replace(self._sdf)
         for name, value in kwargs.items():
+            if callable(value) and not isinstance(value, Series):
+                value = value(out)
             col = value._col if isinstance(value, Series) else F.lit(value)
-            sdf = sdf.withColumn(name, col)
-        return self._replace(sdf)
+            out._sdf = out._sdf.withColumn(name, col)
+        return out
 
     def drop(self, labels=None, columns=None, index=None, axis=0, level=None) -> "DataFrame":
         """Drop columns by name or rows by index label (reference
@@ -1547,6 +1551,31 @@ class DataFrame:
             f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
         )
         return DataFrame(self._sdf.select(*id_vars, stacked), ())
+
+    def value_counts(self, subset=None, normalize: bool = False, sort: bool = True, ascending: bool = False):
+        """Row-combination counts (pandas DataFrame.value_counts): one hash
+        aggregate over the subset columns; null-key rows excluded (pandas
+        dropna default)."""
+        subset = list(subset) if subset is not None else list(self.columns)
+        sdf = self._sdf
+        cond = None
+        for c in subset:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        counted = (
+            sdf.filter(cond).groupBy(*subset).agg(F.count(F.lit(1)).alias("count"))
+        )
+        if normalize:
+            total = counted.agg(F.sum("count")).collect()[0][0] or 1
+            counted = counted.withColumn(
+                "proportion", F.col("count") / F.lit(float(total))
+            ).drop("count")
+        if sort:
+            key = "proportion" if normalize else "count"
+            counted = counted.orderBy(
+                F.asc(key) if ascending else F.desc(key), *[F.asc(c) for c in subset]
+            )
+        return DataFrame(counted, tuple(subset))
 
     def pivot_table(
         self, values, index, columns, aggfunc: str = "mean", fill_value=None

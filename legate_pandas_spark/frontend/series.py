@@ -308,19 +308,31 @@ class Series:
         )
         return self._wrap(F.col(out))
 
-    def shift(self, periods: int = 1):
+    def shift(self, periods: int = 1, fill_value=None):
         """Shift by ``periods`` rows — a global-position equi-join on the
         partition-offset position key (scan.shift_columns), never a global
-        window: the only data movement is a hash join on a unique long."""
+        window: the only data movement is a hash join on a unique long.
+        ``fill_value`` replaces the vacated slots (pandas)."""
         from legate_pandas_spark.frontend.frame import ROW_ORDER
         from legate_pandas_spark.frontend.scan import _seq, shift_columns
 
-        out = f"__sshift_{next(_seq)}__"
+        uniq = next(_seq)
+        out = f"__sshift_{uniq}__"
         fresh = ROW_ORDER not in self._frame._sdf.columns
+        cols = {out: self._col}
+        mark = None
+        if fill_value is not None:
+            # fill ONLY vacated slots (donor-row miss), never nulls that were
+            # genuinely shifted in — a marker column distinguishes the two
+            mark = f"__sshiftm_{uniq}__"
+            cols[mark] = F.lit(True)
         self._frame._sdf = shift_columns(
-            self._frame._ordered_sdf(), {out: self._col}, periods, fresh
+            self._frame._ordered_sdf(), cols, periods, fresh
         )
-        return self._wrap(F.col(out))
+        expr = F.col(out)
+        if mark is not None:
+            expr = F.when(F.col(mark).isNull(), F.lit(fill_value)).otherwise(expr)
+        return self._wrap(expr)
 
     def diff(self, periods: int = 1):
         shifted = self.shift(periods)
@@ -576,11 +588,63 @@ class Series:
 
     def _idx_reduce(self, descending: bool):
         if not self._frame._index:
-            raise ValueError("idxmax/idxmin require a stored index (set_index first)")
+            # virtual RangeIndex: the "label" IS the global position — compute
+            # it with the partition-offset arithmetic, then TakeOrdered picks
+            # the argmax row (first occurrence wins ties, like pandas)
+            from legate_pandas_spark.frontend.frame import ROW_ORDER
+            from legate_pandas_spark.frontend.indexing import _attach_positions
+            from legate_pandas_spark.frontend.scan import _seq
+
+            pos = f"__idxr_{next(_seq)}__"
+            fresh = ROW_ORDER not in self._frame._sdf.columns
+            with_pos, _total = _attach_positions(
+                self._frame._ordered_sdf(), fresh, pos_name=pos
+            )
+            order = self._col.desc() if descending else self._col.asc()
+            row = (
+                with_pos.filter(self._col.isNotNull())
+                .orderBy(order, F.asc(pos))
+                .select(pos)
+                .limit(1)
+                .collect()
+            )
+            return int(row[0][0]) if row else None
         idx = self._frame._index[0]
         order = self._col.desc() if descending else self._col.asc()
         row = self._frame._sdf.orderBy(order).select(idx).limit(1).collect()
         return row[0][0] if row else None
+
+    def first_valid_index(self):
+        """Index label (or position on a virtual RangeIndex) of the first
+        non-null value; None if all-null (pandas)."""
+        return self._valid_index(first=True)
+
+    def last_valid_index(self):
+        return self._valid_index(first=False)
+
+    def _valid_index(self, first: bool):
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq
+
+        pos = f"__fvi_{next(_seq)}__"
+        fresh = ROW_ORDER not in self._frame._sdf.columns
+        with_pos, _total = _attach_positions(
+            self._frame._ordered_sdf(), fresh, pos_name=pos
+        )
+        label = self._frame._index[0] if self._frame._index else pos
+        order = F.asc(pos) if first else F.desc(pos)
+        row = (
+            with_pos.filter(self._col.isNotNull())
+            .orderBy(order)
+            .select(label)
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            return None
+        v = row[0][0]
+        return int(v) if label == pos else v
 
     def idxmax(self):
         """Index label of the maximum (TakeOrderedAndProject — no global sort)."""

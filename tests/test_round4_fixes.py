@@ -830,3 +830,43 @@ def test_str_title_capitalize_predicates(spark):
             for v in getattr(pdf["s"].str, meth)()
         ]
         assert got == want, meth
+
+
+def test_api_gap_batch_round4c(spark):
+    """Small parity adds: frame.value_counts, shift(fill_value),
+    assign(callable), positional idxmax/idxmin, first/last_valid_index."""
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 2, 3], "b": ["x", "y", "y", "z"], "c": [None, 2.0, 3.0, None]}
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.value_counts().to_pandas().reset_index()
+    # our dropna contract excludes null-c rows like pandas' default
+    want = pdf.dropna().value_counts().reset_index(name="count")
+    got_sorted = got.sort_values(["a", "b", "c"]).reset_index(drop=True)
+    want_sorted = want.sort_values(["a", "b", "c"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_sorted[["a", "b", "c", "count"]], want_sorted[["a", "b", "c", "count"]],
+        check_dtype=False,
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["c"].shift(1, fill_value=-1.0).to_pandas().reset_index(drop=True)
+    want = pdf["c"].shift(1, fill_value=-1.0)
+    # row0 -> -1.0 (vacated slot filled); row1 takes row0's genuine None,
+    # which must STAY null
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.assign(d=lambda df: df["a"] + 1).to_pandas()
+    want = pdf.assign(d=lambda df: df["a"] + 1)
+    assert got["d"].tolist() == want["d"].tolist()
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["c"].idxmax() == pdf["c"].idxmax()
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["c"].idxmin() == pdf["c"].idxmin()
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["c"].first_valid_index() == pdf["c"].first_valid_index()
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["c"].last_valid_index() == pdf["c"].last_valid_index()
