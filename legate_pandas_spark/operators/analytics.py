@@ -575,15 +575,24 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from pyspark.storagelevel import StorageLevel
+
     edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+    # the edge table feeds deg/nodes/m0/m1 — persist it once or the
+    # fact-sized distinct join recomputes for every consumer
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
+    # deg and the rank vector are NODE-sized; broadcasting them keeps every
+    # edge-table pass map-side (the standard small-rank-vector PageRank
+    # optimization — at web scale, where the rank vector outgrows the
+    # broadcast budget, drop the hint and AQE picks the shuffle join)
     m0 = (
-        edges.join(deg, "src")
+        edges.join(F.broadcast(deg), "src")
         .groupBy("dst")
         .agg(F.sum(1.0 / F.col("d")).alias("m"))
     )
@@ -600,8 +609,8 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m1 = (
-        edges.join(r1.select(F.col("node").alias("src"), "r"), "src")
-        .join(deg, "src")
+        edges.join(F.broadcast(r1.select(F.col("node").alias("src"), "r")), "src")
+        .join(F.broadcast(deg), "src")
         .groupBy("dst")
         .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
     )
