@@ -124,6 +124,18 @@ class StringMethods:
         # trim(BOTH x FROM col) needs SQL text; only valid for plain column refs
         return f"`{self._s.name}`"
 
+    def slice_replace(self, start: int = 0, stop: int | None = None, repl: str = ""):
+        """Replace the [start, stop) slice with ``repl`` (pandas
+        str.slice_replace) — pure substring/concat expressions."""
+        c = self._s._col
+        pre = F.substring(c, 1, start)
+        post = (
+            F.lit("")
+            if stop is None
+            else F.substring(c, stop + 1, 2147483647)
+        )
+        return self._wrap(F.when(c.isNotNull(), F.concat(pre, F.lit(repl), post)))
+
     def slice(self, start: int = 0, stop: int | None = None):
         length = (stop - start) if stop is not None else (1 << 30)
         return self._wrap(F.substring(self._s._col, start + 1, length))
@@ -307,6 +319,17 @@ class DatetimeMethods:
             .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
         )
         return self._s._wrap(F.date_format(self._s._col, spark_fmt))
+
+    def month_name(self):
+        """Full month name (pandas dt.month_name) — date_format 'MMMM'."""
+        return self._s._wrap(F.date_format(self._s._col, "MMMM"))
+
+    def normalize(self):
+        """Midnight-truncated timestamps (pandas dt.normalize)."""
+        return self._s._wrap(F.date_trunc("day", self._s._col))
+
+    def day_name(self):
+        return self._s._wrap(F.date_format(self._s._col, "EEEE"))
 
     @property
     def quarter(self):

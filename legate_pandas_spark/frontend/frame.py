@@ -1294,6 +1294,13 @@ class DataFrame:
     def std(self, ddof: int = 1):
         return self._reduce_frame(F.stddev_samp if ddof == 1 else F.stddev_pop)
 
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean (pandas sem): std/√count per column."""
+        return self._reduce_frame(
+            lambda c: (F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))
+            / F.sqrt(F.count(c))
+        )
+
     def prod(self):
         return self._reduce_frame(F.product)
 
@@ -1551,6 +1558,75 @@ class DataFrame:
             f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
         )
         return DataFrame(self._sdf.select(*id_vars, stacked), ())
+
+    def eval(self, expr: str, **env) -> "DataFrame":
+        """pandas DataFrame.eval: ``name = expression`` assignments (one per
+        line) or a single bare expression (returns a Series). Reuses the
+        ``query()`` AST→Catalyst translator (the reference's only UDF entry,
+        core/query.py:33-311, which it JITs with numba — here the expression
+        compiles to a native Spark expression; no Python in the hot path)."""
+        import re
+
+        from legate_pandas_spark.frontend.query import translate_query_expr
+
+        lines = [ln.strip() for ln in expr.splitlines() if ln.strip()]
+        assign_re = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.+)$")
+        out = self._replace(self._sdf)
+        bare = None
+        for ln in lines:
+            m = assign_re.match(ln)
+            if m:
+                name, rhs = m.groups()
+                out._sdf = out._sdf.withColumn(
+                    name, F.expr(translate_query_expr(rhs, env))
+                )
+            else:
+                bare = ln
+        if bare is not None:
+            if len(lines) > 1:
+                raise ValueError(
+                    "eval: mix of assignments and bare expressions is not supported"
+                )
+            return Series(
+                out, F.expr(translate_query_expr(bare, env)), "eval"
+            )
+        return out
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """Column subset by dtype family (pandas select_dtypes): 'number',
+        'object'/'string', 'datetime', 'bool'; include or exclude lists."""
+        from legate_pandas_spark.frontend.dtypes import is_numeric_spark_type
+
+        def fam(spark_type: str) -> str:
+            if spark_type == "boolean":
+                return "bool"
+            if is_numeric_spark_type(spark_type):
+                return "number"
+            if spark_type.startswith("timestamp") or spark_type == "date":
+                return "datetime"
+            return "object"
+
+        alias = {"string": "object", "float": "number", "int": "number",
+                 "datetime64": "datetime", "O": "object"}
+        def norm(spec):
+            if spec is None:
+                return None
+            spec = [spec] if isinstance(spec, str) else list(spec)
+            return {alias.get(s, s) for s in spec}
+
+        inc, exc = norm(include), norm(exclude)
+        if inc is None and exc is None:
+            raise ValueError("select_dtypes: provide include and/or exclude")
+        dtypes = dict(self._sdf.dtypes)
+        keep = []
+        for c in self.columns:
+            f = fam(dtypes[c])
+            if inc is not None and f not in inc:
+                continue
+            if exc is not None and f in exc:
+                continue
+            keep.append(c)
+        return self[keep]
 
     def value_counts(self, subset=None, normalize: bool = False, sort: bool = True, ascending: bool = False):
         """Row-combination counts (pandas DataFrame.value_counts): one hash

@@ -870,3 +870,58 @@ def test_api_gap_batch_round4c(spark):
     assert ldf["c"].first_valid_index() == pdf["c"].first_valid_index()
     ldf = lps.from_pandas(pdf, spark=spark)
     assert ldf["c"].last_valid_index() == pdf["c"].last_valid_index()
+
+
+def test_api_gap_batch2_round4c(spark):
+    """select_dtypes, eval, sem, str.slice_replace, dt.month_name/day_name/
+    normalize — differential vs pandas."""
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3],
+            "b": ["xy", "yz", "zz"],
+            "c": [1.5, 2.5, None],
+            "t": pd.to_datetime(["2024-01-05", "2024-02-10", "2024-03-15"]),
+        }
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf.select_dtypes("number").columns == ["a", "c"]
+    assert ldf.select_dtypes(include="object").columns == ["b"]
+    assert ldf.select_dtypes(exclude=["number", "datetime"]).columns == ["b"]
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.eval("d = a + c").to_pandas()
+    want = pdf.eval("d = a + c")
+    pd.testing.assert_series_equal(got["d"], want["d"], check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.eval("a * 2 + 1").to_pandas().reset_index(drop=True)
+    want = pdf.eval("a * 2 + 1")
+    pd.testing.assert_series_equal(got, want, check_names=False, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["a", "c"]].sem()
+    want = pdf[["a", "c"]].sem()
+    import numpy.testing as npt
+
+    npt.assert_allclose(sorted(got), sorted(want), rtol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["b"].str.slice_replace(0, 1, "Q").to_pandas().tolist()
+        == pdf["b"].str.slice_replace(0, 1, "Q").tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["t"].dt.month_name().to_pandas().tolist()
+        == pdf["t"].dt.month_name().tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["t"].dt.day_name().to_pandas().tolist()
+        == pdf["t"].dt.day_name().tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["t"].dt.normalize().to_pandas().tolist()
+    want = pdf["t"].dt.normalize().tolist()
+    assert got == want
