@@ -881,6 +881,40 @@ class GroupByEwm:
         )
         return DataFrame(res, gb._df._index)
 
+    def var(self):
+        """Exact distributed per-group ewm variance (pandas bias=False) —
+        keyed five-moment carries (scan.grouped_ewm_var_columns)."""
+        return self._moments(std=False)
+
+    def std(self):
+        return self._moments(std=True)
+
+    def _moments(self, std: bool):
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        gb = self._gb
+        sdf = gb._df._ordered_sdf()
+        dtypes = dict(sdf.dtypes)
+        value_cols = [
+            c
+            for c in sdf.columns
+            if c not in gb._keys
+            and c != ROW_ORDER
+            and c not in gb._df._index
+            and is_numeric_spark_type(dtypes[c])
+        ]
+        keep = [c for c in sdf.columns if c not in value_cols]
+        from legate_pandas_spark.frontend import scan
+
+        tmp = {f"__gewv_out_{i}__": c for i, c in enumerate(value_cols)}
+        res = scan.grouped_ewm_var_columns(
+            sdf, list(gb._keys), tmp, self._alpha, std=std
+        )
+        res = res.select(
+            *keep, *[F.col(t).alias(c) for t, c in zip(tmp, value_cols)]
+        )
+        return DataFrame(res, gb._df._index)
+
 
 class PivotedGroupBy:
     def __init__(self, gb: GroupBy, column: str, values: list):

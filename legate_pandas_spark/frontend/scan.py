@@ -879,3 +879,168 @@ def shift_columns(sdf, cols: dict, periods: int, fresh: bool):
         with_pos.join(donor, F.col(pos) == F.col(dpos), "left")
         .drop(pos, dpos)
     )
+
+
+def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool = False):
+    """Per-group exact distributed ewm variance/std — the keyed version of
+    ``ewm_var_columns`` with the same fully-distributed carry plumbing as
+    ``grouped_ewm_mean_columns``: per-(group, partition) five-moment states
+    (Σwx, Σw, Σwx², Σw², obs count), a per-group prefix-combine over the tiny
+    state table (Σw² decays by decay², the count by 1), and a null-safe carry
+    join. No per-group sequential task; nothing collected to the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    b = 1.0 - alpha
+    alpha2 = 1.0 - b * b
+    uniq = next(_seq)
+    PID = f"__gvp_{uniq}__"
+    work = sdf.withColumn(PID, _pid())
+    srcs = list(dict.fromkeys(cols.values()))
+    key_fields = {f.name: f for f in work.schema.fields}
+    MOMS = "abcdn"
+    st_cols = {
+        m: [f"__gv{m}_{uniq}_{i}__" for i in range(len(srcs))] for m in MOMS
+    }
+    cr_cols = {
+        m: [f"__gc{m}_{uniq}_{i}__" for i in range(len(srcs))] for m in MOMS
+    }
+    DEC = f"__gvd_{uniq}__"
+
+    def _moments(g, s):
+        x = g[s].astype("float64")
+        A, B = _ewm_local_num_den(x, alpha)
+        C, _ = _ewm_local_num_den(x * x, alpha)
+        if b > 0:
+            _, D = _ewm_local_num_den(x, alpha2)
+        else:
+            D = B.copy()
+        N = x.notna().astype("float64").cumsum().to_numpy()
+        return A, B, C, D, N
+
+    state_schema = T.StructType(
+        [T.StructField(PID, T.LongType())]
+        + [key_fields[k] for k in keys]
+        + [T.StructField(DEC, T.DoubleType())]
+        + [T.StructField(st_cols[m][i], T.DoubleType())
+           for i in range(len(srcs)) for m in MOMS]
+    )
+
+    def phase1(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        outs = []
+        for _, g in pdf.groupby(keys, dropna=False, sort=False):
+            o = g.iloc[[0]][[PID] + keys].copy()
+            o[DEC] = float(b ** len(g))
+            for i, s in enumerate(srcs):
+                for m, arr in zip(MOMS, _moments(g, s)):
+                    o[st_cols[m][i]] = float(arr[-1])
+            outs.append(o)
+        if not outs:
+            o = pdf.iloc[0:0][[PID] + keys].copy()
+            o[DEC] = pd.Series(dtype="float64")
+            for i in range(len(srcs)):
+                for m in MOMS:
+                    o[st_cols[m][i]] = pd.Series(dtype="float64")
+            outs.append(o)
+        return pd.concat(outs)
+
+    states = work.groupBy(PID).applyInPandas(phase1, state_schema)
+
+    carry_schema = T.StructType(
+        [T.StructField(PID, T.LongType())]
+        + [key_fields[k] for k in keys]
+        + [T.StructField(cr_cols[m][i], T.DoubleType())
+           for i in range(len(srcs)) for m in MOMS]
+    )
+
+    def combine(pdf):
+        pdf = pdf.sort_values(PID).reset_index(drop=True)
+        out = pdf[[PID] + keys].copy()
+        for i in range(len(srcs)):
+            accs = {m: [] for m in MOMS}
+            cur = {m: 0.0 for m in MOMS}
+            for _, r in pdf.iterrows():
+                for m in MOMS:
+                    accs[m].append(cur[m])
+                dec = r[DEC]
+                cur = {
+                    "a": r[st_cols["a"][i]] + dec * cur["a"],
+                    "b": r[st_cols["b"][i]] + dec * cur["b"],
+                    "c": r[st_cols["c"][i]] + dec * cur["c"],
+                    "d": r[st_cols["d"][i]] + dec * dec * cur["d"],
+                    "n": r[st_cols["n"][i]] + cur["n"],
+                }
+            for m in MOMS:
+                out[cr_cols[m][i]] = accs[m]
+        return out
+
+    carries = states.groupBy(*keys).applyInPandas(combine, carry_schema)
+
+    cpid = f"__gvc_{uniq}__"
+    ckeys = [f"__gvk_{uniq}_{i}__" for i in range(len(keys))]
+    flat_cr = [cr_cols[m][i] for i in range(len(srcs)) for m in MOMS]
+    carries = carries.select(
+        F.col(PID).alias(cpid),
+        *[F.col(k).alias(a) for k, a in zip(keys, ckeys)],
+        *flat_cr,
+    )
+    cond = F.col(PID) == F.col(cpid)
+    for k, a in zip(keys, ckeys):
+        cond = cond & F.col(k).eqNullSafe(F.col(a))
+    work2 = work.join(carries, cond, "left").drop(cpid, *ckeys)
+
+    out_schema = T.StructType(
+        list(work2.schema.fields)
+        + [T.StructField(o, T.DoubleType()) for o in cols]
+    )
+
+    def phase2(pdf):
+        pdf = pdf.sort_values(ROW_ORDER)
+        outs = []
+        for _, g in pdf.groupby(keys, dropna=False, sort=False):
+            n = len(g)
+            bp = np.power(b, np.arange(1, n + 1, dtype="float64"))
+            bp2 = bp * bp
+            o = g.copy()
+            for out_name, s in cols.items():
+                i = srcs.index(s)
+                A, B, C, D, N = _moments(g, s)
+                pv = {
+                    m: (0.0 if pd.isna(g[cr_cols[m][i]].iloc[0])
+                        else float(g[cr_cols[m][i]].iloc[0]))
+                    for m in MOMS
+                }
+                At = A + bp * pv["a"]
+                Bt = B + bp * pv["b"]
+                Ct = C + bp * pv["c"]
+                Dt = D + bp2 * pv["d"]
+                Nt = N + pv["n"]
+                denom = Bt * Bt - Dt
+                ok = (Bt > 0) & (Nt >= 2) & (denom > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mean = np.where(Bt > 0, At / np.where(Bt > 0, Bt, 1.0), np.nan)
+                    biased = Ct / np.where(Bt > 0, Bt, 1.0) - mean * mean
+                    v = np.where(
+                        ok,
+                        np.maximum(biased, 0.0) * (Bt * Bt)
+                        / np.where(denom > 0, denom, 1.0),
+                        np.nan,
+                    )
+                o[out_name] = np.sqrt(v) if std else v
+            outs.append(o)
+        if not outs:
+            o = pdf.copy()
+            for out_name in cols:
+                o[out_name] = pd.Series(dtype="float64")
+            outs.append(o)
+        return pd.concat(outs)
+
+    return (
+        work2.groupBy(PID)
+        .applyInPandas(phase2, out_schema)
+        .drop(PID, *flat_cr)
+    )

@@ -925,3 +925,35 @@ def test_api_gap_batch2_round4c(spark):
     got = ldf["t"].dt.normalize().to_pandas().tolist()
     want = pdf["t"].dt.normalize().tolist()
     assert got == want
+
+
+def test_grouped_ewm_var_std_matches_pandas(spark):
+    import numpy as np
+    import numpy.testing as npt
+
+    rng = np.random.RandomState(53)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.8, "big", rng.choice(["s1", "s2"], n)),
+            "v": rng.randn(n) * 4,
+        }
+    )
+    pdf.loc[rng.rand(n) < 0.1, "v"] = np.nan
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").ewm(alpha=0.3).var().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=True).var(bias=False)
+    )
+    npt.assert_allclose(
+        got["v"].to_numpy(), want.to_numpy(), rtol=1e-8, equal_nan=True
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").ewm(alpha=0.6).std().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.6, adjust=True).std(bias=False)
+    )
+    npt.assert_allclose(
+        got["v"].to_numpy(), want.to_numpy(), rtol=1e-8, equal_nan=True
+    )
