@@ -82,6 +82,18 @@ class DataFrame:
     def shape(self) -> tuple[int, int]:
         return (len(self), len(self.columns))
 
+    @property
+    def size(self) -> int:
+        return len(self) * len(self.columns)
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
     def copy(self, deep: bool = True) -> "DataFrame":
         out = DataFrame(self._sdf, self._index)
         out._cat_meta = dict(self._cat_meta)

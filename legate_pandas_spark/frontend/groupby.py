@@ -150,6 +150,47 @@ class GroupBy:
     def nunique(self):
         return self._apply_named("nunique")
 
+    def sample(self, n: int = 1, random_state: int | None = None):
+        """n rows per group (pandas groupby.sample): rank over (seeded) rand
+        in a group-partitioned window. Deterministic iff random_state given."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        r = F.rand(random_state) if random_state is not None else F.rand()
+        w = Window.partitionBy(*self._keys).orderBy(r)
+        out = (
+            self._df._sdf.withColumn("__smp__", F.row_number().over(w))
+            .filter(F.col("__smp__") <= n)
+            .drop("__smp__")
+        )
+        return DataFrame(out, self._df._index)
+
+    def describe(self):
+        """Per-group numeric summary (pandas groupby.describe, columns
+        flattened to ``{col}_{stat}``): one hash aggregate; the quartiles are
+        exact percentiles (swap to approx_percentile at 100 TB, same trade as
+        Series.quantile)."""
+        dtypes = dict(self._df._sdf.dtypes)
+        exprs = []
+        for c in self._df.columns:
+            if c in self._keys or not is_numeric_spark_type(dtypes[c]):
+                continue
+            col = F.col(c)
+            exprs += [
+                F.count(col).cast("double").alias(f"{c}_count"),
+                F.avg(col).alias(f"{c}_mean"),
+                F.stddev_samp(col).alias(f"{c}_std"),
+                F.min(col).cast("double").alias(f"{c}_min"),
+                F.percentile(col, F.lit(0.25)).alias(f"{c}_25%"),
+                F.percentile(col, F.lit(0.5)).alias(f"{c}_50%"),
+                F.percentile(col, F.lit(0.75)).alias(f"{c}_75%"),
+                F.max(col).cast("double").alias(f"{c}_max"),
+            ]
+        if not exprs:
+            raise ValueError("describe: no numeric columns")
+        return self._finish(self._df._sdf.groupBy(*self._keys).agg(*exprs))
+
     def first(self):
         """First non-null value per group in row order (pandas groupby.first):
         min_by over the order key among non-null rows — one hash aggregate, no
@@ -684,6 +725,98 @@ class SeriesGroupBy:
         if notnull is not None:
             expr = F.when(notnull, expr)
         return Series(gb._src, expr, self._col)
+
+    def _cum(self, fn):
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.series import Series
+
+        gb = self._gb
+        gb._src._sdf = gb._src._ordered_sdf()
+        w = (
+            Window.partitionBy(*gb._keys)
+            .orderBy(F.asc(ROW_ORDER))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expr = fn(F.col(self._col)).over(w)
+        notnull = None
+        for k in gb._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
+        return Series(gb._src, F.when(F.col(self._col).isNotNull(), expr), self._col)
+
+    def cummax(self):
+        """Per-group running max (pandas groupby.cummax; group-key-partitioned
+        window — parallel per group). Null cells stay null (pandas skipna)."""
+        return self._cum(F.max)
+
+    def cummin(self):
+        return self._cum(F.min)
+
+    def diff(self, periods: int = 1):
+        """Per-group difference vs the value ``periods`` rows back
+        (lag window partitioned by the group keys)."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.series import Series
+
+        gb = self._gb
+        gb._src._sdf = gb._src._ordered_sdf()
+        w = Window.partitionBy(*gb._keys).orderBy(F.asc(ROW_ORDER))
+        expr = F.col(self._col) - F.lag(F.col(self._col), periods).over(w)
+        return Series(gb._src, expr, self._col)
+
+    def idxmax(self):
+        """Per-group index label (stored index) or global position (virtual
+        RangeIndex) of the maximum — min_by/max_by hash aggregate, no sort."""
+        return self._idx_reduce(descending=True)
+
+    def idxmin(self):
+        return self._idx_reduce(descending=False)
+
+    def _idx_reduce(self, descending: bool):
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq
+
+        gb = self._gb
+        if gb._df._index:
+            label = gb._df._index[0]
+            sdf = gb._df._sdf
+        else:
+            pos = f"__gidx_{next(_seq)}__"
+            fresh = ROW_ORDER not in gb._df._sdf.columns
+            sdf, _total = _attach_positions(
+                gb._df._ordered_sdf(), fresh, pos_name=pos
+            )
+            label = pos
+        pick = F.max_by if descending else F.min_by
+        out = sdf.filter(F.col(self._col).isNotNull()).groupBy(*gb._keys).agg(
+            pick(F.col(label), F.col(self._col)).alias(self._col)
+        )
+        return DataFrame(out, tuple(gb._keys))
+
+    def ohlc(self):
+        """Open/high/low/close per group (pandas groupby.ohlc): first/max/min/
+        last by row order — one hash aggregate (min_by/max_by on the order
+        key), no window."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        gb = self._gb
+        sdf = gb._df._ordered_sdf()
+        c = F.col(self._col)
+        keyed = F.when(c.isNotNull(), F.col(ROW_ORDER))
+        out = sdf.groupBy(*gb._keys).agg(
+            F.min_by(c, keyed).alias("open"),
+            F.max(c).alias("high"),
+            F.min(c).alias("low"),
+            F.max_by(c, keyed).alias("close"),
+        )
+        return DataFrame(out, tuple(gb._keys))
 
 
 class GroupedRolling:

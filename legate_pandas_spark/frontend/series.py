@@ -402,13 +402,38 @@ class Series:
         udf = pandas_udf(func, spark_type)
         return self._wrap(udf(self._col))
 
-    def map(self, mapping: dict, default=None):
-        """Value mapping via a compiled CASE expression (dictionary broadcast in
-        expression form — pandas Series.map with a dict)."""
+    def map(self, mapping, default=None):
+        """Value mapping: a dict compiles to a CASE expression (dictionary
+        broadcast in expression form); a callable runs as an Arrow-batched
+        pandas UDF (pandas Series.map semantics — the vectorized escape
+        hatch, never row-at-a-time Python)."""
+        if callable(mapping) and not isinstance(mapping, dict):
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            fn = mapping
+
+            @pandas_udf("double")
+            def _mapper(batch):
+                return pd.to_numeric(batch.map(fn), errors="coerce")
+
+            return self._wrap(_mapper(self._col))
         expr = F.lit(default)
         for k, v in mapping.items():
             expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
         return self._wrap(expr)
+
+    @property
+    def dtype(self):
+        """pandas-style dtype string of the underlying expression."""
+        sdf = self._frame._sdf.select(self._col.alias("__dt__"))
+        t = dict(sdf.dtypes)["__dt__"]
+        back = {
+            "bigint": "int64", "int": "int32", "smallint": "int16",
+            "tinyint": "int8", "double": "float64", "float": "float32",
+            "string": "object", "boolean": "bool",
+        }
+        return back.get(t, t)
 
     # -- casts ----------------------------------------------------------------
     def astype(self, dtype):

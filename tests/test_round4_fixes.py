@@ -957,3 +957,57 @@ def test_grouped_ewm_var_std_matches_pandas(spark):
     npt.assert_allclose(
         got["v"].to_numpy(), want.to_numpy(), rtol=1e-8, equal_nan=True
     )
+
+
+def test_api_gap_batch3_groupby(spark):
+    """SeriesGroupBy cummax/cummin/diff/idxmax/idxmin/ohlc, GroupBy sample/
+    describe, Series.map(callable)/dtype, frame size/empty/ndim."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "a"],
+            "v": [3.0, 1.0, 4.0, None, 5.0],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].cummax().to_pandas().reset_index(drop=True)
+    want = pdf.groupby("k")["v"].cummax()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].diff().to_pandas().reset_index(drop=True)
+    want = pdf.groupby("k")["v"].diff()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].idxmax().to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].idxmax()
+    assert got["v"].tolist() == want.tolist()
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].ohlc().to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].ohlc()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    sampled = ldf.groupby("k").sample(n=1, random_state=7).to_pandas()
+    assert len(sampled) == 2 and set(sampled["k"]) == {"a", "b"}
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k").describe().to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].describe()
+    np.testing.assert_allclose(got["v_mean"], want["mean"], rtol=1e-9)
+    np.testing.assert_allclose(got["v_50%"], want["50%"], rtol=1e-9)
+    np.testing.assert_allclose(got["v_count"], want["count"], rtol=1e-9)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["v"].map(lambda x: x * 2 if x == x else x).to_pandas().reset_index(drop=True)
+    want = pdf["v"].map(lambda x: x * 2 if x == x else x)
+    pd.testing.assert_series_equal(got, want, check_names=False, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["v"].dtype == "float64"
+    assert ldf.size == pdf.size
+    assert ldf.ndim == 2
+    assert not ldf.empty
