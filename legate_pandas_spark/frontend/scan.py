@@ -540,17 +540,20 @@ def ewm_mean_columns(sdf, cols: dict, alpha: float):
 
 def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
     """Append exact distributed pandas ``ewm(adjust=True).var()`` (bias=False)
-    or ``.std()`` — the four-moment extension of ``ewm_mean_columns``.
+    or ``.std()`` — a weighted-Welford (West) merge over the two-phase carry
+    plumbing of ``ewm_mean_columns``.
 
-    Math: per row i over non-null x, with w_j = b^{i-j} (ignore_na=False so
-    weights decay across nulls): A=Σw·x, B=Σw, C=Σw·x², D=Σw².
-    var = (C/B − (A/B)²) · B²/(B² − D); pandas yields null until two
-    observations (B² − D = 0 at one). A, B, C are local-ewm recoveries at
-    decay b (C from x²); D is the WEIGHT-SQUARED sum — exactly the den of an
-    EWM at decay b², so the same pandas-local recovery applies with
-    alpha2 = 1 − b². Carries decay by b^rows (A, B, C) and b^{2·rows} (D);
-    the per-partition state is 4 scalars per column, prefix-combined on the
-    driver like ``ewm_mean_columns``.
+    Per row over non-null x with weights w_j = b^{i-j} (ignore_na=False: the
+    decay counts all periods): the partition-LOCAL state (B=Σw, mean, M2=
+    Σw·(x−mean)², D=Σw², N=obs count) is recovered from pandas' own ewm
+    (mean, bias=True var — their stable recursion), and states merge with the
+    weighted Chan/West update M2 = M2₁+M2₂+δ²·B₁B₂/B — numerically stable
+    where the raw-moment form (C/B − mean²) suffers catastrophic cancellation
+    under long decay gaps. Carries decay by b^rows (B, M2; mean is invariant
+    under uniform weight scaling) and b^{2·rows} (D). Bias correction
+    var = M2/B · B²/(B²−D) gates on an EXACT observation count (≥2) and falls
+    back to the uncorrected value if the correction denominator underflows
+    (matching pandas' recursive collapse).
     """
     import numpy as np
     import pandas as pd
@@ -559,7 +562,6 @@ def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
     b = 1.0 - alpha
-    alpha2 = 1.0 - b * b
     uniq = next(_seq)
     PID = f"__evp_{uniq}__"
     work = sdf.withColumn(PID, _pid())
@@ -568,20 +570,10 @@ def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
     def _moments(pdf):
         res = {}
         for s in srcs:
-            x = pdf[s].astype("float64")
-            A, B = _ewm_local_num_den(x, alpha)
-            C, _ = _ewm_local_num_den(x * x, alpha)
-            if b > 0:
-                _, D = _ewm_local_num_den(x, alpha2)
-            else:
-                D = B.copy()  # b=0: only the current obs carries weight
-            # exact running observation count: the bias gate (>= 2 obs) must
-            # not depend on float-epsilon denominators
-            N = x.notna().astype("float64").cumsum().to_numpy()
-            res[s] = (A, B, C, D, N)
+            res[s] = _ewm_local_welford(pdf[s], alpha)
         return res
 
-    names = [f"__ev{m}_{uniq}_{i}__" for i in range(len(srcs)) for m in "abcdn"]
+    names = [f"__ev{m}_{uniq}_{i}__" for i in range(len(srcs)) for m in "bmwdn"]
     f1 = [T.StructField(PID, T.LongType()), T.StructField("__dec__", T.DoubleType())]
     f1 += [T.StructField(n, T.DoubleType()) for n in names]
     schema1 = T.StructType(f1)
@@ -592,26 +584,20 @@ def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
         res = _moments(pdf)
         row = {PID: [int(pdf[PID].iloc[0])], "__dec__": [float(b**n)]}
         for i, s in enumerate(srcs):
-            for m, arr in zip("abcdn", res[s]):
+            for m, arr in zip("bmwdn", res[s]):
                 row[f"__ev{m}_{uniq}_{i}__"] = [float(arr[-1]) if n else 0.0]
         return pd.DataFrame(row)
 
     ends = work.groupBy(PID).applyInPandas(phase1, schema1).collect()
     ends.sort(key=lambda r: r[PID])
     carry: dict = {}
-    acc = {s: [0.0, 0.0, 0.0, 0.0, 0.0] for s in srcs}
+    acc = {s: [0.0, 0.0, 0.0, 0.0, 0.0] for s in srcs}  # B, mean, M2, D, N
     for r in ends:
         carry[r[PID]] = {s: list(acc[s]) for s in srcs}
         dec = r["__dec__"]
         for i, s in enumerate(srcs):
-            vals = [r[f"__ev{m}_{uniq}_{i}__"] for m in "abcdn"]
-            acc[s] = [
-                vals[0] + dec * acc[s][0],
-                vals[1] + dec * acc[s][1],
-                vals[2] + dec * acc[s][2],
-                vals[3] + dec * dec * acc[s][3],
-                vals[4] + acc[s][4],
-            ]
+            L = [r[f"__ev{m}_{uniq}_{i}__"] for m in "bmwdn"]
+            acc[s] = _welford_merge_decayed(acc[s], L, dec)
 
     schema2 = T.StructType(
         list(work.schema.fields)
@@ -624,27 +610,102 @@ def ewm_var_columns(sdf, cols: dict, alpha: float, std: bool = False):
         res = _moments(pdf)
         prev = carry.get(int(pdf[PID].iloc[0]) if n else -1, {})
         bp = np.power(b, np.arange(1, n + 1, dtype="float64"))
-        bp2 = bp * bp
         out = pdf.copy()
         for out_name, s in cols.items():
-            A, B, C, D, N = res[s]
-            pa, pb, pc, pd_, pn = prev.get(s, [0.0, 0.0, 0.0, 0.0, 0.0])
-            At, Bt, Ct, Dt = A + bp * pa, B + bp * pb, C + bp * pc, D + bp2 * pd_
-            Nt = N + pn
-            denom = Bt * Bt - Dt
-            ok = (Bt > 0) & (Nt >= 2) & (denom > 0)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                mean = np.where(Bt > 0, At / np.where(Bt > 0, Bt, 1.0), np.nan)
-                biased = Ct / np.where(Bt > 0, Bt, 1.0) - mean * mean
-                v = np.where(
-                    ok,
-                    np.maximum(biased, 0.0) * (Bt * Bt) / np.where(denom > 0, denom, 1.0),
-                    np.nan,
-                )
-            out[out_name] = np.sqrt(v) if std else v
+            loc = res[s]
+            pv = prev.get(s, [0.0, 0.0, 0.0, 0.0, 0.0])
+            out[out_name] = _welford_rowwise_var(loc, pv, bp, std)
         return out
 
     return work.groupBy(PID).applyInPandas(phase2, schema2).drop(PID)
+
+
+def _ewm_local_welford(x_ser, alpha: float):
+    """Partition-local per-row EWM Welford state arrays (B, mean, M2, P, N)
+    recovered from pandas' own (numerically stable, recursive) ewm.
+
+    P is the PAIRWISE weight-product sum Σ_{j<k} w_j·w_k = (B² − Σw²)/2 —
+    tracked directly (recurrence P_i = b²·P_{i-1} + m_i·b·B_{i-1}, an
+    ewm-sum at decay b² of z_i = m_i·b·B_{i-1}) because forming B² − D
+    explicitly cancels catastrophically under long decay gaps; P IS the
+    bias-correction denominator (×2), so its relative precision carries
+    straight through."""
+    import numpy as np
+    import pandas as pd
+
+    b = 1.0 - alpha
+    n = len(x_ser)
+    x = x_ser.astype("float64")
+    _num, B = _ewm_local_num_den(x, alpha)
+    mean = np.nan_to_num(x.ewm(alpha=alpha, adjust=True).mean().to_numpy())
+    varb = np.nan_to_num(
+        x.ewm(alpha=alpha, adjust=True).var(bias=True).to_numpy()
+    )
+    M2 = varb * B
+    mask = x.notna().astype("float64").to_numpy()
+    if b > 0 and n:
+        q = b * b
+        alpha2 = 1.0 - q
+        Bprev = np.concatenate(([0.0], B[:-1]))
+        z = pd.Series(mask * b * Bprev)
+        r = np.arange(1, n + 1, dtype="float64")
+        dall2 = (1.0 - np.power(q, r)) / alpha2
+        P = z.ewm(alpha=alpha2, adjust=True).mean().to_numpy() * dall2
+        P = np.nan_to_num(P)
+    else:
+        P = np.zeros(n)
+    N = x.notna().astype("float64").cumsum().to_numpy()
+    return B, mean, M2, P, N
+
+
+def _welford_merge_decayed(C, L, dec):
+    """Merge carry state C (decayed by ``dec``) with a local end state L —
+    the weighted Chan/West combine; mean and M2 are exact under uniform
+    weight rescaling. The pairwise sum gains the cross term
+    (decayed carry weight) × (local weight)."""
+    cb, cm, cw, cp, cn = C[0] * dec, C[1], C[2] * dec, C[3] * dec * dec, C[4]
+    lb, lm, lw, lp, ln = L
+    B = cb + lb
+    if B > 0:
+        delta = lm - cm
+        mean = cm + delta * lb / B
+        M2 = cw + lw + delta * delta * cb * lb / B
+    else:
+        mean, M2 = 0.0, 0.0
+    P = cp + cb * lb + lp
+    return [B, mean, M2, P, cn + ln]
+
+
+def _welford_rowwise_var(loc, pv, bp, std):
+    """Vectorized per-row merge of decayed carry ``pv`` into local states
+    ``loc`` and the bias-corrected variance (or std): var = M2·B / (2P),
+    with P the cancellation-free pairwise weight-product sum."""
+    import numpy as np
+
+    Bl, Ml, Wl, Pl, Nl = loc
+    pb, pm, pw, pp, pn = pv
+    Cb = pb * bp
+    Cw = pw * bp
+    Cp = pp * bp * bp
+    Bt = Bl + Cb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        delta = Ml - pm
+        safe_B = np.where(Bt > 0, Bt, 1.0)
+        M2t = Wl + Cw + delta * delta * Cb * Bl / safe_B
+        Pt = Pl + Cp + Cb * Bl
+        Nt = Nl + pn
+        denom = 2.0 * Pt
+        biased = np.maximum(M2t, 0.0) / safe_B
+        ok = (Bt > 0) & (Nt >= 2) & (denom > 0)
+        v = np.where(
+            ok,
+            biased * (Bt * Bt) / np.where(denom > 0, denom, 1.0),
+            # >= 2 obs but the correction denominator underflowed (one obs
+            # carries ~all weight after a long decay gap): fall back to the
+            # uncorrected value, matching pandas' recursive collapse
+            np.where((Nt >= 2) & (Bt > 0), biased, np.nan),
+        )
+    return np.sqrt(v) if std else v
 
 
 def _ewm_local_num_den(x_ser, alpha: float):
@@ -883,11 +944,12 @@ def shift_columns(sdf, cols: dict, periods: int, fresh: bool):
 
 def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool = False):
     """Per-group exact distributed ewm variance/std — the keyed version of
-    ``ewm_var_columns`` with the same fully-distributed carry plumbing as
-    ``grouped_ewm_mean_columns``: per-(group, partition) five-moment states
-    (Σwx, Σw, Σwx², Σw², obs count), a per-group prefix-combine over the tiny
-    state table (Σw² decays by decay², the count by 1), and a null-safe carry
-    join. No per-group sequential task; nothing collected to the driver."""
+    ``ewm_var_columns`` with the fully-distributed carry plumbing of
+    ``grouped_ewm_mean_columns``: per-(group, partition) Welford states
+    (B, mean, M2, D, N), a per-group prefix-combine over the tiny state table
+    (the same weighted Chan/West merge as the global path — numerically
+    stable under long decay gaps), and a null-safe carry join. No per-group
+    sequential task; nothing collected to the driver."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -895,13 +957,12 @@ def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
     b = 1.0 - alpha
-    alpha2 = 1.0 - b * b
     uniq = next(_seq)
     PID = f"__gvp_{uniq}__"
     work = sdf.withColumn(PID, _pid())
     srcs = list(dict.fromkeys(cols.values()))
     key_fields = {f.name: f for f in work.schema.fields}
-    MOMS = "abcdn"
+    MOMS = "bmwdn"
     st_cols = {
         m: [f"__gv{m}_{uniq}_{i}__" for i in range(len(srcs))] for m in MOMS
     }
@@ -909,17 +970,6 @@ def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool
         m: [f"__gc{m}_{uniq}_{i}__" for i in range(len(srcs))] for m in MOMS
     }
     DEC = f"__gvd_{uniq}__"
-
-    def _moments(g, s):
-        x = g[s].astype("float64")
-        A, B = _ewm_local_num_den(x, alpha)
-        C, _ = _ewm_local_num_den(x * x, alpha)
-        if b > 0:
-            _, D = _ewm_local_num_den(x, alpha2)
-        else:
-            D = B.copy()
-        N = x.notna().astype("float64").cumsum().to_numpy()
-        return A, B, C, D, N
 
     state_schema = T.StructType(
         [T.StructField(PID, T.LongType())]
@@ -936,7 +986,7 @@ def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool
             o = g.iloc[[0]][[PID] + keys].copy()
             o[DEC] = float(b ** len(g))
             for i, s in enumerate(srcs):
-                for m, arr in zip(MOMS, _moments(g, s)):
+                for m, arr in zip(MOMS, _ewm_local_welford(g[s], alpha)):
                     o[st_cols[m][i]] = float(arr[-1])
             outs.append(o)
         if not outs:
@@ -962,18 +1012,12 @@ def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool
         out = pdf[[PID] + keys].copy()
         for i in range(len(srcs)):
             accs = {m: [] for m in MOMS}
-            cur = {m: 0.0 for m in MOMS}
+            cur = [0.0, 0.0, 0.0, 0.0, 0.0]
             for _, r in pdf.iterrows():
-                for m in MOMS:
-                    accs[m].append(cur[m])
-                dec = r[DEC]
-                cur = {
-                    "a": r[st_cols["a"][i]] + dec * cur["a"],
-                    "b": r[st_cols["b"][i]] + dec * cur["b"],
-                    "c": r[st_cols["c"][i]] + dec * cur["c"],
-                    "d": r[st_cols["d"][i]] + dec * dec * cur["d"],
-                    "n": r[st_cols["n"][i]] + cur["n"],
-                }
+                for m, v in zip(MOMS, cur):
+                    accs[m].append(v)
+                L = [r[st_cols[m][i]] for m in MOMS]
+                cur = _welford_merge_decayed(cur, L, r[DEC])
             for m in MOMS:
                 out[cr_cols[m][i]] = accs[m]
         return out
@@ -1004,33 +1048,16 @@ def grouped_ewm_var_columns(sdf, keys: list, cols: dict, alpha: float, std: bool
         for _, g in pdf.groupby(keys, dropna=False, sort=False):
             n = len(g)
             bp = np.power(b, np.arange(1, n + 1, dtype="float64"))
-            bp2 = bp * bp
             o = g.copy()
             for out_name, s in cols.items():
                 i = srcs.index(s)
-                A, B, C, D, N = _moments(g, s)
-                pv = {
-                    m: (0.0 if pd.isna(g[cr_cols[m][i]].iloc[0])
-                        else float(g[cr_cols[m][i]].iloc[0]))
+                loc = _ewm_local_welford(g[s], alpha)
+                pv = [
+                    (0.0 if pd.isna(g[cr_cols[m][i]].iloc[0])
+                     else float(g[cr_cols[m][i]].iloc[0]))
                     for m in MOMS
-                }
-                At = A + bp * pv["a"]
-                Bt = B + bp * pv["b"]
-                Ct = C + bp * pv["c"]
-                Dt = D + bp2 * pv["d"]
-                Nt = N + pv["n"]
-                denom = Bt * Bt - Dt
-                ok = (Bt > 0) & (Nt >= 2) & (denom > 0)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    mean = np.where(Bt > 0, At / np.where(Bt > 0, Bt, 1.0), np.nan)
-                    biased = Ct / np.where(Bt > 0, Bt, 1.0) - mean * mean
-                    v = np.where(
-                        ok,
-                        np.maximum(biased, 0.0) * (Bt * Bt)
-                        / np.where(denom > 0, denom, 1.0),
-                        np.nan,
-                    )
-                o[out_name] = np.sqrt(v) if std else v
+                ]
+                o[out_name] = _welford_rowwise_var(loc, pv, bp, std)
             outs.append(o)
         if not outs:
             o = pdf.copy()
