@@ -102,7 +102,39 @@ class StringMethods:
             )
         raise ValueError(f"invalid side: {side}")
 
-    def zfill(self, width: int):
+    def removeprefix(self, prefix: str):
+        c = self._s._col
+        return self._wrap(
+            F.when(
+                c.startswith(prefix), F.substring(c, len(prefix) + 1, 2147483647)
+            ).otherwise(c)
+        )
+
+    def removesuffix(self, suffix: str):
+        c = self._s._col
+        return self._wrap(
+            F.when(
+                c.endswith(suffix),
+                F.substring(c, 1, F.length(c) - len(suffix)),
+            ).otherwise(c)
+        )
+
+    def casefold(self):
+        return self._wrap(F.lower(self._s._col))
+
+    def center(self, width: int, fillchar: str = " "):
+        """Center-pad (pandas str.center): the left pad gets the smaller
+        half, matching Python str.center."""
+        ref = self._sql_ref()
+        fc = fillchar.replace("'", "\\'")
+        pad = f"greatest({int(width)} - length({ref}), 0)"
+        padl = f"int(floor({pad} / 2))"
+        return self._wrap(
+            F.expr(
+                f"concat(repeat('{fc}', {padl}), {ref}, "
+                f"repeat('{fc}', {pad} - {padl}))"
+            )
+        )
         return self._wrap(F.lpad(self._s._col, width, "0"))
 
     def strip(self, to_strip: str | None = None):

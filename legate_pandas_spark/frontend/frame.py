@@ -1131,10 +1131,36 @@ class DataFrame:
             c: f"__lag_{c}__" for c in self._sdf.columns if f"__lag_{c}__" in targets
         }
 
-    def shift(self, periods: int = 1) -> "DataFrame":
+    def shift(self, periods: int = 1, fill_value=None) -> "DataFrame":
         """Shift EVERY column by ``periods`` rows (pandas shift — type
         agnostic: strings/dates shift alongside numerics, keeping rows
-        aligned)."""
+        aligned). ``fill_value`` fills only the VACATED slots — the donor
+        row-order key doubles as the vacancy marker, so genuinely shifted-in
+        nulls stay null."""
+        if fill_value is not None:
+            from legate_pandas_spark.frontend.scan import _seq, shift_columns
+
+            fresh = ROW_ORDER not in self._sdf.columns
+            sdf = self._ordered_sdf()
+            mark = f"__shmark_{next(_seq)}__"
+            targets = {
+                f"__lag_{c}__": F.col(c)
+                for c in self._sdf.columns
+                if c not in self._index and c != ROW_ORDER
+            }
+            targets[mark] = F.lit(True)
+            out_sdf = shift_columns(sdf, targets, periods, fresh)
+            sel = []
+            for c in sdf.columns:
+                lag = f"__lag_{c}__"
+                if lag in targets:
+                    expr = F.when(
+                        F.col(mark).isNull(), F.lit(fill_value)
+                    ).otherwise(F.col(lag))
+                    sel.append(expr.alias(c))
+                else:
+                    sel.append(F.col(c))
+            return self._replace(out_sdf.select(*sel))
         sdf, out_sdf, lagged = self._shifted(periods, numeric_only=False)
         sel = [
             F.col(lagged[c]).alias(c) if c in lagged else F.col(c)
@@ -1175,16 +1201,73 @@ class DataFrame:
 
         return Ewm(self, resolve_ewm_alpha(alpha, com, span, halflife))
 
-    def quantile(self, q: float = 0.5):
-        """Exact interpolated per-column quantile → pandas Series (swap to
-        approx_percentile at 100 TB, same documented trade as describe())."""
+    def quantile(self, q=0.5):
+        """Exact interpolated per-column quantile → pandas Series (scalar q)
+        or DataFrame (list q). Swap to approx_percentile at 100 TB, same
+        documented trade as describe()."""
         import pandas as pd
 
         cols = [c for c, t in self._sdf.dtypes if c in self.columns and is_numeric_spark_type(t)]
+        if isinstance(q, (list, tuple)):
+            qs = [float(v) for v in q]
+            row = self._sdf.agg(
+                *[
+                    F.percentile(
+                        F.col(c), F.array(*[F.lit(v) for v in qs])
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).collect()[0]
+            return pd.DataFrame(
+                {c: list(row[c]) for c in cols}, index=qs
+            )
         row = self._sdf.agg(
             *[F.percentile(F.col(c), F.lit(float(q))).alias(c) for c in cols]
         ).collect()[0]
         return pd.Series({c: row[c] for c in cols}, name=q)
+
+    def isin(self, values) -> "DataFrame":
+        """Element-wise membership per column (pandas DataFrame.isin with a
+        list; null-compare-false engine contract)."""
+        from legate_pandas_spark.frontend.dtypes import null_compare_false
+
+        sel = [
+            null_compare_false(F.col(c).isin(list(values))).alias(c)
+            if c in self.columns
+            else F.col(c)
+            for c in self._sdf.columns
+        ]
+        return self._replace(self._sdf.select(*sel))
+
+    def apply(self, func, axis: int = 1):
+        """Row-wise apply (axis=1 only — axis=0 is just ``agg``): an
+        Arrow-batched mapInPandas running pandas' own row apply per batch.
+        The UDF escape hatch; result column is double (pandas scalar-returning
+        row funcs). Returns a Series named 'apply'."""
+        if axis not in (1, "columns"):
+            raise NotImplementedError("apply: axis=0 — use agg/reductions")
+        from legate_pandas_spark.frontend.series import Series
+
+        from pyspark.sql import types as T
+
+        vis = self.columns
+        sdf = self._ordered_sdf()
+        out_name = "__apply__"
+        # build a FRESH StructType — StructType.add mutates in place, which
+        # would corrupt the input DataFrame's cached schema object
+        schema = T.StructType(
+            list(sdf.schema.fields) + [T.StructField(out_name, T.DoubleType())]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                res = pdf.copy()
+                res[out_name] = pdf[vis].apply(func, axis=1).astype("float64")
+                yield res
+
+        new = sdf.mapInPandas(run, schema)
+        out = DataFrame(new, self._index)
+        return Series(out, F.col(out_name), "apply")
 
     def stack(self) -> "DataFrame":
         """df.stack(): fold the columns into rows. Returns a frame indexed by

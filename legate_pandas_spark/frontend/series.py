@@ -424,6 +424,75 @@ class Series:
         return self._wrap(expr)
 
     @property
+    def hasnans(self) -> bool:
+        """True if any value is null (pandas hasnans) — one any-null scan."""
+        row = (
+            self._frame._sdf.select(
+                F.max(self._col.isNull().cast("int")).alias("h")
+            ).collect()
+        )
+        return bool(row and row[0]["h"])
+
+    @property
+    def is_unique(self) -> bool:
+        """True if no value occurs twice (pandas is_unique; nulls count as a
+        value, like pandas). count vs countDistinct in one aggregate."""
+        row = self._frame._sdf.select(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count_distinct(self._col)
+                + F.max(self._col.isNull().cast("int"))
+            ).alias("d"),
+        ).collect()[0]
+        return row["n"] == row["d"]
+
+    def items(self):
+        """Iterate (index_label_or_position, value) pairs — materializes like
+        every pandas export (pandas items)."""
+        s = self.to_pandas()
+        return iter(s.items())
+
+    def argsort(self):
+        """pandas Series.argsort: the argsort of the NULL-COMPACTED series
+        scattered back to the non-null positions, −1 at nulls (pandas 2.x
+        contract). Distributed via two sample-sort row numbers (compact
+        position, then value rank) and one equi-join on the unique rank."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq, ordered_row_number
+
+        uniq = next(_seq)
+        pos, val = f"__as_pos_{uniq}__", f"__as_val_{uniq}__"
+        cpos, rnk = f"__as_cp_{uniq}__", f"__as_rk_{uniq}__"
+        fresh = ROW_ORDER not in self._frame._sdf.columns
+        with_pos, _total = _attach_positions(
+            self._frame._ordered_sdf(), fresh, pos_name=pos
+        )
+        nn = with_pos.select(self._col.alias(val), F.col(pos)).filter(
+            F.col(val).isNotNull()
+        )
+        compact = ordered_row_number(nn, [F.asc(pos)], cpos)
+        ranked = ordered_row_number(compact, [F.asc(val), F.asc(cpos)], rnk)
+        # the row whose compact position is j receives the compact position
+        # of the j-th smallest value
+        src = ranked.select(
+            F.col(rnk).alias(cpos + "_k"), F.col(cpos).alias("__argsrc__")
+        )
+        placed = ranked.select(F.col(pos), F.col(cpos)).join(
+            src, F.col(cpos) == F.col(cpos + "_k"), "left"
+        )
+        out_sdf = with_pos.join(
+            placed.select(F.col(pos).alias(pos + "_o"), "__argsrc__"),
+            F.col(pos) == F.col(pos + "_o"),
+            "left",
+        ).withColumn(
+            "argsort",
+            F.coalesce(F.col("__argsrc__"), F.lit(-1)).cast("long"),
+        ).drop(pos + "_o", "__argsrc__")
+        out = DataFrame(out_sdf, self._frame._index)
+        return Series(out, F.col("argsort"), "argsort")
+
+    @property
     def dtype(self):
         """pandas-style dtype string of the underlying expression."""
         sdf = self._frame._sdf.select(self._col.alias("__dt__"))

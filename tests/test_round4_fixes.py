@@ -1011,3 +1011,78 @@ def test_api_gap_batch3_groupby(spark):
     assert ldf.size == pdf.size
     assert ldf.ndim == 2
     assert not ldf.empty
+
+
+def test_api_gap_batch4(spark):
+    """frame shift(fill_value)/quantile(list)/isin/apply(axis=1);
+    str removeprefix/removesuffix/casefold/center; Series hasnans/is_unique/
+    items/argsort."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {"a": [3, 1, 2, 4], "b": ["xab", "yz", "xq", "zz"], "c": [1.0, None, 3.0, 4.0]}
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["a", "c"]].shift(1, fill_value=0.0).to_pandas()
+    want = pdf[["a", "c"]].shift(1, fill_value=0.0)
+    pd.testing.assert_frame_equal(got[["a", "c"]], want, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["a", "c"]].quantile([0.25, 0.75])
+    want = pdf[["a", "c"]].quantile([0.25, 0.75])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["a"]].isin([1, 2]).to_pandas()
+    want = pdf[["a"]].isin([1, 2])
+    pd.testing.assert_frame_equal(got[["a"]], want, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf[["a", "c"]].apply(lambda r: r["a"] + (r["c"] if r["c"] == r["c"] else 0), axis=1)
+    got = got.to_pandas().reset_index(drop=True)
+    want = pdf[["a", "c"]].apply(
+        lambda r: r["a"] + (r["c"] if r["c"] == r["c"] else 0), axis=1
+    )
+    pd.testing.assert_series_equal(got, want, check_names=False, check_dtype=False)
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["b"].str.removeprefix("x").to_pandas().tolist()
+        == pdf["b"].str.removeprefix("x").tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["b"].str.removesuffix("z").to_pandas().tolist()
+        == pdf["b"].str.removesuffix("z").tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["b"].str.casefold().to_pandas().tolist()
+        == pdf["b"].str.casefold().tolist()
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert (
+        ldf["b"].str.center(6, "*").to_pandas().tolist()
+        == pdf["b"].str.center(6, "*").tolist()
+    )
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["c"].hasnans is True
+    assert ldf["a"].hasnans is False
+    assert ldf["a"].is_unique is True
+    ldf2 = lps.from_pandas(pd.DataFrame({"x": [1, 1, 2]}), spark=spark)
+    assert ldf2["x"].is_unique is False
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    items = list(ldf["a"].items())
+    assert [v for _, v in items] == pdf["a"].tolist()
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["c"].argsort().to_pandas().reset_index(drop=True)
+    want = pdf["c"].argsort()
+    assert got.tolist() == want.tolist()
+    pdf2 = pd.DataFrame({"c": [3.0, None, 1.0, 4.0, 0.5]})
+    ldf2 = lps.from_pandas(pdf2, spark=spark)
+    got2 = ldf2["c"].argsort().to_pandas().reset_index(drop=True)
+    assert got2.tolist() == pdf2["c"].argsort().tolist()
