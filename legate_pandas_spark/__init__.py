@@ -21,6 +21,9 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     cut,
     factorize,
     get_dummies,
+    isna,
+    notna,
+    date_range,
     merge,
     merge_asof,
     pivot_table,

@@ -51,3 +51,22 @@ def merge(left, right, **kwargs):
 def factorize(s, sort: bool = False):
     """Module-level pandas.factorize for Series — see ``Series.factorize``."""
     return s.factorize(sort=sort)
+
+
+def isna(obj):
+    """Module-level pandas.isna for Series (element-wise null mask)."""
+    return obj.isna()
+
+
+def notna(obj):
+    """Module-level pandas.notna."""
+    return obj.notna()
+
+
+def date_range(start, end=None, periods=None, freq: str = "D"):
+    """pandas.date_range returning a plain Python list of pandas Timestamps
+    (driver-side spine; pair with a spine DataFrame + explode for the
+    distributed gap-fill pattern — see the date_spine_gap_fill operator)."""
+    import pandas as pd
+
+    return list(pd.date_range(start=start, end=end, periods=periods, freq=freq))

@@ -1831,9 +1831,25 @@ class DataFrame:
                 sdf = sdf.withColumn(c, expr)
         return self._replace(sdf)
 
-    def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "DataFrame":
-        """Bernoulli row sampling (distributed; deterministic under a seed for a
-        fixed partition layout)."""
+    def sample(
+        self,
+        frac: float | None = None,
+        seed: int | None = None,
+        replace: bool = False,
+        n: int | None = None,
+        random_state: int | None = None,
+    ) -> "DataFrame":
+        """Bernoulli row sampling (distributed; deterministic under a seed for
+        a fixed partition layout). ``random_state`` is the pandas spelling of
+        ``seed``; ``n`` draws approximately n rows via n/count (an exact-n
+        draw would need a global shuffle — use nlargest/limit for exact)."""
+        if random_state is not None:
+            seed = random_state
+        if frac is None:
+            if n is None:
+                raise ValueError("sample: pass frac or n")
+            total = self._sdf.count()
+            frac = min(1.0, n / max(total, 1))
         return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
     def random_split(self, weights, seed: int | None = None) -> list["DataFrame"]:

@@ -1086,3 +1086,21 @@ def test_api_gap_batch4(spark):
     ldf2 = lps.from_pandas(pdf2, spark=spark)
     got2 = ldf2["c"].argsort().to_pandas().reset_index(drop=True)
     assert got2.tolist() == pdf2["c"].argsort().tolist()
+
+
+def test_api_gap_batch5(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4], "c": [1.0, None, 3.0, 4.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    sampled = ldf.sample(frac=0.5, random_state=3).to_pandas()
+    assert set(sampled["a"]).issubset(set(pdf["a"]))
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    approx_n = ldf.sample(n=2, random_state=3).to_pandas()
+    assert len(approx_n) <= 4
+
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = lps.isna(ldf["c"]).to_pandas().tolist()
+    assert got == pdf["c"].isna().tolist()
+
+    days = lps.date_range("2024-01-01", periods=4)
+    assert len(days) == 4 and str(days[0].date()) == "2024-01-01"
