@@ -412,10 +412,32 @@ class Series:
             from pyspark.sql.functions import pandas_udf
 
             fn = mapping
+            # bounded sample-based output-type inference (same discipline as
+            # groupby.transform's .limit()-bounded schema probe): a
+            # string-returning mapper must not be silently coerced to NaN
+            probe = (
+                self._frame._sdf.select(self._col.alias("__mp__"))
+                .filter(self._col.isNotNull())
+                .limit(100)
+                .toPandas()["__mp__"]
+            )
+            sample_out = probe.map(fn) if len(probe) else probe
+            numeric = (
+                len(sample_out) == 0
+                or pd.to_numeric(sample_out, errors="coerce").notna().sum()
+                == sample_out.notna().sum()
+            )
+            if numeric:
 
-            @pandas_udf("double")
-            def _mapper(batch):
-                return pd.to_numeric(batch.map(fn), errors="coerce")
+                @pandas_udf("double")
+                def _mapper(batch):
+                    return pd.to_numeric(batch.map(fn), errors="coerce")
+
+            else:
+
+                @pandas_udf("string")
+                def _mapper(batch):
+                    return batch.map(fn).astype("object").astype("string")
 
             return self._wrap(_mapper(self._col))
         expr = F.lit(default)

@@ -1104,3 +1104,10 @@ def test_api_gap_batch5(spark):
 
     days = lps.date_range("2024-01-01", periods=4)
     assert len(days) == 4 and str(days[0].date()) == "2024-01-01"
+
+
+def test_series_map_callable_string_output(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].map(lambda x: f"v{x}").to_pandas().tolist()
+    assert got == ["v1", "v2", "v3"]
