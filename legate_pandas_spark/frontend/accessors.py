@@ -135,6 +135,8 @@ class StringMethods:
                 f"repeat('{fc}', {pad} - {padl}))"
             )
         )
+
+    def zfill(self, width: int):
         return self._wrap(F.lpad(self._s._col, width, "0"))
 
     def strip(self, to_strip: str | None = None):
