@@ -222,6 +222,52 @@ class StringMethods:
         matched = F.regexp_extract(self._s._col, pat, group)
         return self._wrap(F.when(matched == "", F.lit(None)).otherwise(matched))
 
+    def extractall(self, pat: str):
+        """All regex matches, one ROW per match (pandas str.extractall):
+        returns a DataFrame indexed by (original index label or position,
+        'match') with one string column per capture group, named '0'..'g-1'.
+
+        JVM-side: one regexp_extract_all per group (the arrays align because
+        they come from the same pattern), arrays_zip + posexplode — rows with
+        no match drop out, like pandas. The reference's str surface has no
+        regex extraction (SURVEY §2.8) — extension."""
+        import re
+
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq
+
+        ngroups = re.compile(pat).groups
+        if ngroups < 1:
+            raise ValueError("extractall: pattern contains no capture groups")
+        s = self._s
+        frame = s._frame
+        if frame._index:
+            idx_cols = list(frame._index)
+            sdf = frame._ordered_sdf()
+        else:
+            pos = f"__exa_{next(_seq)}__"
+            fresh = ROW_ORDER not in frame._sdf.columns
+            sdf, _total = _attach_positions(
+                frame._ordered_sdf(), fresh, pos_name=pos
+            )
+            sdf = sdf.withColumn("index", F.col(pos).cast("long")).drop(pos)
+            idx_cols = ["index"]
+        arrs = [
+            F.regexp_extract_all(s._col, F.lit(pat), i + 1).alias(f"g{i}")
+            for i in range(ngroups)
+        ]
+        zipped = sdf.select(*idx_cols, F.arrays_zip(*arrs).alias("__z__"))
+        exploded = zipped.select(
+            *idx_cols, F.posexplode(F.col("__z__")).alias("match", "__m__")
+        )
+        out = exploded.select(
+            *idx_cols,
+            F.col("match").cast("long").alias("match"),
+            *[F.col("__m__")[f"g{i}"].alias(str(i)) for i in range(ngroups)],
+        )
+        return DataFrame(out, tuple(idx_cols) + ("match",))
+
     def count(self, pat: str):
         """Count regex matches per value (pandas str.count)."""
         return self._wrap(

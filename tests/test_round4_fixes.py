@@ -1111,3 +1111,50 @@ def test_series_map_callable_string_output(spark):
     ldf = lps.from_pandas(pdf, spark=spark)
     got = ldf["a"].map(lambda x: f"v{x}").to_pandas().tolist()
     assert got == ["v1", "v2", "v3"]
+
+
+def test_str_extractall_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"s": ["a1b22", "no digits", "x3 y44 z5", None, "9"]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = (
+        ldf["s"].str.extractall(r"([0-9]+)")
+        .to_pandas()
+        .reset_index()
+        .sort_values(["index", "match"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf["s"].str.extractall(r"([0-9]+)")
+        .reset_index()
+        .rename(columns={"level_0": "index", 0: "0", 1: "1"})
+        .sort_values(["index", "match"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["index", "match", "0"]], want[["index", "match", "0"]],
+        check_dtype=False,
+    )
+
+    # two capture groups
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got2 = (
+        ldf["s"].str.extractall(r"([a-z])([0-9]+)")
+        .to_pandas()
+        .reset_index()
+        .sort_values(["index", "match"])
+        .reset_index(drop=True)
+    )
+    want2 = (
+        pdf["s"].str.extractall(r"([a-z])([0-9]+)")
+        .reset_index()
+        .rename(columns={"level_0": "index", 0: "0", 1: "1"})
+        .sort_values(["index", "match"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got2[["index", "match", "0", "1"]],
+        want2[["index", "match", "0", "1"]],
+        check_dtype=False,
+    )
