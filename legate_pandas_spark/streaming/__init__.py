@@ -14,4 +14,5 @@ from legate_pandas_spark.streaming.documents import (  # noqa: F401
     stream_documents,
     quality_scrub_stream,
     corpus_dedup_stream,
+    bloom_dedup_stream,
 )

@@ -64,3 +64,98 @@ def corpus_dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataF
     return keyed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["digest"]
     )
+
+
+_BLOOM_SHARDS = 64
+_BLOOM_SHARD_BITS = 1 << 16  # 8 KiB of state per shard
+
+
+def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming near-exact dedup with SHARDED Bloom-filter state — the
+    streaming face of the batch ``bloom_prefilter_decontaminate`` technique.
+
+    Exact streaming dedup (dropDuplicatesWithinWatermark / corpus_dedup_stream)
+    keeps one state row PER DIGEST — at web scale that is the corpus in the
+    state store. Here state is O(1): the content-digest keyspace is hashed
+    into {shards} groups and each group's entire memory is one {bits}-bit
+    Bloom bitmap (8 KiB) in applyInPandasWithState state — total state is
+    shards × 8 KiB regardless of how many documents stream through. A doc
+    whose k=3 bits are all already set is flagged a PROBABLE duplicate
+    (false-positive rate set by bits/expected-docs-per-shard; no false
+    negatives), others set their bits and pass as new. Bit positions come
+    from JVM-side xxhash64 columns, so the Python hop only does numpy bit
+    arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+    )
+
+    digest = F.md5(F.col("text"))
+    keyed = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64(digest), F.lit(_BLOOM_SHARDS)).cast("int").alias("shard"),
+        *[
+            F.pmod(F.xxhash64(digest, F.lit(i)), F.lit(_BLOOM_SHARD_BITS))
+            .cast("long")
+            .alias(f"p{i}")
+            for i in range(3)
+        ],
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("probable_dup", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("bm", BinaryType()), StructField("n_seen", IntegerType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            bm_bytes, n_seen = state.get
+            bm = np.frombuffer(bm_bytes, dtype=np.uint8).copy()
+        else:
+            bm = np.zeros(_BLOOM_SHARD_BITS // 8, dtype=np.uint8)
+            n_seen = 0
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            # fully vectorized, order-equivalent to a row loop: a row is a
+            # probable dup iff its bits were set BEFORE the batch (bitmap
+            # hit) OR an earlier row of this batch carries the same position
+            # triple (duplicated keeps the first occurrence False)
+            hit = np.ones(len(pdf), dtype=bool)
+            for i in range(3):
+                p = pdf[f"p{i}"].to_numpy()
+                hit &= (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            intra = pdf.duplicated(subset=["p0", "p1", "p2"]).to_numpy()
+            flags = hit | intra
+            for i in range(3):
+                p = pdf[f"p{i}"].to_numpy()
+                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            n_seen += int((~flags).sum())
+            outs.append(
+                pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "probable_dup": flags}
+                )
+            )
+        state.update((bm.tobytes(), int(n_seen)))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "probable_dup": pd.Series(dtype="bool")}
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

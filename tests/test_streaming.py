@@ -332,3 +332,34 @@ def test_topk_leaderboard_matches_batch(spark, events_dir, sf_dir):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_bloom_dedup_stream_flags_exact_dups(spark, sf_dir, documents_dir):
+    """Sharded-Bloom streaming dedup: per content digest exactly size-1 copies
+    are flagged probable-dup (no false negatives by construction), and at this
+    scale the bitmap is big enough that unique contents are never flagged
+    (false positives would show as flagged uniques)."""
+    import pandas as pd
+
+    from legate_pandas_spark.streaming import (
+        bloom_dedup_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    stream = bloom_dedup_stream(stream_documents(spark, documents_dir))
+    run_available_now(stream, "bloom_dedup", output_mode="append")
+    got = spark.table("bloom_dedup").toPandas()
+
+    docs = spark.read.parquet(documents_dir).toPandas()
+    digests = docs.assign(d=docs["text"]).groupby("text")["doc_id"].agg(list)
+    n_docs = len(docs)
+    n_distinct = docs["text"].nunique()
+    assert len(got) == n_docs
+    # total flagged = total - distinct (each content's first pass is unflagged)
+    assert int(got["probable_dup"].sum()) == n_docs - n_distinct
+    # no unique-content doc may be flagged (false positive check)
+    sizes = docs.groupby("text")["doc_id"].transform("size")
+    uniques = set(docs.loc[sizes == 1, "doc_id"])
+    flagged = set(got.loc[got["probable_dup"], "doc_id"])
+    assert not (flagged & uniques)
