@@ -128,7 +128,11 @@ class StringMethods:
         ref = self._sql_ref()
         fc = fillchar.replace("'", "\\'")
         pad = f"greatest({int(width)} - length({ref}), 0)"
-        padl = f"int(floor({pad} / 2))"
+        # CPython str.center: left = marg//2 + (marg & width & 1) — the extra
+        # char goes LEFT when margin and width are both odd
+        padl = (
+            f"(int(floor(({pad}) / 2)) + (({pad}) % 2) * {int(width) % 2})"
+        )
         return self._wrap(
             F.expr(
                 f"concat(repeat('{fc}', {padl}), {ref}, "
@@ -160,14 +164,22 @@ class StringMethods:
 
     def slice_replace(self, start: int = 0, stop: int | None = None, repl: str = ""):
         """Replace the [start, stop) slice with ``repl`` (pandas
-        str.slice_replace) — pure substring/concat expressions."""
+        str.slice_replace) — pure substring/concat expressions; negative
+        start/stop resolve against the string length like Python slices."""
         c = self._s._col
-        pre = F.substring(c, 1, start)
-        post = (
-            F.lit("")
-            if stop is None
-            else F.substring(c, stop + 1, 2147483647)
-        )
+        # build via SQL so the substring length argument can be an expression
+        ref = self._sql_ref()
+        s_sql = str(start) if start >= 0 else f"greatest(length({ref}) + {start}, 0)"
+        pre = F.expr(f"substring({ref}, 1, {s_sql})")
+        if stop is None:
+            post = F.lit("")
+        else:
+            e_sql = (
+                str(stop)
+                if stop >= 0
+                else f"greatest(length({ref}) + {stop}, 0)"
+            )
+            post = F.expr(f"substring({ref}, ({e_sql}) + 1, 2147483647)")
         return self._wrap(F.when(c.isNotNull(), F.concat(pre, F.lit(repl), post)))
 
     def slice(self, start: int = 0, stop: int | None = None):
@@ -251,8 +263,10 @@ class StringMethods:
             sdf, _total = _attach_positions(
                 frame._ordered_sdf(), fresh, pos_name=pos
             )
-            sdf = sdf.withColumn("index", F.col(pos).cast("long")).drop(pos)
-            idx_cols = ["index"]
+            # avoid clobbering a user column literally named 'index'
+            idx_name = "index" if "index" not in frame.columns else "level_0"
+            sdf = sdf.withColumn(idx_name, F.col(pos).cast("long")).drop(pos)
+            idx_cols = [idx_name]
         arrs = [
             F.regexp_extract_all(s._col, F.lit(pat), i + 1).alias(f"g{i}")
             for i in range(ngroups)

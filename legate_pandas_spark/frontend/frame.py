@@ -1228,9 +1228,32 @@ class DataFrame:
 
     def isin(self, values) -> "DataFrame":
         """Element-wise membership per column (pandas DataFrame.isin with a
-        list; null-compare-false engine contract)."""
+        list, or a dict mapping column -> values; null-compare-false engine
+        contract). Series/DataFrame inputs (index-aligned membership) are not
+        supported — raise rather than silently testing against dict keys."""
         from legate_pandas_spark.frontend.dtypes import null_compare_false
 
+        if isinstance(values, Series) or hasattr(values, "_sdf"):
+            raise NotImplementedError(
+                "DataFrame.isin with a Series/DataFrame (index-aligned "
+                "membership) is not supported; pass a list or a "
+                "{column: values} dict"
+            )
+        if isinstance(values, dict):
+            sel = []
+            for c in self._sdf.columns:
+                if c in self.columns:
+                    if c in values:
+                        sel.append(
+                            null_compare_false(
+                                F.col(c).isin(list(values[c]))
+                            ).alias(c)
+                        )
+                    else:
+                        sel.append(F.lit(False).alias(c))
+                else:
+                    sel.append(F.col(c))
+            return self._replace(self._sdf.select(*sel))
         sel = [
             null_compare_false(F.col(c).isin(list(values))).alias(c)
             if c in self.columns

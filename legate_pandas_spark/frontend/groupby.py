@@ -768,6 +768,12 @@ class SeriesGroupBy:
         gb._src._sdf = gb._src._ordered_sdf()
         w = Window.partitionBy(*gb._keys).orderBy(F.asc(ROW_ORDER))
         expr = F.col(self._col) - F.lag(F.col(self._col), periods).over(w)
+        notnull = None
+        for k in gb._keys:
+            c = F.col(k).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        if notnull is not None:
+            expr = F.when(notnull, expr)
         return Series(gb._src, expr, self._col)
 
     def idxmax(self):

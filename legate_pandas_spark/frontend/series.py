@@ -422,10 +422,11 @@ class Series:
                 .toPandas()["__mp__"]
             )
             sample_out = probe.map(fn) if len(probe) else probe
-            numeric = (
-                len(sample_out) == 0
-                or pd.to_numeric(sample_out, errors="coerce").notna().sum()
-                == sample_out.notna().sum()
+            # dtype-based: a mapper returning numeric-LOOKING strings ('1',
+            # '007') must stay a string mapper — coercion-based probing would
+            # silently rewrite its values
+            numeric = len(sample_out) == 0 or pd.api.types.is_numeric_dtype(
+                sample_out
             )
             if numeric:
 
@@ -463,7 +464,7 @@ class Series:
             F.count(F.lit(1)).alias("n"),
             (
                 F.count_distinct(self._col)
-                + F.max(self._col.isNull().cast("int"))
+                + F.coalesce(F.max(self._col.isNull().cast("int")), F.lit(0))
             ).alias("d"),
         ).collect()[0]
         return row["n"] == row["d"]
@@ -725,9 +726,23 @@ class Series:
                 .collect()
             )
             return int(row[0][0]) if row else None
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
         idx = self._frame._index[0]
         order = self._col.desc() if descending else self._col.asc()
-        row = self._frame._sdf.orderBy(order).select(idx).limit(1).collect()
+        # pandas skips NaN and returns the FIRST occurrence among ties
+        tiebreak = (
+            F.asc(ROW_ORDER)
+            if ROW_ORDER in self._frame._sdf.columns
+            else F.asc(idx)
+        )
+        row = (
+            self._frame._sdf.filter(self._col.isNotNull())
+            .orderBy(order, tiebreak)
+            .select(idx)
+            .limit(1)
+            .collect()
+        )
         return row[0][0] if row else None
 
     def first_valid_index(self):

@@ -96,6 +96,9 @@ def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
     digest = F.md5(F.col("text"))
+    # null text yields null hash positions, which would crash the numpy bit
+    # arithmetic as float NaN — null-content rows carry nothing to dedup
+    docs = docs.filter(F.col("text").isNotNull())
     keyed = docs.select(
         "doc_id",
         F.pmod(F.xxhash64(digest), F.lit(_BLOOM_SHARDS)).cast("int").alias("shard"),

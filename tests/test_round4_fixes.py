@@ -1158,3 +1158,69 @@ def test_str_extractall_matches_pandas(spark):
         want2[["index", "match", "0", "1"]],
         check_dtype=False,
     )
+
+
+def test_review_fixes_batch(spark):
+    """Regression pins for the self-review findings: map(str) keeps strings,
+    idxmin skips nulls on stored indexes, grouped diff masks null keys,
+    str.center odd/odd rule, isin dict form, slice_replace negatives,
+    is_unique on empty, extractall 'index'-collision."""
+    import numpy as np
+
+    # map(str) on numeric input must stay strings
+    pdf = pd.DataFrame({"a": [1, 2, 3]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["a"].map(lambda x: f"{x:05d}").to_pandas().tolist()
+    assert got == ["00001", "00002", "00003"]
+
+    # idxmin/idxmax with nulls on a stored index
+    pdf = pd.DataFrame({"k": ["a", "b", "c"], "v": [None, 2.0, 1.0]})
+    ldf = lps.from_pandas(pdf, spark=spark).set_index("k")
+    assert ldf["v"].idxmin() == "c"
+    ldf = lps.from_pandas(pdf, spark=spark).set_index("k")
+    assert ldf["v"].idxmax() == "b"
+
+    # grouped diff: null-key rows yield null, like pandas' excluded group
+    pdf = pd.DataFrame({"k": ["a", None, "a", None], "v": [1.0, 2.0, 4.0, 8.0]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.groupby("k")["v"].diff().to_pandas().reset_index(drop=True)
+    want = pdf.groupby("k")["v"].diff()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    # str.center: both-odd margin/width puts the extra char LEFT
+    pdf = pd.DataFrame({"s": ["ab", "abc", ""]})
+    for w in (5, 6, 7):
+        ldf = lps.from_pandas(pdf, spark=spark)
+        got = ldf["s"].str.center(w, "*").to_pandas().tolist()
+        want = pdf["s"].str.center(w, "*").tolist()
+        assert got == want, (w, got, want)
+
+    # isin dict form
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf.isin({"a": [1]}).to_pandas()
+    want = pdf.isin({"a": [1]})
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
+
+    # slice_replace with negative bounds
+    pdf = pd.DataFrame({"s": ["abc", "a", ""]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["s"].str.slice_replace(-1, None, "X").to_pandas().tolist()
+    want = pdf["s"].str.slice_replace(-1, None, "X").tolist()
+    assert got == want
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = ldf["s"].str.slice_replace(0, -1, "Y").to_pandas().tolist()
+    want = pdf["s"].str.slice_replace(0, -1, "Y").tolist()
+    assert got == want
+
+    # is_unique on an empty series
+    pdf0 = pd.DataFrame({"x": pd.Series(dtype="float64")})
+    ldf0 = lps.from_pandas(pdf0, spark=spark)
+    assert ldf0["x"].is_unique is True
+
+    # extractall with a user column literally named 'index'
+    pdf = pd.DataFrame({"index": [10, 20], "s": ["a1", "b2c3"]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    out = ldf["s"].str.extractall(r"([0-9])").to_pandas().reset_index()
+    assert "level_0" in out.columns
+    assert out["0"].tolist() == ["1", "2", "3"]
