@@ -648,3 +648,54 @@ def pd_factorize_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy(F.col("code"), F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "pd_groupby_describe",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice_count,
+           round(avg(o_totalprice), 4) AS o_totalprice_mean,
+           round(stddev_samp(o_totalprice), 4) AS o_totalprice_std,
+           CAST(min(o_totalprice) AS DOUBLE) AS o_totalprice_min,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS "o_totalprice_25%",
+           round(quantile_cont(o_totalprice, 0.5), 4) AS "o_totalprice_50%",
+           round(quantile_cont(o_totalprice, 0.75), 4) AS "o_totalprice_75%",
+           CAST(max(o_totalprice) AS DOUBLE) AS o_totalprice_max
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pd_groupby_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: groupby.describe (facade addition — one hash aggregate,
+    exact interpolated quartiles; DuckDB quantile_cont and Spark percentile
+    share the linear-interpolation definition)."""
+    orders = _read(spark, sf_dir, "orders")[["o_orderstatus", "o_totalprice"]]
+    desc = orders.groupby("o_orderstatus").describe()
+    sdf = desc.reset_index().to_spark()
+    return sdf.select(
+        "o_orderstatus",
+        F.col("o_totalprice_count"),
+        F.round("o_totalprice_mean", 4).alias("o_totalprice_mean"),
+        F.round("o_totalprice_std", 4).alias("o_totalprice_std"),
+        F.col("o_totalprice_min"),
+        F.round("o_totalprice_25%", 4).alias("o_totalprice_25%"),
+        F.round("o_totalprice_50%", 4).alias("o_totalprice_50%"),
+        F.round("o_totalprice_75%", 4).alias("o_totalprice_75%"),
+        F.col("o_totalprice_max"),
+    )
+
+
+@query(
+    "pd_value_counts_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS count
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def pd_value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idiom: DataFrame.value_counts over two columns (facade addition
+    — one hash aggregate, pandas dropna default)."""
+    orders = _read(spark, sf_dir, "orders")[["o_orderstatus", "o_orderpriority"]]
+    vc = orders.value_counts()
+    return vc.reset_index().to_spark()
