@@ -313,11 +313,13 @@ class CategoricalMethods:
         self._s = series
 
     def _dictionary(self):
-        """Lazy (value, code) dictionary frame: distinct values ranked in
-        sorted order. The rank window runs over the already-distinct dictionary
-        — tiny by definition of a categorical domain — which is the Spark
-        analog of the reference's replicated dictionary column."""
-        from pyspark.sql.window import Window
+        """(value, code) dictionary frame: distinct values ranked in sorted
+        order via the distributed sample-sort row number (range partition +
+        broadcast offset carry, frontend/scan.py:351) — the same machinery as
+        vocab ranking, so even a web-scale inferred dictionary never passes
+        through a single-partition window. This is the Spark analog of the
+        reference's replicated dictionary column (core/column.py:1300-1341)."""
+        from legate_pandas_spark.frontend import scan
 
         val = "__cat_val__"
         cats = (
@@ -326,8 +328,8 @@ class CategoricalMethods:
             .distinct()
         )
         code = f"__cat_code_{next(self._seq)}__"
-        w = Window.orderBy(val)
-        return cats.select(val, (F.row_number().over(w) - 1).cast("int").alias(code)), val, code
+        ranked = scan.ordered_row_number(cats, [val], code)
+        return ranked.select(val, F.col(code).cast("int").alias(code)), val, code
 
     @property
     def categories(self) -> list:

@@ -932,9 +932,10 @@ class Series:
 
     def value_counts(self, normalize: bool = False):
         """Returns a DataFrame facade (value, count) sorted by count desc;
-        normalize=True emits proportions (window-over-aggregate, tiny input)."""
-        from pyspark.sql.window import Window
-
+        normalize=True divides by a 1-row total aggregate broadcast
+        cross-joined back in (ReusedExchange → one pass) — never a
+        single-partition window over the counts table, which is
+        distinct-value-sized and unbounded on high-cardinality columns."""
         from legate_pandas_spark.frontend.frame import DataFrame
 
         name = self.name or "value"
@@ -944,11 +945,10 @@ class Series:
             .agg(F.count(F.lit(1)).alias("count"))
         )
         if normalize:
-            out = out.select(
+            total = out.agg(F.sum("count").alias("__vc_total__"))
+            out = out.crossJoin(F.broadcast(total)).select(
                 name,
-                (F.col("count") / F.sum("count").over(Window.partitionBy())).alias(
-                    "proportion"
-                ),
+                (F.col("count") / F.col("__vc_total__")).alias("proportion"),
             )
         return DataFrame(out.orderBy(F.desc("proportion" if normalize else "count")))
 

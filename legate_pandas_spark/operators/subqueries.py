@@ -327,20 +327,25 @@ def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: derived revenue view + scalar max subquery (the view is
     computed once and reused for both the max and the join — exchange reuse)."""
+    # the explicit l_suppkey IS NOT NULL matters: the supplier join infers it
+    # on its branch only, which would de-canonicalize the two revenue subtrees
+    # and defeat exchange reuse (two fact scans instead of one)
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    # scalar-subquery formulation would scan lineitem twice (max branch + join
-    # branch); a window max over the 10-row aggregate is one pass
-    from pyspark.sql.window import Window
-
-    top = revenue.withColumn(
-        "_m", F.max("total_rev").over(Window.partitionBy())
-    ).filter(F.col("total_rev") == F.col("_m"))
+    # The global max is a 1-row aggregate broadcast cross-joined back into the
+    # revenue view — never an unpartitioned window over the supplier-cardinality
+    # aggregate (10k rows/SF: at 100 TB that window is a real shuffle-to-one).
+    # Catalyst's ReusedExchange keeps the revenue view a single pass.
+    mx = revenue.agg(F.max("total_rev").alias("_m"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("_m")
+    )
     supp = _t(spark, sf_dir, "supplier")
     return (
         supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no)
@@ -402,10 +407,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the GLOBAL
-    aggregate — window-sum over the grouped frame (supplier-cardinality rows),
-    one fact scan, no scalar-subquery recompute."""
-    from pyspark.sql.window import Window
-
+    aggregate. The global total is a 1-row aggregate broadcast cross-joined back
+    into the grouped view (ReusedExchange → one fact scan) — never an
+    unpartitioned window over the supplier-cardinality aggregate, which grows
+    with SF and becomes a shuffle-to-one at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     sup_val = (
@@ -413,9 +418,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("inv_value"))
     )
-    total = F.sum("inv_value").over(Window.partitionBy())
+    total = sup_val.agg(F.sum("inv_value").alias("_t"))
     return (
-        sup_val.withColumn("_t", total)
+        sup_val.crossJoin(F.broadcast(total))
         .filter(F.col("inv_value") > 0.011 * F.col("_t"))
         .select(F.col("l_suppkey").alias("suppkey"), F.round("inv_value", 4).alias("inv_value"))
     )

@@ -325,11 +325,13 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost discipline: the query only ever needs token COUNTS, never the token
     arrays — ``regexp_count`` counts separators without allocating a split
-    array, and the (doc_id, n) table is localCheckpointed (2 longs per doc)
-    so the single text scan feeds all three phases: splitter boundaries,
-    per-bucket partials (a closed-form-ish fold over chunk starts — chunks
-    overlap 50/25, so the total is NOT just n), and the final chunk explode
-    (which explodes an integer SEQUENCE, not tokens)."""
+    array, and the (doc_id, n) table is lazily persisted (2 longs per doc) so
+    the splitter-boundary aggregate doubles as the cache-materializing job —
+    three jobs total (boundaries, per-bucket partials, final explode) instead
+    of four (an eager checkpoint would spend a whole extra pass). Per-bucket
+    partials are a closed-form-ish fold over chunk starts — chunks overlap
+    50/25, so the total is NOT just n — and the final phase explodes an
+    integer SEQUENCE, not tokens."""
     from pyspark.sql.window import Window
 
     from legate_pandas_spark.frontend.scan import (
@@ -344,7 +346,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized = docs.select(
         "doc_id",
         (F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1).alias("_n"),
-    ).localCheckpoint()
+    ).persist()
     starts = F.sequence(F.lit(1), F.col("_n"), F.lit(25))
     bounds = _rank_boundaries(tokenized, F.col("doc_id"))
     bucket = bucket_of(bounds, F.col("doc_id"))
@@ -355,18 +357,26 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uniq = next(_seq)
     bkt, car = f"__pb_{uniq}__", f"__pc_{uniq}__"
+    # exclusive prefix-combine of the ≤64 per-bucket totals, kept LAZY: a
+    # broadcast triangular self-join (b.bkt < a.bkt) instead of a driver
+    # collect+createDataFrame round trip — the carry subtree schedules inside
+    # the final action, so the query is boundaries + one action, not three jobs
     parts = (
         tokenized.withColumn(bkt, bucket)
         .groupBy(bkt)
         .agg(F.sum(doc_total).alias("__s__"))
-        .collect()
     )
-    parts.sort(key=lambda r: r[bkt])
-    offs, run = [], 0
-    for r in parts:
-        offs.append((r[bkt], run))
-        run += r["__s__"] or 0
-    carry = spark.createDataFrame(offs or [(0, 0)], schema=f"{bkt} int, {car} long")
+    carry = (
+        parts.select(F.col(bkt), F.col("__s__"))
+        .alias("a")
+        .join(
+            F.broadcast(parts.select(F.col(bkt).alias("__b2__"), F.col("__s__").alias("__s2__"))),
+            F.col("__b2__") < F.col(bkt),
+            "left",
+        )
+        .groupBy(bkt)
+        .agg(F.coalesce(F.sum("__s2__"), F.lit(0)).cast("long").alias(car))
+    )
     sized = tokenized.select(
         "doc_id", "_n", F.explode(starts).alias("start")
     ).select(

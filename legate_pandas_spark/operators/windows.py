@@ -249,10 +249,10 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio-to-report: per-nation revenue share via a window over the
-    AGGREGATED frame (25 rows) — the global window is applied post-aggregation,
-    so the single-task stage touches group-cardinality rows, never the fact
-    table (the correct way to use an unpartitioned window at 100 TB)."""
+    """Ratio-to-report: per-nation revenue share. The grand total is a 1-row
+    aggregate broadcast cross-joined back into the grouped view (AQE reuses the
+    group-by shuffle → one fact pass) — the engine-wide rule: no full-row
+    single-partition exchange anywhere, even over group-cardinality frames."""
     from legate_pandas_spark.sources.tables import load_table as _lt
 
     orders = _lt(spark, sf_dir, "orders")
@@ -264,11 +264,11 @@ def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("nation_rev"))
     )
-    w_all = Window.partitionBy()
-    return rev.select(
+    total = rev.agg(F.sum("nation_rev").alias("__tot__"))
+    return rev.crossJoin(F.broadcast(total)).select(
         "n_name",
         F.round("nation_rev", 2).alias("nation_rev"),
-        F.round(100.0 * F.col("nation_rev") / F.sum("nation_rev").over(w_all), 6).alias(
+        F.round(100.0 * F.col("nation_rev") / F.col("__tot__"), 6).alias(
             "pct_of_total"
         ),
     )

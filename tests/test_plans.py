@@ -235,13 +235,74 @@ def test_cat_codes_plan_broadcast_dictionary(spark):
     assert plan.count("CASE WHEN") <= 1
 
 
-def test_q15_single_fact_scan(catalog, spark, sf_dir):
-    """Q15 must not scan/aggregate lineitem twice: the max-revenue filter is a
-    window over the aggregate, so exactly one lineitem FileScan appears."""
-    from legate_pandas_spark.plans import explain_text
+def assert_no_full_single_partition(plan: str, name: str = ""):
+    """Allow `Exchange SinglePartition` ONLY when its child is a partial
+    aggregate (the canonical scalar-aggregate pattern: the exchange moves one
+    pre-aggregated row per partition, not data rows). Any other SinglePartition
+    exchange — a global window, a global sort, an unpartitioned join side —
+    moves the full table through one task and fails the audit."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "partial_" in nxt, (
+                f"{name}: full-row SinglePartition exchange:\n{ln}\n{nxt}"
+            )
 
-    plan = explain_text(catalog["q15_top_supplier"](spark, sf_dir))
-    assert plan.count("lineitem.parquet") == 1
+
+def test_q15_q11_single_fact_scan(catalog, spark, sf_dir):
+    """Q15/Q11 must not scan/aggregate lineitem twice: the global-total scalar
+    is a 1-row broadcast aggregate over the same grouped view, whose shuffle
+    AQE reuses at runtime — exactly one lineitem FileScan in the FINAL plan
+    (the initial plan legitimately shows two; reuse resolves at runtime)."""
+    for q in ("q15_top_supplier", "q11_important_stock"):
+        df = catalog[q](spark, sf_dir)
+        df.collect()
+        plan = plan_text(df, mode="simple")
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("lineitem.parquet") == 1, q
+        assert "ReusedExchange" in final, q
+
+
+def test_scalar_total_queries_no_full_single_partition(catalog, spark, sf_dir):
+    """q15/q11's global-total comparisons must be 1-row broadcast aggregates,
+    never a window over the supplier-cardinality aggregate (grows with SF)."""
+    for q in ("q15_top_supplier", "q11_important_stock"):
+        plan = plan_text(catalog[q](spark, sf_dir), mode="simple")
+        assert_no_full_single_partition(plan, q)
+        assert "Window" not in plan, q
+
+
+def test_value_counts_normalize_no_full_single_partition(spark):
+    """Series.value_counts(normalize=True) divides by a broadcast 1-row total —
+    the counts table is distinct-value-sized and must never be windowed in one
+    partition."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame({"v": [f"k{i % 13}" for i in range(200)]})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    out = ldf["v"].value_counts(normalize=True)
+    plan = plan_text(out._sdf, mode="simple")
+    assert_no_full_single_partition(plan, "value_counts_normalize")
+    assert "Window" not in plan
+
+
+def test_whole_catalog_no_full_single_partition(catalog, spark, sf_dir):
+    """The unconditional claim: NO query in the catalog moves full rows through
+    an unpartitioned exchange. Scalar 1-row aggregates (partial-agg-fed) are the
+    only SinglePartition exchanges allowed anywhere."""
+    failures = []
+    for name, fn in sorted(catalog.items()):
+        df = fn(spark, sf_dir)
+        sdf = df._sdf if hasattr(df, "_sdf") else df
+        plan = plan_text(sdf, mode="simple")
+        try:
+            assert_no_full_single_partition(plan, name)
+        except AssertionError as e:
+            failures.append(str(e))
+    assert not failures, "\n".join(failures)
 
 
 def test_decorrelated_queries_single_scan(catalog, spark, sf_dir):
