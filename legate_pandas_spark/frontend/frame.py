@@ -27,6 +27,24 @@ from legate_pandas_spark.frontend.series import Series
 ROW_ORDER = "__row_order__"
 
 
+def _caller_env(env: dict, depth: int) -> dict:
+    """Resolution environment for ``@var`` references in query()/eval():
+    the calling frame's globals, overlaid by its locals, overlaid by explicit
+    keyword arguments (pandas global_dict/local_dict precedence). The frame
+    walk is driver-side only — nothing here touches the cluster."""
+    import sys
+
+    merged: dict = {}
+    try:
+        frame = sys._getframe(depth)
+        merged.update(frame.f_globals)
+        merged.update(frame.f_locals)
+    except ValueError:  # shallow stack (embedded interpreters)
+        pass
+    merged.update(env or {})
+    return merged
+
+
 class DataFrame:
     def __init__(self, data, index: tuple[str, ...] = (), spark=None):
         """Accepts a Spark DataFrame (internal), a pandas DataFrame, or a dict
@@ -250,6 +268,7 @@ class DataFrame:
     def query(self, expr: str, **env) -> "DataFrame":
         from legate_pandas_spark.frontend.query import translate_query_expr
 
+        env = _caller_env(env, depth=2)
         return self._replace(self._sdf.filter(translate_query_expr(expr, env or None)))
 
     def head(self, n: int = 5) -> "DataFrame":
@@ -1677,37 +1696,49 @@ class DataFrame:
         )
         return DataFrame(self._sdf.select(*id_vars, stacked), ())
 
-    def eval(self, expr: str, **env) -> "DataFrame":
-        """pandas DataFrame.eval: ``name = expression`` assignments (one per
-        line) or a single bare expression (returns a Series). Reuses the
-        ``query()`` AST→Catalyst translator (the reference's only UDF entry,
-        core/query.py:33-311, which it JITs with numba — here the expression
-        compiles to a native Spark expression; no Python in the hot path)."""
+    def eval(self, expr: str, inplace: bool = False, **env):
+        """pandas DataFrame.eval: one or more ``name = expression`` assignments
+        (newline-separated; later lines see earlier targets), or a single bare
+        expression (returns a Series). Mixing assignments with a bare
+        expression raises, as pandas does; ``inplace=True`` mutates this frame
+        and returns None. ``@var`` references resolve from explicit keyword
+        args first, then the caller's locals/globals (pandas local_dict
+        semantics). Reuses the ``query()`` AST→Catalyst translator (the
+        reference's only UDF entry, core/query.py:33-311, which it JITs with
+        numba — here the expression compiles to a native Spark expression; no
+        Python in the hot path)."""
         import re
 
         from legate_pandas_spark.frontend.query import translate_query_expr
 
+        env = _caller_env(env, depth=2)
         lines = [ln.strip() for ln in expr.splitlines() if ln.strip()]
+        if not lines:
+            raise ValueError("eval: empty expression")
         assign_re = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.+)$")
-        out = self._replace(self._sdf)
-        bare = None
-        for ln in lines:
-            m = assign_re.match(ln)
-            if m:
-                name, rhs = m.groups()
-                out._sdf = out._sdf.withColumn(
-                    name, F.expr(translate_query_expr(rhs, env))
-                )
-            else:
-                bare = ln
-        if bare is not None:
-            if len(lines) > 1:
-                raise ValueError(
-                    "eval: mix of assignments and bare expressions is not supported"
-                )
-            return Series(
-                out, F.expr(translate_query_expr(bare, env)), "eval"
+        matches = [assign_re.match(ln) for ln in lines]
+        if len(lines) > 1 and not all(matches):
+            raise ValueError(
+                "Multi-line expressions are only valid if all expressions "
+                "contain an assignment"
             )
+        if not matches[0]:
+            if inplace:
+                raise ValueError("Cannot operate inplace if there is no assignment")
+            return Series(
+                self._replace(self._sdf),
+                F.expr(translate_query_expr(lines[0], env)),
+                "eval",
+            )
+        out = self._replace(self._sdf)
+        for m in matches:
+            name, rhs = m.groups()
+            out._sdf = out._sdf.withColumn(
+                name, F.expr(translate_query_expr(rhs, env))
+            )
+        if inplace:
+            self._sdf = out._sdf
+            return None
         return out
 
     def select_dtypes(self, include=None, exclude=None) -> "DataFrame":

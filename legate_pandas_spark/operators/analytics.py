@@ -527,6 +527,82 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+    broadcast_rank: bool = True,
+) -> DataFrame:
+    """Reusable Pregel-on-joins PageRank primitive over an (src, dst) edge
+    table: uniform 1/n init, no dangling redistribution (callers must pass a
+    graph where every node has out-edges — e.g. a bidirectional graph).
+    Returns a (node, r) rank vector.
+
+    100 TB shape: the edge table is persisted once (the only fact-sized
+    input); every iteration is one hash join of edges against the node-sized
+    rank vector plus an aggregation. With ``broadcast_rank`` the rank/degree
+    joins stay map-side (the small-rank-vector optimization — at web scale,
+    where the vector outgrows the broadcast budget, pass False and AQE picks
+    the shuffle join). ``localCheckpoint`` every ``checkpoint_every``
+    iterations truncates the lineage (the connected-components cadence,
+    dedup.py) so the plan stays bounded for any n."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    if broadcast_rank:
+        deg = F.broadcast(deg)
+
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (1.0 / F.col("n_nodes")).alias("r")
+    )
+    for i in range(iterations):
+        rvec = rank.select(F.col("node").alias("src"), "r")
+        if broadcast_rank:
+            rvec = F.broadcast(rvec)
+        contrib = (
+            edges.join(rvec, "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            rank = rank.localCheckpoint()
+    return rank
+
+
+def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional customer↔supplier trade graph: one DISTINCT edge
+    projection over lineitem ⋈ orders (the only fact-sized work)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    return e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
 @query(
     "pagerank_two_iter",
     oracle="""
@@ -553,78 +629,11 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two fixed PageRank iterations (damping 0.85, uniform init, no dangling
-    redistribution — every node of the bidirectional graph has out-edges) over
-    the customer↔supplier trade graph, reporting supplier scores.
-
-    Graph-analytics family twin of kmeans_two_rounds / connected components:
-    deterministic bounded-round iteration, fully oracle-paired. 100 TB shape:
-    the only fact-sized work is the one DISTINCT edge projection (lineitem ⋈
-    orders); each iteration after that is edge-table-sized — a hash join of
-    edges against the node-sized rank vector plus one aggregation, the
-    standard Pregel-on-joins formulation that AQE load-balances. Nothing is
-    collected to the driver; the node count enters the plan as a broadcast
-    1-row aggregate."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    # the edge table feeds deg/nodes/m0/m1 — persist it once or the
-    # fact-sized distinct join recomputes for every consumer
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-
-    # deg and the rank vector are NODE-sized; broadcasting them keeps every
-    # edge-table pass map-side (the standard small-rank-vector PageRank
-    # optimization — at web scale, where the rank vector outgrows the
-    # broadcast budget, drop the hint and AQE picks the shuffle join)
-    m0 = (
-        edges.join(F.broadcast(deg), "src")
-        .groupBy("dst")
-        .agg(F.sum(1.0 / F.col("d")).alias("m"))
-    )
-    r1 = (
-        nodes.crossJoin(F.broadcast(nn))
-        .join(m0, F.col("node") == m0.dst, "left")
-        .select(
-            "node",
-            "n_nodes",
-            (
-                0.15 / F.col("n_nodes")
-                + 0.85 * F.coalesce(F.col("m"), F.lit(0.0)) / F.col("n_nodes")
-            ).alias("r"),
-        )
-    )
-    m1 = (
-        edges.join(F.broadcast(r1.select(F.col("node").alias("src"), "r")), "src")
-        .join(F.broadcast(deg), "src")
-        .groupBy("dst")
-        .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
-    )
-    r2 = (
-        nodes.crossJoin(F.broadcast(nn))
-        .join(m1, F.col("node") == m1.dst, "left")
-        .select(
-            "node",
-            (
-                0.15 / F.col("n_nodes")
-                + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("r"),
-        )
-    )
-    return r2.filter(F.col("node").like("s%")).select(
+    """Two PageRank iterations (damping 0.85) over the customer↔supplier trade
+    graph via the parameterized ``pagerank`` primitive, reporting supplier
+    scores. Graph-analytics family twin of kmeans_two_rounds / connected
+    components: deterministic bounded-round iteration, fully oracle-paired."""
+    rank = pagerank(_trade_graph_edges(spark, sf_dir), iterations=2)
+    return rank.filter(F.col("node").like("s%")).select(
         "node", F.round(F.col("r") * 1000, 8).alias("score_x1000")
     )

@@ -878,42 +878,104 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: same shared-gram self-join discipline as
     ``dedup_ngram_jaccard`` (candidates exist only where two same-lang docs
     share an actual n-gram — never a doc×doc cartesian), minus the length
-    band, which containment must not use. The n-gram join key bounds pair
-    generation exactly like LSH banding; short docs (fewer than 5 grams) are
-    dropped before the join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    band, which containment must not use; short docs (fewer than 5 grams) are
+    dropped before the join. Round-5 worst-case guard: the self-join costs
+    O(Σ_g df_g²) rows, which a hot boilerplate gram (df ~ 10⁵ at web scale)
+    turns catastrophic — so grams are keyed by a 64-bit hash (8-byte shuffle
+    keys instead of multi-word strings), the gram table is persisted (one
+    text scan, not two), and an adaptive posting-list cap kicks in ONLY when
+    hot grams exist: candidate pairs then come from rare grams alone
+    (df ≤ cap) and the exact intersection is re-counted per candidate against
+    the full gram table, so the output stays exact either way. The branch
+    decision is one scalar aggregate (the connected-components adaptive
+    pattern, dedup.py); a pair ALL of whose shared grams are hot is the one
+    shape the capped branch can miss — containment ≥ 0.6 through nothing but
+    ubiquitous boilerplate is definitionally not a near-duplicate signal."""
+    return _containment_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+_C_HOT_GRAM_CAP = 512  # posting-list length above which a gram is "hot"
+
+
+def _containment_pairs(docs: DataFrame, cap: int = _C_HOT_GRAM_CAP) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     toks = docs.select(
         "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
     )
     grams = toks.select("doc_id", "lang", _word_ngrams(F.col("t"), _N).alias("gs"))
-    exploded = outer_explode(
-        grams.filter(F.size("gs") >= _C_MIN_GRAMS),
-        "gs",
-        "g",
-        "doc_id",
-        "lang",
-        F.size("gs").alias("sz"),
+    exploded = (
+        outer_explode(
+            grams.filter(F.size("gs") >= _C_MIN_GRAMS),
+            "gs",
+            "g",
+            "doc_id",
+            "lang",
+            F.size("gs").alias("sz"),
+        )
+        # 64-bit gram key: collision odds ~ (distinct grams)²/2⁶⁴ — vanishing,
+        # and a collision merely perturbs one isect count by 1
+        .select("doc_id", "sz", F.xxhash64("lang", "g").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    df_g = exploded.groupBy("gh").agg(F.count(F.lit(1)).alias("__df__"))
+    hot = df_g.filter(F.col("__df__") > cap).select("gh")
+    n_hot = hot.count()
+
     a = exploded.alias("a")
-    # shuffle-hash hint: Catalyst's size estimate predates the explode, so it
-    # would happily broadcast a corpus-sized gram table; a shuffled hash join
-    # on (lang, gram) is the scale-safe physical shape
-    b = exploded.hint("shuffle_hash").alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    if n_hot == 0:
+        # fast exact path: every posting list is bounded, the shared-gram
+        # self-join IS the intersection count. shuffle-hash hint: Catalyst's
+        # size estimate predates the explode, so it would happily broadcast a
+        # corpus-sized gram table
+        b = exploded.hint("shuffle_hash").alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.gh") == F.col("b.gh"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(
+                F.first(F.col("a.sz")).alias("sz_a"),
+                F.count(F.lit(1)).alias("isect"),
+            )
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        # guarded path: candidates from rare grams only (bounded df ≤ cap per
+        # gram → bounded pair fan-out), then exact per-candidate recount
+        # against the FULL gram table (hot grams included, so isect is exact)
+        cold = exploded.join(hot, "gh", "left_anti")
+        cand = (
+            cold.alias("ca")
+            .join(
+                cold.hint("shuffle_hash").alias("cb"),
+                (F.col("ca.gh") == F.col("cb.gh"))
+                & (F.col("ca.doc_id") != F.col("cb.doc_id")),
+            )
+            .select(
+                F.col("ca.doc_id").alias("doc_a"),
+                F.col("cb.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .agg(
-            F.first(F.col("a.sz")).alias("sz_a"),
-            F.count(F.lit(1)).alias("isect"),
+        inter = (
+            cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+            .join(
+                exploded.hint("shuffle_hash").alias("b"),
+                (F.col("doc_b") == F.col("b.doc_id"))
+                & (F.col("a.gh") == F.col("b.gh")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.first(F.col("a.sz")).alias("sz_a"),
+                F.count(F.lit(1)).alias("isect"),
+            )
         )
-    )
     return inter.filter(
         F.col("isect") / F.col("sz_a") >= _C_THRESHOLD
     ).select(

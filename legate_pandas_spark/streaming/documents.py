@@ -68,6 +68,31 @@ def corpus_dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataF
 
 _BLOOM_SHARDS = 64
 _BLOOM_SHARD_BITS = 1 << 16  # 8 KiB of state per shard
+_BLOOM_K = 3  # hash functions per digest
+
+
+def _bloom_batch(bm, pdf):
+    """Pure sharded-Bloom batch core (shared by the streaming update fn and
+    the FP-rate property test): given a shard bitmap ``bm`` (uint8 numpy
+    array, mutated in place) and a batch frame with position columns
+    p0..p{k-1}, return the probable-duplicate flag per row. A row is flagged
+    iff its bits were all set BEFORE the batch (bitmap hit) OR an earlier row
+    of this batch carries the same position triple (pandas ``duplicated``
+    keeps the first occurrence False) — order-equivalent to a row loop, fully
+    vectorized. No false negatives by construction: flags are read before any
+    bit of the batch is set."""
+    import numpy as np
+
+    hit = np.ones(len(pdf), dtype=bool)
+    for i in range(_BLOOM_K):
+        p = pdf[f"p{i}"].to_numpy()
+        hit &= (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+    intra = pdf.duplicated(subset=[f"p{i}" for i in range(_BLOOM_K)]).to_numpy()
+    flags = hit | intra
+    for i in range(_BLOOM_K):
+        p = pdf[f"p{i}"].to_numpy()
+        np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+    return flags
 
 
 def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
@@ -106,7 +131,7 @@ def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
             F.pmod(F.xxhash64(digest, F.lit(i)), F.lit(_BLOOM_SHARD_BITS))
             .cast("long")
             .alias(f"p{i}")
-            for i in range(3)
+            for i in range(_BLOOM_K)
         ],
     )
 
@@ -130,19 +155,7 @@ def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
         outs = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-            # fully vectorized, order-equivalent to a row loop: a row is a
-            # probable dup iff its bits were set BEFORE the batch (bitmap
-            # hit) OR an earlier row of this batch carries the same position
-            # triple (duplicated keeps the first occurrence False)
-            hit = np.ones(len(pdf), dtype=bool)
-            for i in range(3):
-                p = pdf[f"p{i}"].to_numpy()
-                hit &= (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
-            intra = pdf.duplicated(subset=["p0", "p1", "p2"]).to_numpy()
-            flags = hit | intra
-            for i in range(3):
-                p = pdf[f"p{i}"].to_numpy()
-                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            flags = _bloom_batch(bm, pdf)
             n_seen += int((~flags).sum())
             outs.append(
                 pd.DataFrame(
