@@ -46,6 +46,7 @@ HEADLINE = [
     "text_quality_score",
     "token_count_bpe",
     "pd_mortgage_style_pipeline",
+    "pd_mortgage_e2e_full",
     "asof_join_last_click",
     "interval_join_attribution",
     "window_distribution_funcs",

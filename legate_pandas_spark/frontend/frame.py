@@ -1968,6 +1968,24 @@ class DataFrame:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     # ------------------------------------------------------------ export
+    def persist(self, blocking: bool = False) -> "DataFrame":
+        """Mark the frame's current plan for reuse-caching (Spark persist,
+        MEMORY_AND_DISK). The facade analog of the reference's EAGER per-op
+        materialization (core/pattern.py:170-343 dispatches every call
+        immediately, so each intermediate exists exactly once): a lazy plan
+        consumed by many downstream branches — e.g. the mortgage pipeline's
+        12-way month-feature loop — would otherwise recompute its whole
+        lineage per consumer. Returns self; lazy (materializes on first
+        action) unless ``blocking``."""
+        self._sdf = self._sdf.persist()
+        if blocking:
+            self._sdf.count()
+        return self
+
+    def unpersist(self) -> "DataFrame":
+        self._sdf = self._sdf.unpersist()
+        return self
+
     def to_spark(self) -> SparkDF:
         return self._sdf.select(*self.columns)
 

@@ -699,3 +699,228 @@ def pd_value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")[["o_orderstatus", "o_orderpriority"]]
     vc = orders.value_counts()
     return vc.reset_index().to_spark()
+
+
+def _mortgage_month_blocks() -> str:
+    """Generate the 12 per-month WITH blocks of the mortgage oracle (the
+    reference's create_12_mon_features loop, benchmarks/mortgage/
+    mortgage.py:374-409, y = 1..12)."""
+    blocks = []
+    for y in range(1, 13):
+        blocks.append(f"""
+    m{y} AS (
+        SELECT loan,
+               CAST(trunc((jm_n * 12 + 24000 + {y - 1}) / 12.0) AS BIGINT) AS timestamp_year,
+               CAST({y} AS BIGINT) AS timestamp_month,
+               CAST(mx > 3 AS INT) + CAST(mn = 0 AS INT) AS delinquency_12,
+               mn AS upb_12
+        FROM (
+            SELECT loan,
+                   CAST(trunc((ty * 12 + tm - 24000 - {y}) / 12.0) AS BIGINT) AS jm_n,
+                   max(status) AS mx, min(upb) AS mn
+            FROM joined GROUP BY loan, jm_n
+        )
+    )""")
+    return ",".join(blocks)
+
+
+_MORTGAGE_ORACLE = f"""
+    WITH perf AS (
+        SELECT l_orderkey AS loan, l_shipdate AS ts,
+               CAST(trunc(l_quantity / 10) AS BIGINT) AS status,
+               l_extendedprice AS upb
+        FROM lineitem
+    ),
+    ever AS (
+        SELECT loan,
+               CAST(max(status) >= 1 AS INT) AS ever_30,
+               CAST(max(status) >= 3 AS INT) AS ever_90,
+               CAST(max(status) >= 5 AS INT) AS ever_180
+        FROM perf GROUP BY loan
+    ),
+    d30 AS (SELECT loan, min(ts) AS delinquency_30 FROM perf WHERE status >= 1 GROUP BY loan),
+    d90 AS (SELECT loan, min(ts) AS delinquency_90 FROM perf WHERE status >= 3 GROUP BY loan),
+    d180 AS (SELECT loan, min(ts) AS delinquency_180 FROM perf WHERE status >= 5 GROUP BY loan),
+    delinq AS (
+        SELECT d30.loan, delinquency_30,
+               coalesce(delinquency_90,  TIMESTAMP '1970-01-01') AS delinquency_90,
+               coalesce(delinquency_180, TIMESTAMP '1970-01-01') AS delinquency_180
+        FROM d30 LEFT JOIN d90 USING (loan) LEFT JOIN d180 USING (loan)
+    ),
+    everdf AS (
+        SELECT ever.loan, ever_30, ever_90, ever_180,
+               coalesce(delinquency_30,  TIMESTAMP '1970-01-01') AS delinquency_30,
+               coalesce(delinquency_90,  TIMESTAMP '1970-01-01') AS delinquency_90,
+               coalesce(delinquency_180, TIMESTAMP '1970-01-01') AS delinquency_180
+        FROM ever LEFT JOIN delinq USING (loan)
+    ),
+    joined AS (
+        SELECT p.loan, p.upb, p.status,
+               CAST(year(p.ts) AS BIGINT)  AS ty,
+               CAST(month(p.ts) AS BIGINT) AS tm,
+               coalesce(e.ever_30, -1)  AS ever_30,
+               coalesce(e.ever_90, -1)  AS ever_90,
+               coalesce(e.ever_180, -1) AS ever_180,
+               coalesce(e.delinquency_30, TIMESTAMP '1970-01-01') AS delinquency_30
+        FROM perf p LEFT JOIN everdf e ON e.loan = p.loan
+    ),{_mortgage_month_blocks()},
+    testdf AS ({" UNION ALL ".join(f"SELECT * FROM m{y}" for y in range(1, 13))}),
+    combined AS (
+        SELECT j.*, t.delinquency_12, t.upb_12
+        FROM joined j LEFT JOIN testdf t
+          ON t.loan = j.loan AND t.timestamp_year = j.ty AND t.timestamp_month = j.tm
+    ),
+    final AS (
+        SELECT c.*, o.o_totalprice
+        FROM combined c LEFT JOIN orders o ON o.o_orderkey = c.loan
+    )
+    SELECT ty AS timestamp_year, tm AS timestamp_month,
+           count(*) AS n_rows,
+           CAST(sum(delinquency_12) AS BIGINT) AS n_delinq,
+           round(sum(upb_12), 2) AS sum_upb12,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(max(ever_90) AS INT) AS any_ever90,
+           min(delinquency_30) AS first_delinq30
+    FROM final
+    GROUP BY ty, tm
+"""
+
+
+@query("pd_mortgage_e2e_full", oracle=_MORTGAGE_ORACLE)
+def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference mortgage E2E shape through the facade (reference
+    benchmarks/mortgage/mortgage.py:256-445 — its one published end-to-end
+    benchmark, 2.4x vs Dask): ever features (groupby-max + thresholds),
+    delinquency date features (3 filtered groupby-mins chained through 2 left
+    merges + timestamp fillna), ever⋈delinq, the per-row joined frame with
+    datetime features and fillna(-1), the 12-iteration josh_mody month-bucket
+    loop (12 groupby-aggs concat'd), the (loan, year, month) combine merge,
+    and the acquisition merge — 7 left merges, 16 groupby-aggs, 12-frame
+    concat, all facade calls. lineitem plays performance (loan=l_orderkey,
+    period=l_shipdate, status=quantity/10), orders plays acquisition.
+
+    100 TB shape: every merge/groupby shuffles on loan_id or
+    (loan, year, month); the month loop re-aggregates the SAME joined frame 12
+    ways (no iteration-to-iteration dependency — all 12 aggregates and the
+    concat schedule as one parallel stage tree); nothing collects to the
+    driver."""
+    import pandas as pd
+
+    from legate_pandas_spark.frontend import concat as lp_concat
+
+    default_ts = pd.Timestamp("1970-01-01")
+    perf = _read(spark, sf_dir, "lineitem")[
+        ["l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"]
+    ]
+    perf["status"] = (perf["l_quantity"] / 10).astype("int64")
+    # perf feeds ever + 3 delinq aggregates + the joined frame: persist the
+    # projected slice once (the reference's eager execution materializes it
+    # implicitly; our lazy plan would re-scan lineitem 5x)
+    perf.persist()
+
+    ever = (
+        perf[["l_orderkey", "status"]]
+        .groupby("l_orderkey")
+        .agg({"status": "max"})
+        .reset_index()
+    )
+    ever["ever_30"] = (ever["status"] >= 1).astype("int32")
+    ever["ever_90"] = (ever["status"] >= 3).astype("int32")
+    ever["ever_180"] = (ever["status"] >= 5).astype("int32")
+    ever = ever[["l_orderkey", "ever_30", "ever_90", "ever_180"]]
+
+    def first_at(th: int, name: str):
+        d = perf[perf["status"] >= th][["l_orderkey", "l_shipdate"]]
+        d = d.groupby("l_orderkey").agg({"l_shipdate": "min"}).reset_index()
+        return d.rename(columns={"l_shipdate": name})
+
+    delinq = first_at(1, "delinquency_30")
+    delinq = delinq.merge(first_at(3, "delinquency_90"), on="l_orderkey", how="left")
+    delinq["delinquency_90"] = delinq["delinquency_90"].fillna(default_ts)
+    delinq = delinq.merge(first_at(5, "delinquency_180"), on="l_orderkey", how="left")
+    delinq["delinquency_180"] = delinq["delinquency_180"].fillna(default_ts)
+
+    everdf = ever.merge(delinq, on="l_orderkey", how="left")
+    for c in ("delinquency_30", "delinquency_90", "delinquency_180"):
+        everdf[c] = everdf[c].fillna(default_ts)
+
+    joined = perf[["l_orderkey", "l_shipdate", "l_extendedprice", "status"]]
+    joined["timestamp_year"] = joined["l_shipdate"].dt.year.astype("int64")
+    joined["timestamp_month"] = joined["l_shipdate"].dt.month.astype("int64")
+    joined = joined.drop(columns=["l_shipdate"])
+    joined = joined.merge(everdf, on="l_orderkey", how="left")
+    for c in ("ever_30", "ever_90", "ever_180"):
+        joined[c] = joined[c].fillna(-1).astype("int32")
+    joined["delinquency_30"] = joined["delinquency_30"].fillna(default_ts)
+    joined["delinquency_12"] = joined["status"]
+    joined["upb_12"] = joined["l_extendedprice"]
+    # joined feeds the 12 month-bucket aggregates AND the combine merge —
+    # 13 consumers of one lineitem-sized frame
+    joined.persist()
+
+    months = []
+    for y in range(1, 13):
+        tmp = joined[
+            ["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]
+        ]
+        tmp["josh_months"] = tmp["timestamp_year"] * 12 + tmp["timestamp_month"]
+        tmp["josh_mody_n"] = ((tmp["josh_months"] - 24000 - y) / 12).astype("int64")
+        g = (
+            tmp.groupby(["l_orderkey", "josh_mody_n"])
+            .agg({"delinquency_12": "max", "upb_12": "min"})
+            .reset_index()
+        )
+        g["delinquency_12"] = (g["delinquency_12"] > 3).astype("int32") + (
+            g["upb_12"] == 0
+        ).astype("int32")
+        g["timestamp_year"] = ((g["josh_mody_n"] * 12 + 24000 + (y - 1)) / 12).astype(
+            "int64"
+        )
+        g["timestamp_month"] = y
+        months.append(
+            g[["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]]
+        )
+    testdf = lp_concat(months)
+
+    combined = joined[
+        [
+            "l_orderkey",
+            "timestamp_year",
+            "timestamp_month",
+            "ever_30",
+            "ever_90",
+            "ever_180",
+            "delinquency_30",
+        ]
+    ].merge(testdf, on=["l_orderkey", "timestamp_year", "timestamp_month"], how="left")
+
+    acq = _read(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    final = combined.merge(
+        acq, left_on="l_orderkey", right_on="o_orderkey", how="left"
+    )
+
+    g = (
+        final.groupby(["timestamp_year", "timestamp_month"])
+        .agg(
+            {
+                "l_orderkey": "size",
+                "delinquency_12": "sum",
+                "upb_12": "sum",
+                "o_totalprice": "sum",
+                "ever_90": "max",
+                "delinquency_30": "min",
+            }
+        )
+        .reset_index()
+    )
+    out = g.to_spark()
+    return out.select(
+        F.col("timestamp_year"),
+        F.col("timestamp_month"),
+        F.col("l_orderkey").alias("n_rows"),
+        F.col("delinquency_12").cast("long").alias("n_delinq"),
+        F.round("upb_12", 2).alias("sum_upb12"),
+        F.round("o_totalprice", 2).alias("sum_price"),
+        F.col("ever_90").cast("int").alias("any_ever90"),
+        F.col("delinquency_30").alias("first_delinq30"),
+    )
