@@ -63,28 +63,39 @@ class StringMethods:
             )
         )
 
+    # Unicode contract (pandas parity via Java regex Unicode classes):
+    # isdigit matches \p{Nd} (any script's decimal digits — Arabic-Indic,
+    # Devanagari, ...); the one documented divergence from Python str.isdigit
+    # is Numeric_Type=Digit codepoints OUTSIDE Nd (superscripts like '³'),
+    # which Java regex cannot express. isalpha is all of \p{L} (CJK, accented
+    # letters). isupper/islower require at least one CASED codepoint and use
+    # the JVM's Unicode-aware case mapping.
     def isdigit(self):
         c = self._s._col
         return self._wrap(
-            null_compare_false((F.length(c) > 0) & c.rlike(r"^[0-9]+$"))
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{Nd}+$"))
         )
 
     def isalpha(self):
         c = self._s._col
         return self._wrap(
-            null_compare_false((F.length(c) > 0) & c.rlike(r"^[A-Za-z]+$"))
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{L}+$"))
         )
 
     def isupper(self):
         c = self._s._col
         return self._wrap(
-            null_compare_false(c.rlike("[A-Za-z]") & (F.upper(c) == c))
+            null_compare_false(
+                c.rlike(r"[\p{Lu}\p{Ll}\p{Lt}]") & (F.upper(c) == c)
+            )
         )
 
     def islower(self):
         c = self._s._col
         return self._wrap(
-            null_compare_false(c.rlike("[A-Za-z]") & (F.lower(c) == c))
+            null_compare_false(
+                c.rlike(r"[\p{Lu}\p{Ll}\p{Lt}]") & (F.lower(c) == c)
+            )
         )
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
@@ -237,7 +248,12 @@ class StringMethods:
     def extractall(self, pat: str):
         """All regex matches, one ROW per match (pandas str.extractall):
         returns a DataFrame indexed by (original index label or position,
-        'match') with one string column per capture group, named '0'..'g-1'.
+        'match') with one string column per capture group — NAMED groups use
+        their name as the column label (pandas), unnamed groups '0'..'g-1'.
+        A non-participating optional group yields null (pandas NaN); the one
+        documented divergence is a group that PARTICIPATES by matching the
+        empty string, which is indistinguishable from non-participation in
+        the JVM extraction and also yields null (pandas would keep '').
 
         JVM-side: one regexp_extract_all per group (the arrays align because
         they come from the same pattern), arrays_zip + posexplode — rows with
@@ -249,9 +265,21 @@ class StringMethods:
         from legate_pandas_spark.frontend.indexing import _attach_positions
         from legate_pandas_spark.frontend.scan import _seq
 
-        ngroups = re.compile(pat).groups
+        compiled = re.compile(pat)
+        ngroups = compiled.groups
         if ngroups < 1:
             raise ValueError("extractall: pattern contains no capture groups")
+        by_num = {num: name for name, num in compiled.groupindex.items()}
+        labels = [by_num.get(i + 1, str(i)) for i in range(ngroups)]
+        # Java regex rejects Python named-group syntax; extraction is by group
+        # NUMBER anyway, so demote named groups to plain ones and rewrite
+        # named backreferences to numeric
+        jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
+        jpat = re.sub(
+            r"\(\?P=([^)]+)\)",
+            lambda m: "\\" + str(compiled.groupindex[m.group(1)]),
+            jpat,
+        )
         s = self._s
         frame = s._frame
         if frame._index:
@@ -268,17 +296,22 @@ class StringMethods:
             sdf = sdf.withColumn(idx_name, F.col(pos).cast("long")).drop(pos)
             idx_cols = [idx_name]
         arrs = [
-            F.regexp_extract_all(s._col, F.lit(pat), i + 1).alias(f"g{i}")
+            F.regexp_extract_all(s._col, F.lit(jpat), i + 1).alias(f"g{i}")
             for i in range(ngroups)
         ]
         zipped = sdf.select(*idx_cols, F.arrays_zip(*arrs).alias("__z__"))
         exploded = zipped.select(
             *idx_cols, F.posexplode(F.col("__z__")).alias("match", "__m__")
         )
+        def _g(i):
+            v = F.col("__m__")[f"g{i}"]
+            # '' from a Java-regex group = it did not participate → null
+            return F.when(v != "", v).alias(labels[i])
+
         out = exploded.select(
             *idx_cols,
             F.col("match").cast("long").alias("match"),
-            *[F.col("__m__")[f"g{i}"].alias(str(i)) for i in range(ngroups)],
+            *[_g(i) for i in range(ngroups)],
         )
         return DataFrame(out, tuple(idx_cols) + ("match",))
 
@@ -286,6 +319,30 @@ class StringMethods:
         """Count regex matches per value (pandas str.count)."""
         return self._wrap(
             F.size(F.regexp_extract_all(self._s._col, F.lit(f"({pat})"))).cast("long")
+        )
+
+    def findall(self, pat: str):
+        """All regex matches per value as an array column (pandas
+        str.findall = re.findall per element): zero capture groups → full
+        matches; exactly one group → that group's matches (Python findall
+        semantics). Multi-group patterns (Python's list-of-tuples) have no
+        clean Spark array type and raise — use extractall, which is the
+        row-per-match superset. JVM-side regexp_extract_all, zero Python."""
+        import re
+
+        compiled = re.compile(pat)
+        if compiled.groups > 1:
+            raise NotImplementedError(
+                "findall with >1 capture group returns tuples in pandas; "
+                "use str.extractall (one row per match, one column per group)"
+            )
+        jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
+        if compiled.groups == 1:
+            return self._wrap(
+                F.regexp_extract_all(self._s._col, F.lit(jpat), 1)
+            )
+        return self._wrap(
+            F.regexp_extract_all(self._s._col, F.lit(f"({jpat})"), 1)
         )
 
     def find(self, sub: str):

@@ -1150,12 +1150,62 @@ class DataFrame:
             c: f"__lag_{c}__" for c in self._sdf.columns if f"__lag_{c}__" in targets
         }
 
+    @staticmethod
+    def _shift_fill_expr(col_name: str, col_type: str, fill, mark, lag,
+                         strict: bool = False):
+        """Typed fill for one shifted column: the fill literal is cast to the
+        column's type family instead of leaning on Spark's CASE-WHEN coercion
+        (which raises on numeric-fill-into-timestamp and silently promotes
+        string columns to hold '0.0'). A float fill into an integer column
+        widens the column to double (pandas upcast). Incompatible
+        fill/column pairings: frame-wide shift SKIPS the column (its vacated
+        slots stay null — pandas' mixed object column has no Spark
+        representation); Series-level shift (``strict``) raises TypeError."""
+        import datetime as _dt
+
+        int_types = ("tinyint", "smallint", "int", "bigint")
+        if isinstance(fill, bool):
+            fam = "bool"
+        elif isinstance(fill, (int, float)):
+            fam = "num"
+        elif isinstance(fill, str):
+            fam = "str"
+        elif isinstance(fill, (_dt.datetime, _dt.date)):
+            fam = "ts"
+        else:
+            fam = "other"
+        target = None
+        if col_type == "boolean":
+            ok = fam == "bool"
+        elif is_numeric_spark_type(col_type):
+            ok = fam == "num"
+            if ok and isinstance(fill, float) and col_type in int_types:
+                target = "double"
+        elif col_type in ("string",):
+            ok = fam == "str"
+        elif col_type.startswith("timestamp") or col_type == "date":
+            ok = fam == "ts"
+        else:
+            ok = False
+        if not ok:
+            if strict:
+                raise TypeError(
+                    f"shift: fill_value {fill!r} is incompatible with column "
+                    f"{col_name!r} of type {col_type} (pandas would produce a "
+                    "mixed object column, which has no Spark representation)"
+                )
+            return F.col(lag)  # frame-wide fill: skip this column, nulls stay
+        target = target or col_type
+        return F.when(
+            F.col(mark).isNull(), F.lit(fill).cast(target)
+        ).otherwise(F.col(lag).cast(target))
+
     def shift(self, periods: int = 1, fill_value=None) -> "DataFrame":
         """Shift EVERY column by ``periods`` rows (pandas shift — type
         agnostic: strings/dates shift alongside numerics, keeping rows
         aligned). ``fill_value`` fills only the VACATED slots — the donor
         row-order key doubles as the vacancy marker, so genuinely shifted-in
-        nulls stay null."""
+        nulls stay null — and is cast per column (see _shift_fill_expr)."""
         if fill_value is not None:
             from legate_pandas_spark.frontend.scan import _seq, shift_columns
 
@@ -1169,14 +1219,16 @@ class DataFrame:
             }
             targets[mark] = F.lit(True)
             out_sdf = shift_columns(sdf, targets, periods, fresh)
+            dtypes = dict(self._sdf.dtypes)
             sel = []
             for c in sdf.columns:
                 lag = f"__lag_{c}__"
                 if lag in targets:
-                    expr = F.when(
-                        F.col(mark).isNull(), F.lit(fill_value)
-                    ).otherwise(F.col(lag))
-                    sel.append(expr.alias(c))
+                    sel.append(
+                        self._shift_fill_expr(
+                            c, dtypes[c], fill_value, mark, lag
+                        ).alias(c)
+                    )
                 else:
                     sel.append(F.col(c))
             return self._replace(out_sdf.select(*sel))
@@ -1895,8 +1947,12 @@ class DataFrame:
     ) -> "DataFrame":
         """Bernoulli row sampling (distributed; deterministic under a seed for
         a fixed partition layout). ``random_state`` is the pandas spelling of
-        ``seed``; ``n`` draws approximately n rows via n/count (an exact-n
-        draw would need a global shuffle — use nlargest/limit for exact)."""
+        ``seed``.
+
+        Documented divergence (COVERAGE.md): ``n`` draws APPROXIMATELY n rows
+        (Bernoulli at rate n/count), where pandas returns exactly n — an
+        exact-n distributed draw needs a global rank over random keys (a
+        full shuffle); use nlargest/limit when exactness matters."""
         if random_state is not None:
             seed = random_state
         if frac is None:
@@ -1905,6 +1961,28 @@ class DataFrame:
             total = self._sdf.count()
             frac = min(1.0, n / max(total, 1))
         return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
+
+    def mode(self, numeric_only: bool = False) -> "DataFrame":
+        """Per-column modes (pandas DataFrame.mode): column i of the result
+        lists that column's most-frequent values ascending, shorter columns
+        null-padded (int columns therefore float, exactly as pandas). Each
+        column's mode is one distributed hash aggregate + broadcast top-tie
+        filter (Series.mode) — only the tied winners reach the driver; the
+        tiny result frame is assembled driver-side."""
+        import pandas as pd
+
+        dtypes = dict(self._sdf.dtypes)
+        cols = [
+            c
+            for c in self.columns
+            if not numeric_only or is_numeric_spark_type(dtypes[c])
+        ]
+        data = {c: self[c].mode() for c in cols}
+        n = max((len(s) for s in data.values()), default=0)
+        out = pd.DataFrame(
+            {c: s.reindex(range(n)) for c, s in data.items()}
+        )
+        return from_pandas(out, spark=self._sdf.sparkSession)
 
     def random_split(self, weights, seed: int | None = None) -> list["DataFrame"]:
         """Train/validation/test split (weights normalized; distributed

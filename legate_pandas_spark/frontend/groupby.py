@@ -152,7 +152,13 @@ class GroupBy:
 
     def sample(self, n: int = 1, random_state: int | None = None):
         """n rows per group (pandas groupby.sample): rank over (seeded) rand
-        in a group-partitioned window. Deterministic iff random_state given."""
+        in a group-partitioned window. Deterministic iff random_state given.
+
+        Documented divergence (COVERAGE.md): groups with fewer than n rows
+        return ALL their rows, where pandas raises ValueError
+        (replace=False). Detecting the short group would take an extra
+        per-group count pass before sampling — the check is the caller's to
+        make when the stricter contract matters."""
         from pyspark.sql.window import Window
 
         from legate_pandas_spark.frontend.frame import DataFrame

@@ -321,17 +321,23 @@ class Series:
         fresh = ROW_ORDER not in self._frame._sdf.columns
         cols = {out: self._col}
         mark = None
+        col_type = None
         if fill_value is not None:
             # fill ONLY vacated slots (donor-row miss), never nulls that were
             # genuinely shifted in — a marker column distinguishes the two
             mark = f"__sshiftm_{uniq}__"
             cols[mark] = F.lit(True)
+            col_type = self._frame._sdf.select(self._col.alias(out)).dtypes[0][1]
         self._frame._sdf = shift_columns(
             self._frame._ordered_sdf(), cols, periods, fresh
         )
         expr = F.col(out)
         if mark is not None:
-            expr = F.when(F.col(mark).isNull(), F.lit(fill_value)).otherwise(expr)
+            from legate_pandas_spark.frontend.frame import DataFrame as _DF
+
+            expr = _DF._shift_fill_expr(
+                self.name or out, col_type, fill_value, mark, out, strict=True
+            )
         return self._wrap(expr)
 
     def diff(self, periods: int = 1):
@@ -429,10 +435,22 @@ class Series:
                 sample_out
             )
             if numeric:
-
+                # the probe can be unrepresentative (value-dependent return
+                # types): never let to_numeric silently swallow a non-numeric
+                # mapper output as NaN — raise with a count instead
                 @pandas_udf("double")
                 def _mapper(batch):
-                    return pd.to_numeric(batch.map(fn), errors="coerce")
+                    mapped = batch.map(fn)
+                    out = pd.to_numeric(mapped, errors="coerce")
+                    lost = int(mapped.notna().sum()) - int(out.notna().sum())
+                    if lost:
+                        raise TypeError(
+                            f"Series.map: mapper returned {lost} non-numeric "
+                            "value(s) after the sample probe inferred a "
+                            "numeric output dtype; make the mapper's return "
+                            "type uniform or cast explicitly"
+                        )
+                    return out
 
             else:
 

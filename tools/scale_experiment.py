@@ -53,6 +53,11 @@ QUERIES = [
     "bloom_prefilter_decontaminate",
     "heavy_hitters_tokens",
     "embedding_quantize_int8",
+    # round 5
+    "pack_training_sequences",
+    "dedup_containment_pairs",
+    "pagerank_two_iter",
+    "pd_mortgage_e2e_full",
 ]
 
 SHIFT_KEYS = {
