@@ -551,27 +551,36 @@ def pagerank(
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    if broadcast_rank:
-        deg = F.broadcast(deg)
-
-    rank = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (1.0 / F.col("n_nodes")).alias("r")
+    # fold the out-degree into the edge table ONCE — each iteration then needs
+    # a single rank join instead of rank + degree joins over the edges
+    wedges = (
+        edges.join(F.broadcast(deg) if broadcast_rank else deg, "src")
+        .select("src", "dst", (1.0 / F.col("d")).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nodes_nn = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                edges.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    rank = nodes_nn.select("node", (1.0 / F.col("n_nodes")).alias("r"))
     for i in range(iterations):
         rvec = rank.select(F.col("node").alias("src"), "r")
         if broadcast_rank:
             rvec = F.broadcast(rvec)
         contrib = (
-            edges.join(rvec, "src")
-            .join(deg, "src")
+            wedges.join(rvec, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+            .agg(F.sum(F.col("r") * F.col("w")).alias("m"))
         )
         rank = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, F.col("node") == contrib.dst, "left")
+            nodes_nn.join(contrib, F.col("node") == contrib.dst, "left")
             .select(
                 "node",
                 (
@@ -590,13 +599,16 @@ def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over lineitem ⋈ orders (the only fact-sized work)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct over the (custkey, suppkey) LONG pair, node labels built after
+    # — the dedup shuffle moves 16-byte keys, not ~20-char strings
     e0 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     return e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -983,3 +983,82 @@ def _containment_pairs(docs: DataFrame, cap: int = _C_HOT_GRAM_CAP) -> DataFrame
         "doc_b",
         F.round(F.col("isect") / F.col("sz_a"), 4).alias("containment"),
     )
+
+
+@query(
+    "sensitive_term_redaction",
+    oracle=r"""
+    WITH red AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\b(key|value|customer)\b')) AS n_hits,
+               length(regexp_replace(text, '\b(key|value|customer)\b',
+                                     '[REDACTED]', 'g')) AS len_after
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_hits > 0 AS INT)) AS BIGINT) AS docs_redacted,
+           CAST(sum(n_hits) AS BIGINT) AS total_redactions,
+           CAST(sum(len_after) AS BIGINT) AS total_len_after
+    FROM red
+    GROUP BY lang
+    """,
+)
+def sensitive_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pipeline: global regex replacement of sensitive
+    terms with a fixed token, plus per-language audit counts — the exact
+    shape of email/phone/SSN scrubbing in a training-data pipeline (swap the
+    term alternation for PII patterns in production; the synthetic corpus has
+    no real PII, so deterministic word targets stand in). One JVM-side
+    projection (regexp_count for exact hit counts + regexp_replace for the
+    rewritten text) and a partial-aggregatable groupBy — zero Python, one
+    scan, no shuffle beyond the 5-row language rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(key|value|customer)\b"
+    red = docs.select(
+        "lang",
+        F.regexp_count("text", F.lit(pat)).alias("n_hits"),
+        F.length(F.regexp_replace("text", pat, "[REDACTED]")).alias("len_after"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_hits") > 0).cast("int")).cast("long").alias("docs_redacted"),
+        F.sum("n_hits").cast("long").alias("total_redactions"),
+        F.sum("len_after").cast("long").alias("total_len_after"),
+    )
+
+
+@query(
+    "lang_balanced_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id
+    FROM ranked WHERE rn <= 60
+    """,
+)
+def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resampling: cap each language at 60 documents,
+    selected by a DETERMINISTIC pseudo-random order (md5 of the doc id —
+    identical bytes in every engine, so the draw is reproducible across
+    Spark, DuckDB, and reruns; a seeded salt concat'd into the hash input
+    re-rolls the sample). The standard mixture-balancing step before
+    training-data packing: head languages are downsampled to the cap, tail
+    languages keep everything. One partitioned window per language — no
+    global sort, no driver round trip."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 60)
+        .select("lang", "doc_id")
+    )
