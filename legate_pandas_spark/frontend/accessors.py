@@ -202,6 +202,72 @@ class StringMethods:
             return self._wrap(F.regexp_replace(self._s._col, pat, repl))
         return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
 
+    def match(self, pat: str):
+        """True if the regex matches at the START of the string (pandas
+        str.match = re.match): anchored rlike, null→null like pandas."""
+        return self._wrap(self._s._col.rlike(f"^(?:{pat})"))
+
+    def fullmatch(self, pat: str):
+        """True if the regex matches the ENTIRE string (pandas str.fullmatch
+        = re.fullmatch)."""
+        return self._wrap(self._s._col.rlike(f"^(?:{pat})$"))
+
+    def ljust(self, width: int, fillchar: str = " "):
+        """Left-justify = pad on the RIGHT (pandas str.ljust). rpad truncates
+        longer strings, pandas doesn't — guard with a length check."""
+        c = self._s._col
+        return self._wrap(
+            F.when(F.length(c) >= width, c).otherwise(F.rpad(c, width, fillchar))
+        )
+
+    def rjust(self, width: int, fillchar: str = " "):
+        """Right-justify = pad on the LEFT (pandas str.rjust)."""
+        c = self._s._col
+        return self._wrap(
+            F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, fillchar))
+        )
+
+    def partition(self, sep: str = " "):
+        """3-column frame (before, sep, after) split at the FIRST separator;
+        no separator → (whole, '', '') like pandas (pandas str.partition).
+        Pure expression: instr + substring, no regex."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        frame = self._s._frame
+        c = self._s._col
+        pos = F.instr(c, sep)
+        found = pos > 0
+        sdf0 = frame._ordered_sdf()
+        keep = list(frame._index) + [
+            k for k in sdf0.columns if k.startswith("__") and k.endswith("__")
+        ]
+        sdf = sdf0.select(
+            *[F.col(k) for k in keep],
+            F.when(found, F.substring(c, 1, pos - 1)).otherwise(c).alias("0"),
+            F.when(found, F.lit(sep)).otherwise(F.lit("")).alias("1"),
+            F.when(
+                found, F.substring(c, pos + len(sep), F.length(c))
+            ).otherwise(F.lit("")).alias("2"),
+        )
+        return DataFrame(sdf, frame._index)
+
+    def rsplit(self, pat: str = " ", n: int = -1):
+        """Split from the RIGHT (pandas str.rsplit, literal separator): full
+        split, then the leftmost len-n pieces are re-joined — same result as
+        Python's rsplit for literal separators, all array expressions."""
+        c = self._s._col
+        arr = F.split(c, F.lit(__import__("re").escape(pat)))
+        if n is None or n < 0:
+            return self._wrap(arr)
+        sz = F.size(arr)
+        head = F.array_join(F.slice(arr, 1, sz - n), pat)
+        tail = F.slice(arr, F.greatest(sz - n + 1, F.lit(1)), F.least(F.lit(n), sz - 1))
+        return self._wrap(
+            F.when(sz <= n + 1, arr).otherwise(
+                F.concat(F.array(head), tail)
+            )
+        )
+
     def split(self, pat: str = r"\s+", expand: bool = False, n: int | None = None):
         """Split into an array column; ``expand=True`` widens into columns
         0..width-1 (width = the given ``n``+1, else ONE max-size aggregate —

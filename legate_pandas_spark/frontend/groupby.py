@@ -351,6 +351,59 @@ class GroupBy:
     def cumsum(self):
         return self._cum(F.sum)
 
+    def cumprod(self):
+        return self._cum(F.product)
+
+    def pipe(self, func, *args, **kwargs):
+        """pandas GroupBy.pipe: apply ``func(self, *args, **kwargs)``."""
+        return func(self, *args, **kwargs)
+
+    def ngroup(self):
+        """Dense 0-based group id in SORTED key order (pandas ngroup after
+        sort=True; pandas' default first-appearance order needs a global
+        row-order min per group — same machinery, different rank key). The
+        distinct key table is ranked by the distributed sample-sort row
+        number (scan.ordered_row_number — no single-partition window even
+        for a high-cardinality key domain) and broadcast-joined back."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+        from legate_pandas_spark.frontend.scan import ordered_row_number
+
+        keys = list(self._keys)
+        distinct = self._df._sdf.select(*keys).distinct()
+        ranked = ordered_row_number(distinct, keys, "__ngroup__")
+        out = self._df._sdf.join(F.broadcast(ranked), keys, "left").select(
+            *keys, F.col("__ngroup__").cast("long").alias("ngroup")
+        )
+        return DataFrame(out, tuple(keys))["ngroup"]
+
+    def value_counts(self, normalize: bool = False):
+        """pandas GroupBy.value_counts: counts per (group keys, value
+        combination), descending within each group; normalize divides by the
+        per-GROUP total over a keys-partitioned window (group-cardinality
+        partitions, parallel)."""
+        from pyspark.sql.window import Window
+
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        keys = list(self._keys)
+        vals = [c for c in self._df.columns if c not in keys]
+        out = (
+            self._df._sdf.groupBy(*keys, *vals)
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        if normalize:
+            w = Window.partitionBy(*keys)
+            out = out.select(
+                *keys,
+                *vals,
+                (F.col("count") / F.sum("count").over(w)).alias("proportion"),
+            )
+        measure = "proportion" if normalize else "count"
+        return DataFrame(
+            out.orderBy(*keys, F.desc(measure), *vals),
+            tuple(keys) + tuple(vals),
+        )
+
     def cummax(self):
         return self._cum(F.max)
 

@@ -464,6 +464,51 @@ class Series:
             expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
         return self._wrap(expr)
 
+    def replace(self, to_replace, value=None):
+        """pandas Series.replace: exact-match substitution, unmatched values
+        KEPT (unlike map, which nulls them). Scalar→scalar, {old: new} dict,
+        or [olds]→scalar — all compile to one CASE expression, zero Python."""
+        if isinstance(to_replace, dict):
+            expr = self._col
+            for k, v in to_replace.items():
+                expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
+            return self._wrap(expr)
+        if isinstance(to_replace, (list, tuple, set)):
+            return self._wrap(
+                F.when(self._col.isin(list(to_replace)), F.lit(value)).otherwise(
+                    self._col
+                )
+            )
+        return self._wrap(
+            F.when(self._col == F.lit(to_replace), F.lit(value)).otherwise(self._col)
+        )
+
+    def explode(self):
+        """pandas Series.explode: one row per array element, index labels
+        repeated; null/empty arrays yield a single null row (explode_outer).
+        Pairs with array-producing ops like str.findall / str.split."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        frame = self._frame
+        name = self.name or "0"
+        idx = list(frame._index)
+        sdf = frame._sdf.select(
+            *idx, F.explode_outer(self._col).alias(name)
+        )
+        return DataFrame(sdf, frame._index)[name]
+
+    def to_list(self) -> list:
+        return self.to_pandas().tolist()
+
+    def tolist(self) -> list:
+        return self.to_list()
+
+    def combine_first(self, other):
+        """pandas Series.combine_first: self's values, holes filled from
+        other (same-frame Series or scalar) — one coalesce expression."""
+        other_col = other._col if isinstance(other, Series) else F.lit(other)
+        return self._wrap(F.coalesce(self._col, other_col))
+
     @property
     def hasnans(self) -> bool:
         """True if any value is null (pandas hasnans) — one any-null scan."""
@@ -645,6 +690,39 @@ class Series:
 
     def prod(self):
         return self._reduce(F.product(self._col))
+
+    def product(self):
+        return self.prod()
+
+    def skew(self):
+        """Bias-corrected sample skewness (pandas Series.skew): Spark's
+        one-pass population g1 = m3/m2^1.5 (numerically stable central-moment
+        updates, never raw power sums) adjusted driver-side by the exact
+        algebraic factor sqrt(n(n-1))/(n-2). NaN for n < 3, like pandas."""
+        import math
+
+        row = self._frame._sdf.select(
+            F.skewness(self._col).alias("g1"), F.count(self._col).alias("n")
+        ).collect()[0]
+        g1, n = row["g1"], row["n"]
+        if n < 3 or g1 is None:
+            return float("nan")
+        return g1 * math.sqrt(n * (n - 1)) / (n - 2)
+
+    def kurt(self):
+        """Bias-corrected excess kurtosis (pandas Series.kurt): Spark's
+        population excess g2 = m4/m2² − 3 adjusted by the exact G2 identity
+        ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)). NaN for n < 4, like pandas."""
+        row = self._frame._sdf.select(
+            F.kurtosis(self._col).alias("g2"), F.count(self._col).alias("n")
+        ).collect()[0]
+        g2, n = row["g2"], row["n"]
+        if n < 4 or g2 is None:
+            return float("nan")
+        return ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+
+    def kurtosis(self):
+        return self.kurt()
 
     def any(self):
         return bool(self._reduce(F.max(self._col.cast("boolean").cast("int"))))
