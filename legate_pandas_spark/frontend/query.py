@@ -73,6 +73,14 @@ def _emit(node: ast.AST, env: dict | None) -> str:
             return f"power({_emit(node.left, env)}, {_emit(node.right, env)})"
         if cls is ast.FloorDiv:
             return f"floor({_emit(node.left, env)} / {_emit(node.right, env)})"
+        if cls is ast.Mod:
+            # Python % is FLOORED modulo (sign of the divisor); Spark's % is
+            # truncated (sign of the dividend). ((a mod b) + b) mod b
+            # reproduces Python for every sign combination; try_mod yields
+            # null on a zero divisor (pandas NaN — same filter outcome)
+            # instead of the ANSI-mode exception
+            a, b = _emit(node.left, env), _emit(node.right, env)
+            return f"try_mod(try_mod({a}, {b}) + {b}, {b})"
         if cls not in _BINOP:
             raise QueryTranslationError(f"unsupported binary op: {cls.__name__}")
         return f"({_emit(node.left, env)} {_BINOP[cls]} {_emit(node.right, env)})"
