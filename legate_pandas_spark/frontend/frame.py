@@ -1962,6 +1962,166 @@ class DataFrame:
             frac = min(1.0, n / max(total, 1))
         return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
+    def reindex(self, index=None, columns=None, fill_value=None) -> "DataFrame":
+        """pandas DataFrame.reindex: conform to new column and/or index
+        labels. Columns: existing kept, missing added as fill_value. Index:
+        the LABEL LIST drives the result (one row per requested label, in
+        label order; absent labels yield fill rows) — a broadcast join from
+        the label table onto the frame's index column, ordered by a label
+        position key, never a driver-side row loop. Requires a set_index
+        frame (a single index level) for index reindexing, like the lazy
+        RangeIndex contract elsewhere."""
+        out_sdf = self._sdf
+        out_index = self._index
+        if index is not None:
+            if len(self._index) != 1:
+                raise ValueError(
+                    "reindex(index=...) needs exactly one index level "
+                    "(set_index first)"
+                )
+            idx_col = self._index[0]
+            labels = list(index)
+            spark = self._sdf.sparkSession
+            idx_type = dict(self._sdf.dtypes)[idx_col]
+            lab_df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(labels)],
+                schema=f"__reidx_pos__ long, {idx_col} {idx_type}",
+            )
+            out_sdf = (
+                lab_df.join(out_sdf, idx_col, "left")
+                .orderBy("__reidx_pos__")
+                .drop("__reidx_pos__")
+            )
+            out_index = (idx_col,)
+        if columns is not None:
+            dtypes = dict(out_sdf.dtypes)
+            sel = [F.col(c) for c in out_index]
+            for c in columns:
+                if c in dtypes and c not in out_index:
+                    sel.append(F.col(c))
+                elif c not in out_index:
+                    sel.append(F.lit(fill_value).alias(c))
+            out_sdf = out_sdf.select(*sel)
+        elif index is not None and fill_value is not None:
+            # fill only type-compatible columns (a numeric fill must not be
+            # cast into string/timestamp columns — same policy as shift)
+            dtypes = dict(out_sdf.dtypes)
+
+            def _fill(c):
+                t = dtypes[c]
+                num_fill = isinstance(fill_value, (int, float)) and not isinstance(
+                    fill_value, bool
+                )
+                ok = (
+                    (num_fill and is_numeric_spark_type(t))
+                    or (isinstance(fill_value, bool) and t == "boolean")
+                    or (isinstance(fill_value, str) and t == "string")
+                )
+                if ok:
+                    return F.coalesce(F.col(c), F.lit(fill_value).cast(t)).alias(c)
+                return F.col(c)
+
+            out_sdf = out_sdf.select(
+                *[F.col(c) for c in out_index],
+                *[_fill(c) for c in out_sdf.columns if c not in out_index],
+            )
+        return DataFrame(out_sdf, out_index)
+
+    def memory_usage(self, index: bool = True, deep: bool = False):
+        """ESTIMATED bytes per column (documented approximation — Tungsten's
+        columnar layout is not pandas'): fixed-width dtypes use their width x
+        row count; strings/binary use one aggregate of actual lengths (+4
+        bytes offset overhead each). Returns a pandas Series like pandas."""
+        import pandas as pd
+
+        widths = {
+            "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+            "bigint": 8, "double": 8, "date": 4,
+        }
+        dtypes = dict(self._sdf.dtypes)
+        cols = [c for c in self._sdf.columns
+                if not (c.startswith("__") and c.endswith("__"))
+                and (index or c not in self._index)]
+        aggs, fixed = [], {}
+        n_expr = F.count(F.lit(1)).alias("__n__")
+        for c in cols:
+            t = dtypes[c]
+            if t in widths:
+                fixed[c] = widths[t]
+            elif t.startswith("timestamp"):
+                fixed[c] = 8
+            elif t.startswith("decimal"):
+                fixed[c] = 16
+            else:
+                aggs.append(
+                    F.sum(F.coalesce(F.length(F.col(c).cast("string")), F.lit(0)) + 4)
+                    .alias(f"__sz_{c}__")
+                )
+        row = self._sdf.agg(n_expr, *aggs).collect()[0]
+        n = row["__n__"]
+        out = {}
+        for c in cols:
+            if c in fixed:
+                out[c] = fixed[c] * n
+            else:
+                out[c] = int(row[f"__sz_{c}__"] or 0)
+        return pd.Series(out)
+
+    def info(self, buf=None) -> None:
+        """pandas DataFrame.info shape: class, row count, per-column non-null
+        counts and dtypes, estimated size — ONE aggregate job for all counts."""
+        import sys
+
+        out = buf or sys.stdout
+        cols = self.columns
+        counts_row = self._sdf.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[F.count(F.col(c)).alias(f"__c_{c}__") for c in cols],
+        ).collect()[0]
+        n = counts_row["__n__"]
+        print(f"<class 'legate_pandas_spark.frontend.frame.DataFrame'>", file=out)
+        print(f"RangeIndex-equivalent: {n} entries", file=out)
+        print(f"Data columns (total {len(cols)} columns):", file=out)
+        dtypes = dict(self._sdf.dtypes)
+        for i, c in enumerate(cols):
+            print(
+                f" {i}  {c}  {counts_row[f'__c_{c}__']} non-null  {dtypes[c]}",
+                file=out,
+            )
+        est = int(self.memory_usage().sum())
+        print(f"estimated size: {est} bytes", file=out)
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """pandas DataFrame.compare for POSITIONALLY-aligned same-schema
+        frames: rows where any column differs, shown as `{col}_self` /
+        `{col}_other` pairs (flattened form of pandas' MultiIndex columns),
+        equal columns nulled per pandas. Alignment is the partition-offset
+        position zip (indexing._attach_positions) — a hash join on a unique
+        long, no global sort."""
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        if self.columns != other.columns:
+            raise ValueError("compare: columns must match")
+        pos = "__cmp_pos__"
+        left, _ = _attach_positions(
+            self._ordered_sdf(), ROW_ORDER not in self._sdf.columns, pos_name=pos
+        )
+        right, _ = _attach_positions(
+            other._ordered_sdf(), ROW_ORDER not in other._sdf.columns, pos_name=pos
+        )
+        lsel = left.select(pos, *[F.col(c).alias(f"__l_{c}__") for c in self.columns])
+        rsel = right.select(pos, *[F.col(c).alias(f"__r_{c}__") for c in self.columns])
+        joined = lsel.join(rsel, pos, "full")
+        any_diff = None
+        sel = [F.col(pos)]
+        for c in self.columns:
+            diff = ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__"))
+            any_diff = diff if any_diff is None else (any_diff | diff)
+            sel.append(F.when(diff, F.col(f"__l_{c}__")).alias(f"{c}_self"))
+            sel.append(F.when(diff, F.col(f"__r_{c}__")).alias(f"{c}_other"))
+        out = joined.filter(any_diff).select(*sel).orderBy(pos).drop(pos)
+        return DataFrame(out)
+
     def mode(self, numeric_only: bool = False) -> "DataFrame":
         """Per-column modes (pandas DataFrame.mode): column i of the result
         lists that column's most-frequent values ascending, shorter columns
