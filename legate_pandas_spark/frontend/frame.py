@@ -1970,7 +1970,10 @@ class DataFrame:
         the label table onto the frame's index column, ordered by a label
         position key, never a driver-side row loop. Requires a set_index
         frame (a single index level) for index reindexing, like the lazy
-        RangeIndex contract elsewhere."""
+        RangeIndex contract elsewhere. Documented divergence: duplicate index
+        labels produce one row per match (pandas raises 'cannot reindex on an
+        axis with duplicate labels' — distributed detection would cost an
+        extra aggregate pass per call)."""
         out_sdf = self._sdf
         out_index = self._index
         if index is not None:

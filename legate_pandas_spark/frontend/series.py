@@ -702,11 +702,16 @@ class Series:
         import math
 
         row = self._frame._sdf.select(
-            F.skewness(self._col).alias("g1"), F.count(self._col).alias("n")
+            F.skewness(self._col).alias("g1"),
+            F.count(self._col).alias("n"),
+            F.var_samp(self._col).alias("v"),
         ).collect()[0]
         g1, n = row["g1"], row["n"]
-        if n < 3 or g1 is None:
+        if n < 3:
             return float("nan")
+        if g1 is None:
+            # zero variance: Spark's g1 is null (0/0); pandas returns 0.0
+            return 0.0 if (row["v"] or 0.0) == 0.0 else float("nan")
         return g1 * math.sqrt(n * (n - 1)) / (n - 2)
 
     def kurt(self):
@@ -714,11 +719,15 @@ class Series:
         population excess g2 = m4/m2² − 3 adjusted by the exact G2 identity
         ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)). NaN for n < 4, like pandas."""
         row = self._frame._sdf.select(
-            F.kurtosis(self._col).alias("g2"), F.count(self._col).alias("n")
+            F.kurtosis(self._col).alias("g2"),
+            F.count(self._col).alias("n"),
+            F.var_samp(self._col).alias("v"),
         ).collect()[0]
         g2, n = row["g2"], row["n"]
-        if n < 4 or g2 is None:
+        if n < 4:
             return float("nan")
+        if g2 is None:
+            return 0.0 if (row["v"] or 0.0) == 0.0 else float("nan")
         return ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
 
     def kurtosis(self):

@@ -87,6 +87,14 @@ def test_series_skew_kurt_small_n_nan(spark):
     assert math.isnan(ldf["a"].kurt())
 
 
+def test_series_skew_kurt_constant_is_zero(spark):
+    """pandas returns 0.0 (not NaN) for a zero-variance series."""
+    pdf = pd.DataFrame({"a": [5.0] * 6})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    assert ldf["a"].skew() == pdf["a"].skew() == 0.0
+    assert ldf["a"].kurt() == pdf["a"].kurt() == 0.0
+
+
 def test_series_explode_after_findall(sdf_str):
     pdf, ldf = sdf_str
     got = ldf["s"].str.findall(r"\w+").explode().to_pandas().fillna("__na__").tolist()
