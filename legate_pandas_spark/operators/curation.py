@@ -1062,3 +1062,93 @@ def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 60)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "dedup_apply_survivors",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars, md5(text) AS digest,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*)     OVER (PARTITION BY md5(text)) AS group_sz
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(group_sz AS BIGINT) AS group_sz,
+           CAST(group_sz - 1 AS BIGINT) AS dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step — detection queries (dedup_exact_hash,
+    dedup_minhash_lsh, …) only FIND duplicates; a pipeline must then choose
+    one canonical document per cluster and drop the rest. Exact-hash
+    clusters, canonical = longest text with doc_id as the tiebreak
+    (deterministic), plus the per-cluster drop count for the curation audit
+    log. One digest-partitioned window — parallel per cluster, no global
+    ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("digest")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_sz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("group_sz").cast("long").alias("group_sz"),
+            (F.col("group_sz") - 1).cast("long").alias("dropped"),
+        )
+    )
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id,
+               CAST(lang IN ('en', 'de', 'fr', 'es') AS INT) AS pass_lang,
+               CAST(n_chars BETWEEN 200 AND 20000 AS INT)    AS pass_len,
+               CAST(len(string_split_regex(trim(text), '\s+')) >=
+                    2 * len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    AS INT) AS fail_rep
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_input,
+           CAST(sum(pass_lang) AS BIGINT)                             AS pass_lang,
+           CAST(sum(pass_lang * pass_len) AS BIGINT)                  AS pass_len,
+           CAST(sum(pass_lang * pass_len * (1 - fail_rep)) AS BIGINT) AS pass_repetition,
+           round(sum(pass_lang * pass_len * (1 - fail_rep)) * 1.0
+                 / count(*), 4)                                       AS survival_rate
+    FROM staged
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel accounting: how many documents survive each filter
+    stage (language allowlist → length band → repetition cut) — the
+    attrition report every corpus-curation run ships with. All stages are
+    computed as 0/1 flags in ONE scan and combined with conditional
+    aggregates (stage N's count conditions on stages 1..N-1), so the funnel
+    costs one pass regardless of stage count — never one job per stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    staged = docs.select(
+        F.col("lang").isin("en", "de", "fr", "es").cast("int").alias("pass_lang"),
+        F.col("n_chars").between(200, 20000).cast("int").alias("pass_len"),
+        (F.size(toks) >= 2 * F.size(F.array_distinct(toks)))
+        .cast("int")
+        .alias("fail_rep"),
+    )
+    survived = F.col("pass_lang") * F.col("pass_len") * (1 - F.col("fail_rep"))
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum("pass_lang").cast("long").alias("pass_lang"),
+        F.sum(F.col("pass_lang") * F.col("pass_len")).cast("long").alias("pass_len"),
+        F.sum(survived).cast("long").alias("pass_repetition"),
+        F.round(F.sum(survived) / F.count(F.lit(1)), 4).alias("survival_rate"),
+    )
