@@ -697,9 +697,18 @@ class DataFrame:
                 cols.append(F.asc_nulls_last(key) if na_position == "last" else F.asc_nulls_first(key))
             else:
                 cols.append(F.desc_nulls_last(key) if na_position == "last" else F.desc_nulls_first(key))
-        if ROW_ORDER in self._sdf.columns:
-            cols.append(F.asc(ROW_ORDER))  # stability tiebreaker (stable sort contract)
-        return self._replace(self._sdf.orderBy(*cols))
+        # stability tiebreaker (stable sort contract, reference
+        # sort_values.cc:64 uses std::stable_sort): ALWAYS attach the row
+        # order key first — without it, tied keys land in partition-dependent
+        # order on fresh frames. After the sort, re-stamp ROW_ORDER from the
+        # sorted output so a SUBSEQUENT sort's ties break by the CURRENT
+        # frame order (pandas mergesort semantics), not the original one.
+        sdf = self._ordered_sdf()
+        cols.append(F.asc(ROW_ORDER))
+        out = sdf.orderBy(*cols).withColumn(
+            ROW_ORDER, F.monotonically_increasing_id()
+        )
+        return self._replace(out)
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         if not self._index:

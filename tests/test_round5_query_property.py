@@ -61,8 +61,11 @@ def _ldf(spark):
 
 
 def _anchor(expr: str) -> str:
-    """pandas rejects constant-only expressions — anchor with a column ref."""
-    if not any(c in expr for c in COLS):
+    """pandas rejects constant-only expressions — anchor with a column ref
+    (word-boundary match: the 'a' inside 'and' must not count)."""
+    import re as _re
+
+    if not _re.search(r"\b[abc]\b", expr):
         return f"((a == a) and {expr})"
     return expr
 
@@ -81,7 +84,9 @@ def test_query_translator_matches_pandas(spark, expr):
 @settings(max_examples=30, deadline=None)
 @given(arith())
 def test_eval_arith_matches_pandas(spark, expr):
-    if not any(c in expr for c in COLS):
+    import re as _re
+
+    if not _re.search(r"\b[abc]\b", expr):
         expr = f"((a - a) + {expr})"
     want = _PDF.eval(expr).tolist()
     got = _ldf(spark).eval(expr).to_pandas().tolist()
