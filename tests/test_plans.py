@@ -395,3 +395,18 @@ def test_kmeans_plan_broadcast_centroids(catalog, spark, sf_dir):
     plan = plan_text(catalog["kmeans_two_rounds"](spark, sf_dir), mode="simple")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_facade_nlargest_is_take_ordered(spark):
+    """Facade nlargest (sort_values + head) must stay TakeOrderedAndProject
+    even with the post-sort row-order re-stamp projection in between — a
+    regression here silently turns top-k into a full global sort."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame({"a": [float(i % 97) for i in range(500)], "b": range(500)})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    plan = plan_text(ldf.nlargest(5, "a")._sdf, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
