@@ -28,7 +28,23 @@ class StringMethods:
         return self._wrap(F.upper(self._s._col))
 
     def swapcase(self):
-        return self._wrap(F.translate(self._s._col, _LOWER + _UPPER, _UPPER + _LOWER))
+        """Unicode swapcase: per-character case flip via a char-array
+        transform with the JVM's Unicode case mapping (the old ASCII
+        translate table misclassified accented/CJK-adjacent letters).
+        One-char-to-many expansions work ('ß' → 'SS'); the only divergence
+        from Python is titlecase codepoints (kept as-is), which have no
+        single-char case image."""
+        c = self._s._col
+        chars = F.split(c, "")
+        flipped = F.transform(
+            chars,
+            lambda ch: F.when(
+                (ch == F.upper(ch)) & (ch != F.lower(ch)), F.lower(ch)
+            )
+            .when((ch == F.lower(ch)) & (ch != F.upper(ch)), F.upper(ch))
+            .otherwise(ch),
+        )
+        return self._wrap(F.when(c.isNotNull(), F.array_join(flipped, "")))
 
     def contains(self, pat: str, regex: bool = False):
         """Plain-substring containment by default (reference CPU path,
@@ -99,18 +115,20 @@ class StringMethods:
         )
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        """pandas str.pad: strings at or above ``width`` are returned
+        UNCHANGED (raw lpad/rpad would truncate them — the Python contract
+        never truncates); side='both' is exactly str.center."""
         c = self._s._col
         if side == "left":
-            return self._wrap(F.lpad(c, width, fillchar))
-        if side == "right":
-            return self._wrap(F.rpad(c, width, fillchar))
-        if side == "both":
-            # center: left gets floor of the extra space, like pandas
-            total = F.length(c)
-            left_pad = (F.lit(width) - total) / 2
             return self._wrap(
-                F.rpad(F.lpad(c, (total + F.ceil(left_pad)).cast("int"), fillchar), width, fillchar)
+                F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, fillchar))
             )
+        if side == "right":
+            return self._wrap(
+                F.when(F.length(c) >= width, c).otherwise(F.rpad(c, width, fillchar))
+            )
+        if side == "both":
+            return self.center(width, fillchar)
         raise ValueError(f"invalid side: {side}")
 
     def removeprefix(self, prefix: str):
@@ -152,7 +170,16 @@ class StringMethods:
         )
 
     def zfill(self, width: int):
-        return self._wrap(F.lpad(self._s._col, width, "0"))
+        """Python str.zfill: zeros go AFTER a leading sign ('-1' → '-001'),
+        and strings at or above ``width`` are unchanged (no truncation)."""
+        c = self._s._col
+        sign = F.substring(c, 1, 1)
+        has_sign = sign.isin("-", "+") & (F.length(c) > 0)
+        filled = F.when(
+            has_sign,
+            F.concat(sign, F.lpad(F.substring(c, 2, 2147483647), max(width - 1, 0), "0")),
+        ).otherwise(F.lpad(c, width, "0"))
+        return self._wrap(F.when(F.length(c) >= width, c).otherwise(filled))
 
     def strip(self, to_strip: str | None = None):
         if to_strip is None:
@@ -194,8 +221,22 @@ class StringMethods:
         return self._wrap(F.when(c.isNotNull(), F.concat(pre, F.lit(repl), post)))
 
     def slice(self, start: int = 0, stop: int | None = None):
-        length = (stop - start) if stop is not None else (1 << 30)
-        return self._wrap(F.substring(self._s._col, start + 1, length))
+        """Python slice semantics incl. NEGATIVE start/stop (pandas
+        str.slice): bounds are clamped against the per-row length with
+        greatest/least expressions — one substring, no Python."""
+        c = self._s._col
+        n = F.length(c)
+        if start >= 0:
+            s = F.least(F.lit(start), n)
+        else:
+            s = F.greatest(n + start, F.lit(0))
+        if stop is None:
+            e = n
+        elif stop >= 0:
+            e = F.least(F.lit(stop), n)
+        else:
+            e = F.greatest(n + stop, F.lit(0))
+        return self._wrap(F.substring(c, (s + 1).cast("int"), F.greatest(e - s, F.lit(0)).cast("int")))
 
     def replace(self, pat: str, repl: str, regex: bool = False):
         if regex:
