@@ -14,6 +14,21 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
+def _java_pattern(pat: str, compiled) -> str:
+    """Translate a Python regex for the JVM engine: demote named groups
+    ``(?P<name>...)`` to plain groups (extraction is by group NUMBER) and
+    rewrite named backreferences ``(?P=name)`` to numeric ``\\N`` — Java
+    rejects both Python syntaxes. Shared by extractall / findall / count."""
+    import re
+
+    jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
+    return re.sub(
+        r"\(\?P=([^)]+)\)",
+        lambda m: "\\" + str(compiled.groupindex[m.group(1)]),
+        jpat,
+    )
+
+
 class StringMethods:
     def __init__(self, series):
         self._s = series
@@ -381,12 +396,7 @@ class StringMethods:
         # Java regex rejects Python named-group syntax; extraction is by group
         # NUMBER anyway, so demote named groups to plain ones and rewrite
         # named backreferences to numeric
-        jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
-        jpat = re.sub(
-            r"\(\?P=([^)]+)\)",
-            lambda m: "\\" + str(compiled.groupindex[m.group(1)]),
-            jpat,
-        )
+        jpat = _java_pattern(pat, compiled)
         s = self._s
         frame = s._frame
         if frame._index:
@@ -423,9 +433,14 @@ class StringMethods:
         return DataFrame(out, tuple(idx_cols) + ("match",))
 
     def count(self, pat: str):
-        """Count regex matches per value (pandas str.count)."""
+        """Count regex matches per value (pandas str.count). Group index 0
+        (whole match) — wrapping the pattern in an extra ``(...)`` would
+        renumber any backreferences inside it."""
+        import re
+
+        jpat = _java_pattern(pat, re.compile(pat))
         return self._wrap(
-            F.size(F.regexp_extract_all(self._s._col, F.lit(f"({pat})"))).cast("long")
+            F.size(F.regexp_extract_all(self._s._col, F.lit(jpat), 0)).cast("long")
         )
 
     def findall(self, pat: str):
@@ -443,13 +458,13 @@ class StringMethods:
                 "findall with >1 capture group returns tuples in pandas; "
                 "use str.extractall (one row per match, one column per group)"
             )
-        jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
+        jpat = _java_pattern(pat, compiled)
         if compiled.groups == 1:
             return self._wrap(
                 F.regexp_extract_all(self._s._col, F.lit(jpat), 1)
             )
         return self._wrap(
-            F.regexp_extract_all(self._s._col, F.lit(f"({jpat})"), 1)
+            F.regexp_extract_all(self._s._col, F.lit(jpat), 0)
         )
 
     def find(self, sub: str):

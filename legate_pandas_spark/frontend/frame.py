@@ -1999,9 +1999,15 @@ class DataFrame:
                 [(i, v) for i, v in enumerate(labels)],
                 schema=f"__reidx_pos__ long, {idx_col} {idx_type}",
             )
+            # Re-stamp the row-order key from the LABEL position: the input
+            # frame may already carry a ROW_ORDER (always true after
+            # sort_values), and downstream order-dependent ops (to_pandas,
+            # head, scans) sort by it — relying on the physical orderBy here
+            # would let the stale key win and fill rows (null old order)
+            # would sort first.
             out_sdf = (
-                lab_df.join(out_sdf, idx_col, "left")
-                .orderBy("__reidx_pos__")
+                lab_df.join(out_sdf.drop(ROW_ORDER), idx_col, "left")
+                .withColumn(ROW_ORDER, F.col("__reidx_pos__").cast("long"))
                 .drop("__reidx_pos__")
             )
             out_index = (idx_col,)
@@ -2115,12 +2121,20 @@ class DataFrame:
         if self.columns != other.columns:
             raise ValueError("compare: columns must match")
         pos = "__cmp_pos__"
-        left, _ = _attach_positions(
+        left, n_left = _attach_positions(
             self._ordered_sdf(), ROW_ORDER not in self._sdf.columns, pos_name=pos
         )
-        right, _ = _attach_positions(
+        right, n_right = _attach_positions(
             other._ordered_sdf(), ROW_ORDER not in other._sdf.columns, pos_name=pos
         )
+        if n_left != n_right:
+            # pandas: 'Can only compare identically-labeled DataFrame
+            # objects'. The totals fall out of the position-offset pass, so
+            # this check costs no extra job.
+            raise ValueError(
+                "compare: can only compare identically-labeled DataFrame "
+                f"objects (lengths {n_left} != {n_right})"
+            )
         lsel = left.select(pos, *[F.col(c).alias(f"__l_{c}__") for c in self.columns])
         rsel = right.select(pos, *[F.col(c).alias(f"__r_{c}__") for c in self.columns])
         joined = lsel.join(rsel, pos, "full")

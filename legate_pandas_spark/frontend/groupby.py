@@ -368,13 +368,23 @@ class GroupBy:
         from legate_pandas_spark.frontend.frame import DataFrame
         from legate_pandas_spark.frontend.scan import ordered_row_number
 
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+
         keys = list(self._keys)
         distinct = self._df._sdf.select(*keys).distinct()
         ranked = ordered_row_number(distinct, keys, "__ngroup__")
-        out = self._df._sdf.join(F.broadcast(ranked), keys, "left").select(
-            *keys, F.col("__ngroup__").cast("long").alias("ngroup")
+        # carry ROW_ORDER so the Series stays positionally aligned with the
+        # source frame (pandas ngroup is row-aligned)
+        out = (
+            self._df._ordered_sdf()
+            .join(F.broadcast(ranked), keys, "left")
+            .select(
+                *self._df._index,
+                F.col(ROW_ORDER),
+                F.col("__ngroup__").cast("long").alias("ngroup"),
+            )
         )
-        return DataFrame(out, tuple(keys))["ngroup"]
+        return DataFrame(out, self._df._index)["ngroup"]
 
     def value_counts(self, normalize: bool = False):
         """pandas GroupBy.value_counts: counts per (group keys, value
