@@ -491,6 +491,11 @@ class CategoricalMethods:
     def __init__(self, series):
         self._s = series
 
+    # inferred dictionaries at or below this cardinality compile to a pure
+    # array_position expression (codes fast path); above it, the distributed
+    # ranked-dictionary broadcast join keeps plan size bounded
+    _SMALL_DICT_MAX = 10_000
+
     def _dictionary(self):
         """(value, code) dictionary frame: distinct values ranked in sorted
         order via the distributed sample-sort row number (range partition +
@@ -527,6 +532,30 @@ class CategoricalMethods:
         materializers do) — zero driver collect either way."""
         if self._s._cat is not None and self._s._cat.categories is not None:
             return self._s._wrap(self._s._cat.code_expr(self._s._col))
+        # Adaptive fast path (round 6): probe the inferred dictionary with an
+        # early-exit LIMIT — if the domain is small (the overwhelmingly
+        # common case for categoricals) we already hold ALL values, so
+        # compile a pure array_position expression exactly like a declared
+        # dictionary: no extra ranking jobs, no join in the plan. Only a
+        # genuinely high-cardinality domain pays for the distributed
+        # sample-sort ranked dictionary + broadcast join (which keeps the
+        # plan size independent of cardinality — a 10M-value CASE/array
+        # literal would OOM the driver).
+        val = "__cat_val__"
+        cats = (
+            self._s._frame._sdf.select(self._s._col.alias(val))
+            .filter(F.col(val).isNotNull())
+            .distinct()
+        )
+        rows = cats.limit(self._SMALL_DICT_MAX + 1).collect()
+        if len(rows) <= self._SMALL_DICT_MAX:
+            categories = sorted(r[val] for r in rows)
+            arr = F.lit(categories) if categories else F.array().cast("array<string>")
+            return self._s._wrap(
+                (
+                    F.coalesce(F.array_position(arr, self._s._col), F.lit(0)) - 1
+                ).cast("int")
+            )
         dict_df, val, code = self._dictionary()
         frame = self._s._frame
         frame._sdf = frame._sdf.join(

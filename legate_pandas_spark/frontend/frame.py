@@ -1852,10 +1852,14 @@ class DataFrame:
             sdf.filter(cond).groupBy(*subset).agg(F.count(F.lit(1)).alias("count"))
         )
         if normalize:
-            total = counted.agg(F.sum("count")).collect()[0][0] or 1
-            counted = counted.withColumn(
-                "proportion", F.col("count") / F.lit(float(total))
-            ).drop("count")
+            # lazy 1-row total broadcast cross-joined back in (same pattern
+            # as Series.value_counts) — no job at call time, and the counts
+            # exchange is reused for the total aggregate
+            total = counted.agg(F.sum("count").alias("__vc_total__"))
+            counted = counted.crossJoin(F.broadcast(total)).select(
+                *subset,
+                (F.col("count") / F.col("__vc_total__")).alias("proportion"),
+            )
         if sort:
             key = "proportion" if normalize else "count"
             counted = counted.orderBy(

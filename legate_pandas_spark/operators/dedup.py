@@ -86,6 +86,19 @@ def _mh_expr(k: int, j: int) -> Column:
     return F.min(F.substring(F.col(f"_h{k}"), 8 * j + 1, 8)).alias(f"mh{4 * k + j}")
 
 
+def _band_table(mh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — N_BANDS bands of 2 minhashes each."""
+    bands = None
+    for b in range(N_BANDS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """One row per doc with N_MINHASH 8-hex minhashes from a shingle frame."""
     hashed = sh.select(
@@ -143,13 +156,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures(_doc_shingles(spark, sf_dir))
 
 
+_SQL_BANDS_BODY = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, mh{2*b} || mh{2*b+1} AS band_key FROM mh"
+    for b in range(N_BANDS)
+)
+
 _SQL_LSH_PAIRS = f"""
     WITH mh AS ({_SQL_MINHASH}),
     bands AS (
-        {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, mh{2*b} || mh{2*b+1} AS band_key FROM mh"
-            for b in range(N_BANDS)
-        )}
+        {_SQL_BANDS_BODY}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -185,14 +200,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-surfaced pairs — this is the 100 TB scale path (O(n) + O(collisions))."""
     sh = _doc_shingles(spark, sf_dir, persist=True)
     mh = _minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = None
-    for b in range(N_BANDS):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = _band_table(mh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -402,3 +410,141 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_SIMHASH_BITS)
     ]
     return voted.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) dedup — the production loop for continuously
+# ingested training data: dedup a NEW shard against an EXISTING corpus
+# signature store, never re-comparing the old corpus against itself.
+# ---------------------------------------------------------------------------
+
+_INCR_MOD = 4  # doc_id % 4 == 0 → the NEW shard; the rest is the old corpus
+
+_SQL_INCREMENTAL = f"""
+    WITH mh AS ({_SQL_MINHASH}),
+    bands AS (
+        {_SQL_BANDS_BODY}
+    ),
+    old_dig AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % {_INCR_MOD} <> 0
+    ),
+    new_docs AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_INCR_MOD} = 0
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+        WHERE n.doc_id % {_INCR_MOD} = 0 AND o.doc_id % {_INCR_MOD} <> 0
+    ),
+    sh AS ({_SQL_SH}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.old_id, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.old_id AND sa.s = sb.s
+        GROUP BY c.new_id, c.old_id
+    ),
+    near AS (
+        SELECT DISTINCT i.new_id
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.new_id
+        JOIN sizes zb ON zb.doc_id = i.old_id
+        WHERE i.i * 1.0 / (za.n + zb.n - i.i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT nd.doc_id,
+           (od.h IS NOT NULL) AS is_exact_dup,
+           (nr.new_id IS NOT NULL) AS is_near_dup,
+           (od.h IS NULL AND nr.new_id IS NULL) AS survives
+    FROM new_docs nd
+    LEFT JOIN old_dig od ON nd.h = od.h
+    LEFT JOIN near nr ON nd.doc_id = nr.new_id
+"""
+
+
+@query("dedup_incremental_shard", oracle=_SQL_INCREMENTAL)
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest shard against an EXISTING corpus
+    signature store (exact digests + MinHash bands) — the batch twin of
+    streaming/documents.py's stateful dedup, and the standard production loop
+    for continuously ingested training data.
+
+    The fixture splits `documents` deterministically: doc_id % 4 == 0 is the
+    new shard, the rest plays the already-ingested corpus whose signature
+    store (distinct digest table + band table) would be PERSISTED parquet in
+    production and only read here. Per new doc:
+      * is_exact_dup — its md5(text) digest already exists in the store;
+      * is_near_dup  — an LSH band collision against an OLD doc verifies at
+        exact 3-gram Jaccard ≥ 0.8 (same band/verify machinery as
+        dedup_minhash_lsh, but new×old only — never old×old, never new×new);
+      * survives     — neither; the survivor set (plus its signatures) is
+        what production appends back to the store.
+
+    100 TB shape: incremental cost is SHARD-sized, not corpus-sized — the
+    only corpus-scale inputs are two hash joins keyed on digest/band_key
+    against the precomputed store (linear probes, no recompute of old
+    signatures, no old×old pairs), and Jaccard verification touches only
+    band-collision candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+
+    # --- the signature STORE for the existing corpus (production: persisted
+    # parquet, updated per ingest; rebuilt here so the query is
+    # self-contained on the fixture) ---
+    old_dig = (
+        docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir, persist=True)  # both shards, one pass
+    mh = _minhash_signatures(sh)
+    bands = _band_table(mh)
+    old_bands = bands.filter(F.col("doc_id") % _INCR_MOD != 0)
+
+    # --- the NEW shard ---
+    new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    new_bands = bands.filter(F.col("doc_id") % _INCR_MOD == 0)
+
+    cand = (
+        new_bands.alias("n")
+        .join(
+            old_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("old_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+    near = (
+        inter.join(sizes.alias("za"), F.col("new_id") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("old_id") == F.col("zb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("new_id")
+        .distinct()
+        .withColumn("__near__", F.lit(True))
+    )
+    exact = old_dig.withColumn("__exact__", F.lit(True))
+    return (
+        new_docs.join(exact, "h", "left")
+        .join(near, new_docs["doc_id"] == near["new_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__exact__"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("__near__"), F.lit(False)).alias("is_near_dup"),
+            (
+                F.col("__exact__").isNull() & F.col("__near__").isNull()
+            ).alias("survives"),
+        )
+    )

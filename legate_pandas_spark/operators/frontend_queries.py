@@ -793,20 +793,20 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark, 2.4x vs Dask): ever features (groupby-max + thresholds),
     delinquency date features (3 filtered groupby-mins chained through 2 left
     merges + timestamp fillna), ever⋈delinq, the per-row joined frame with
-    datetime features and fillna(-1), the 12-iteration josh_mody month-bucket
-    loop (12 groupby-aggs concat'd), the (loan, year, month) combine merge,
-    and the acquisition merge — 7 left merges, 16 groupby-aggs, 12-frame
-    concat, all facade calls. lineitem plays performance (loan=l_orderkey,
+    datetime features and fillna(-1), the josh_mody month-bucket computation
+    (reference: a 12-iteration loop of groupby-aggs concat'd — here FUSED
+    into one explode(y=1..12)+groupby pass), the (loan, year, month) combine
+    merge, and the acquisition merge — 7 left merges, 5 groupby-aggs, all
+    facade calls. lineitem plays performance (loan=l_orderkey,
     period=l_shipdate, status=quantity/10), orders plays acquisition.
 
     100 TB shape: every merge/groupby shuffles on loan_id or
-    (loan, year, month); the month loop re-aggregates the SAME joined frame 12
-    ways (no iteration-to-iteration dependency — all 12 aggregates and the
-    concat schedule as one parallel stage tree); nothing collects to the
-    driver."""
+    (loan, year, month); the month buckets are one broadcast cross-join with
+    a 12-row y table + ONE groupby on (loan, josh_mody_n, y) — same shuffled
+    bytes as the reference's 12 separate aggregates (partial aggregation
+    compresses map-side identically) but 11 fewer stage barriers; nothing
+    collects to the driver."""
     import pandas as pd
-
-    from legate_pandas_spark.frontend import concat as lp_concat
 
     default_ts = pd.Timestamp("1970-01-01")
     perf = _read(spark, sf_dir, "lineitem")[
@@ -858,29 +858,40 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 13 consumers of one lineitem-sized frame
     joined.persist()
 
-    months = []
-    for y in range(1, 13):
-        tmp = joined[
-            ["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]
-        ]
-        tmp["josh_months"] = tmp["timestamp_year"] * 12 + tmp["timestamp_month"]
-        tmp["josh_mody_n"] = ((tmp["josh_months"] - 24000 - y) / 12).astype("int64")
-        g = (
-            tmp.groupby(["l_orderkey", "josh_mody_n"])
-            .agg({"delinquency_12": "max", "upb_12": "min"})
-            .reset_index()
-        )
-        g["delinquency_12"] = (g["delinquency_12"] > 3).astype("int32") + (
-            g["upb_12"] == 0
-        ).astype("int32")
-        g["timestamp_year"] = ((g["josh_mody_n"] * 12 + 24000 + (y - 1)) / 12).astype(
-            "int64"
-        )
-        g["timestamp_month"] = y
-        months.append(
-            g[["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]]
-        )
-    testdf = lp_concat(months)
+    # Month-bucket loop, FUSED (round 6): the reference runs 12 iterations of
+    # groupby(loan, josh_mody_n) differing only in the scalar y and concats
+    # the 12 results (benchmarks/mortgage/mortgage.py:256-310). Since the
+    # iterations are independent, explode y=1..12 via a broadcast cross-join
+    # and run ONE groupby on (loan, josh_mody_n, y): 12 aggregate stages + a
+    # 12-frame concat become a single shuffle whose partial aggregates carry
+    # the same total bytes. At 1000 executors this removes 11 stage barriers.
+    import legate_pandas_spark as lps
+
+    tmp = joined[
+        ["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]
+    ]
+    tmp["josh_months"] = tmp["timestamp_year"] * 12 + tmp["timestamp_month"]
+    tmp = tmp[["l_orderkey", "josh_months", "delinquency_12", "upb_12"]]
+    ydf = lps.from_pandas(
+        pd.DataFrame({"y": pd.Series(range(1, 13), dtype="int64")}), spark=spark
+    )
+    tmp = tmp.merge(ydf, how="cross", broadcast=True)
+    tmp["josh_mody_n"] = ((tmp["josh_months"] - 24000 - tmp["y"]) / 12).astype("int64")
+    g = (
+        tmp.groupby(["l_orderkey", "josh_mody_n", "y"])
+        .agg({"delinquency_12": "max", "upb_12": "min"})
+        .reset_index()
+    )
+    g["delinquency_12"] = (g["delinquency_12"] > 3).astype("int32") + (
+        g["upb_12"] == 0
+    ).astype("int32")
+    g["timestamp_year"] = (
+        (g["josh_mody_n"] * 12 + 24000 + (g["y"] - 1)) / 12
+    ).astype("int64")
+    g["timestamp_month"] = g["y"]
+    testdf = g[
+        ["l_orderkey", "timestamp_year", "timestamp_month", "delinquency_12", "upb_12"]
+    ]
 
     combined = joined[
         [

@@ -218,21 +218,39 @@ def test_vocab_ranking_no_global_window(catalog, spark, sf_dir):
         assert "SinglePartition" not in plan, q
 
 
-def test_cat_codes_plan_broadcast_dictionary(spark):
-    """cat.codes must broadcast-join a lazy rank dictionary — no driver collect
-    of the domain, no N-way CASE chain (reference replicated dictionary,
-    core/column.py:1300-1341)."""
+def test_cat_codes_plan_adaptive(spark, monkeypatch):
+    """cat.codes is adaptive (round 6): a small inferred dictionary (probed
+    via early-exit LIMIT) compiles to a pure array_position expression — no
+    join, no extra ranking jobs; a large domain falls back to the distributed
+    ranked-dictionary BroadcastHashJoin (plan size independent of
+    cardinality — reference replicated dictionary, core/column.py:1300-1341).
+    Neither path may contain a SinglePartition exchange or a CASE chain."""
     import pandas as pd
 
     import legate_pandas_spark as lps
+    from legate_pandas_spark.frontend.accessors import CategoricalMethods
 
     pdf = pd.DataFrame({"c": [f"cat{i % 7}" for i in range(100)]})
+
+    # small domain → expression fast path, zero joins (the expression lives
+    # on the Series column, so inspect the column's select plan)
+    ldf = lps.from_pandas(pdf, spark=spark)
+    codes = ldf["c"].cat.codes
+    plan = plan_text(codes._frame._sdf.select(codes._col), mode="simple")
+    assert "Join" not in plan
+    assert "array_position" in plan
+    assert codes.to_pandas().tolist() == pdf["c"].astype("category").cat.codes.tolist()
+
+    # large domain (forced via threshold) → broadcast rank dictionary
+    monkeypatch.setattr(CategoricalMethods, "_SMALL_DICT_MAX", 3)
     ldf = lps.from_pandas(pdf, spark=spark)
     codes = ldf["c"].cat.codes
     plan = plan_text(codes._frame._sdf, mode="simple")
     assert "BroadcastHashJoin" in plan
     # a collected CASE chain would appear as one CASE WHEN branch per category
     assert plan.count("CASE WHEN") <= 1
+    assert "SinglePartition" not in plan
+    assert codes.to_pandas().tolist() == pdf["c"].astype("category").cat.codes.tolist()
 
 
 def assert_no_full_single_partition(plan: str, name: str = ""):
@@ -287,6 +305,15 @@ def test_value_counts_normalize_no_full_single_partition(spark):
     plan = plan_text(out._sdf, mode="simple")
     assert_no_full_single_partition(plan, "value_counts_normalize")
     assert "Window" not in plan
+
+    # frame form: same lazy broadcast-total pattern (round 6 — previously an
+    # eager driver collect), same audit
+    pdf2 = pd.DataFrame({"v": [f"k{i % 13}" for i in range(200)], "w": [i % 3 for i in range(200)]})
+    ldf2 = lps.from_pandas(pdf2, spark=spark)
+    out2 = ldf2.value_counts(normalize=True)
+    plan2 = plan_text(out2._sdf, mode="simple")
+    assert_no_full_single_partition(plan2, "frame_value_counts_normalize")
+    assert "Window" not in plan2
 
 
 def test_whole_catalog_no_full_single_partition(catalog, spark, sf_dir):
