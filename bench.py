@@ -96,6 +96,9 @@ HEADLINE = [
     "pagerank_two_iter",
     "merge_micro_padded_strings",
     "sort_micro_checksum",
+    # round 6: incremental ingest loop + exact-substring decontamination
+    "dedup_incremental_shard",
+    "decontaminate_exact_substring",
 ]
 
 

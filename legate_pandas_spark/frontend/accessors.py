@@ -471,6 +471,80 @@ class StringMethods:
         """Position of substring (0-based; -1 if absent) — pandas str.find."""
         return self._wrap((F.instr(self._s._col, sub) - 1).cast("long"))
 
+    def translate(self, table: dict):
+        """pandas str.translate: per-character mapping (str.maketrans-style
+        dict of codepoint/char → char/str/None; None deletes). Compiles to a
+        char-array transform against a map literal — JVM-side, no Python in
+        the hot path, plan size ∝ table size (tables are tiny by nature)."""
+        mapping = {}
+        for k, v in table.items():
+            key = chr(k) if isinstance(k, int) else k
+            if v is None:
+                val = ""
+            else:
+                val = chr(v) if isinstance(v, int) else v
+            mapping[key] = val
+        if not mapping:
+            return self._wrap(self._s._col)
+        map_expr = F.create_map(
+            *[F.lit(x) for kv in mapping.items() for x in kv]
+        )
+        chars = F.split(self._s._col, "")
+        mapped = F.transform(chars, lambda c: F.coalesce(map_expr[c], c))
+        return self._wrap(F.array_join(mapped, ""))
+
+    def wrap(self, width: int):
+        """pandas str.wrap: greedy word-wrap to ``width`` columns, lines
+        joined with '\\n'; interior space runs preserved within a line and
+        dropped at breaks (textwrap replace/drop_whitespace). One F.aggregate
+        fold over the token array — the accumulator carries (finished lines,
+        current line), so the whole wrap is a single JVM expression per row.
+        Documented divergences: words longer than ``width`` stay unbroken on
+        their own line (textwrap's break_long_words splits them mid-word) and
+        tabs count as one space (no expandtabs-to-8)."""
+        if width < 1:
+            raise ValueError("width must be >= 1")
+        # textwrap semantics: each whitespace char becomes a space
+        # (replace_whitespace), interior space RUNS are preserved within a
+        # line, and whitespace is dropped at line boundaries
+        # (drop_whitespace). Tokens are word + trailing-space run; the fit
+        # test counts the accumulated line INCLUDING prior space runs plus
+        # the bare word, exactly like textwrap's chunk filling.
+        norm = F.regexp_replace(self._s._col, r"\s", " ")
+        toks = F.regexp_extract_all(norm, F.lit(r"\S+ *"), 0)
+        init = F.struct(
+            F.array().cast("array<string>").alias("ls"),
+            F.lit("").alias("cur"),
+        )
+
+        def step(acc, t):
+            cur, ls = acc["cur"], acc["ls"]
+            wlen = F.length(F.rtrim(t))
+            fits = F.length(cur) + wlen <= F.lit(width)
+            return (
+                F.when(cur == "", F.struct(ls.alias("ls"), t.alias("cur")))
+                .when(
+                    fits,
+                    F.struct(ls.alias("ls"), F.concat(cur, t).alias("cur")),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(ls, F.array(F.rtrim(cur))).alias("ls"),
+                        t.alias("cur"),
+                    )
+                )
+            )
+
+        done = F.aggregate(
+            toks,
+            init,
+            step,
+            lambda acc: F.when(F.rtrim(acc["cur"]) == "", acc["ls"]).otherwise(
+                F.concat(acc["ls"], F.array(F.rtrim(acc["cur"])))
+            ),
+        )
+        return self._wrap(F.array_join(done, "\n"))
+
     def to_datetime(self, format: str | None = None):
         return self._s.to_datetime(format)
 

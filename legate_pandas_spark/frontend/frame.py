@@ -1744,9 +1744,13 @@ class DataFrame:
         yield from self.to_pandas().itertuples(index=index, name=name)
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
-             value_name: str = "value") -> "DataFrame":
+             value_name: str = "value", ignore_index: bool = True) -> "DataFrame":
         """Wide→long unpivot (Spark stack expression — one narrow pass).
-        ``value_vars=None`` melts every non-id column (pandas default)."""
+        ``value_vars=None`` melts every non-id column (pandas default).
+        ``ignore_index=False`` preserves pandas' variable-major row order
+        (all rows of the first melted column, then the second, ...) via a
+        position-offset order key — one per-partition count pass, no global
+        sort."""
         id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
         if value_vars is None:
             value_vars = [c for c in self.columns if c not in id_vars]
@@ -1755,7 +1759,27 @@ class DataFrame:
         stacked = F.expr(
             f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
         )
-        return DataFrame(self._sdf.select(*id_vars, stacked), ())
+        if ignore_index:
+            return DataFrame(self._sdf.select(*id_vars, stacked), ())
+        # pandas melt(ignore_index=False): variable-major ordering — order
+        # key = var_index * n_rows + original position (needs the contiguous
+        # position, so attach the partition-offset positions first)
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        pos = "__melt_pos__"
+        sdf, total = _attach_positions(
+            self._ordered_sdf(), ROW_ORDER not in self._sdf.columns, pos_name=pos
+        )
+        var_idx = F.array_position(
+            F.lit([str(c) for c in value_vars]), F.col(var_name)
+        )
+        out = sdf.select(*id_vars, F.col(pos), stacked).select(
+            *id_vars,
+            F.col(var_name),
+            F.col(value_name),
+            ((var_idx - 1) * F.lit(total) + F.col(pos)).cast("long").alias(ROW_ORDER),
+        )
+        return DataFrame(out, ())
 
     def eval(self, expr: str, inplace: bool = False, **env):
         """pandas DataFrame.eval: one or more ``name = expression`` assignments

@@ -1152,3 +1152,89 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(survived).cast("long").alias("pass_repetition"),
         F.round(F.sum(survived) / F.count(F.lit(1)), 4).alias("survival_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (suffix-style) decontamination — real benchmark-
+# contamination checks match LONG exact token substrings (production: ~50
+# tokens; here W=8 against the short synthetic docs), not whole n-gram SETS:
+# a single verbatim window is a hit regardless of how much of the rest of the
+# document differs.
+# ---------------------------------------------------------------------------
+
+_SUB_W = 8  # exact-substring window width (tokens)
+_SUB_MOD = 10  # doc_id % 10 == 8 -> the held-out eval/"benchmark" slice
+
+_SQL_SUBSTR_DECON = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - {_SUB_W - 2})) AS pos,
+               unnest(list_transform(range(1, len(t) - {_SUB_W - 2}),
+                                     i -> array_to_string(t[i:i+{_SUB_W - 1}], ' '))) AS w
+        FROM toks WHERE len(t) >= {_SUB_W}
+    ),
+    bench AS (
+        SELECT DISTINCT doc_id AS bench_id, w FROM wins
+        WHERE doc_id % {_SUB_MOD} = {_SUB_MOD - 2}
+    ),
+    corp AS (
+        SELECT doc_id, pos, w FROM wins WHERE doc_id % {_SUB_MOD} <> {_SUB_MOD - 2}
+    )
+    SELECT c.doc_id, b.bench_id,
+           CAST(count(*) AS BIGINT) AS matched_windows,
+           CAST(min(c.pos) AS BIGINT) AS span_start,
+           CAST(max(c.pos) + {_SUB_W - 1} AS BIGINT) AS span_end
+    FROM corp c JOIN bench b ON c.w = b.w
+    GROUP BY c.doc_id, b.bench_id
+"""
+
+
+@query("decontaminate_exact_substring", oracle=_SQL_SUBSTR_DECON)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination: (corpus doc, benchmark doc) pairs that
+    share at least one verbatim W-token window, with the count of matching
+    corpus window positions and the [span_start, span_end] token range they
+    cover — the span report is what a removal pass consumes.
+
+    Pipeline: tokenize → sliding W-token windows WITH positions (posexplode)
+    → benchmark side DISTINCT'd per bench doc → equi-join on the window text
+    → one (doc, bench) hash aggregate.
+
+    100 TB shape: the benchmark window table is eval-set-sized (broadcast);
+    corpus windows stream through the broadcast hash join — linear, never
+    doc×doc. Boilerplate ("hot") windows are naturally rare at W≥8 — window
+    document-frequency falls off exponentially with W, which is exactly why
+    production uses wide windows; if a corpus carried pathological verbatim
+    boilerplate the same capped-posting + exact-recount guard as
+    dedup_containment_pairs applies, keyed per (window, bench_id). At
+    production scale key the join on xxhash64(window) (8-byte shuffle key
+    instead of a ~60-byte string) with post-join text verification."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    wins_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (_SUB_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _SUB_W)),
+    )
+    wins = (
+        toks.filter(F.size("t") >= _SUB_W)
+        .select("doc_id", F.posexplode(wins_arr).alias("pos0", "w"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "w")
+    )
+    is_bench = F.col("doc_id") % _SUB_MOD == _SUB_MOD - 2
+    bench = (
+        wins.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_id"), "w")
+        .distinct()
+    )
+    corp = wins.filter(~is_bench)
+    return (
+        corp.join(F.broadcast(bench), "w")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_windows"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (_SUB_W - 1)).alias("span_end"),
+        )
+    )

@@ -111,19 +111,15 @@ def test_groupby_cumprod(spark):
 
 
 def test_groupby_ngroup_sorted_order(spark):
+    # round 6: ngroup is positionally aligned with the source frame (ADVICE
+    # fix), so the group id Series zips directly against the key column
     pdf = pd.DataFrame({"k": ["b", "a", "b", "c", "a"], "v": range(5)})
     ldf = lps.from_pandas(pdf, spark=spark)
-    got = (
-        ldf.groupby("k")
-        .ngroup()
-        ._frame.to_pandas()
-        .reset_index()
-        .sort_values(["k", "ngroup"])
-    )
+    got = ldf.groupby("k").ngroup().to_pandas()
+    mapping = dict(zip(pdf["k"], got))
     # sorted key order: a→0, b→1, c→2 (pandas groupby(sort=True).ngroup())
-    want = pdf.sort_values("k").groupby("k", sort=True).ngroup()
-    mapping = dict(zip(got["k"], got["ngroup"]))
     assert mapping == {"a": 0, "b": 1, "c": 2}
+    assert got.tolist() == pdf.groupby("k", sort=True).ngroup().tolist()
 
 
 def test_groupby_value_counts(spark):

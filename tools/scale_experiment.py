@@ -58,6 +58,10 @@ QUERIES = [
     "dedup_containment_pairs",
     "pagerank_two_iter",
     "pd_mortgage_e2e_full",
+    # round 6
+    "pd_mortgage_style_pipeline",
+    "dedup_incremental_shard",
+    "decontaminate_exact_substring",
 ]
 
 SHIFT_KEYS = {
