@@ -99,6 +99,7 @@ HEADLINE = [
     # round 6: incremental ingest loop + exact-substring decontamination
     "dedup_incremental_shard",
     "decontaminate_exact_substring",
+    "boilerplate_ngram_ratio",
 ]
 
 

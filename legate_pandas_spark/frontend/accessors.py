@@ -512,27 +512,30 @@ class StringMethods:
         # the bare word, exactly like textwrap's chunk filling.
         norm = F.regexp_replace(self._s._col, r"\s", " ")
         toks = F.regexp_extract_all(norm, F.lit(r"\S+ *"), 0)
+        # textwrap keeps PARAGRAPH-leading whitespace when non-whitespace
+        # follows (drop_whitespace's documented exception) — seed the
+        # accumulator with it so it counts toward the first line's width
+        lead = F.regexp_extract(norm, r"^( *)", 1)
         init = F.struct(
             F.array().cast("array<string>").alias("ls"),
-            F.lit("").alias("cur"),
+            lead.alias("cur"),
         )
 
         def step(acc, t):
             cur, ls = acc["cur"], acc["ls"]
             wlen = F.length(F.rtrim(t))
             fits = F.length(cur) + wlen <= F.lit(width)
+            # an all-whitespace finished line is dropped (textwrap)
+            spill = F.when(
+                F.rtrim(cur) == "", ls
+            ).otherwise(F.concat(ls, F.array(F.rtrim(cur))))
             return (
                 F.when(cur == "", F.struct(ls.alias("ls"), t.alias("cur")))
                 .when(
                     fits,
                     F.struct(ls.alias("ls"), F.concat(cur, t).alias("cur")),
                 )
-                .otherwise(
-                    F.struct(
-                        F.concat(ls, F.array(F.rtrim(cur))).alias("ls"),
-                        t.alias("cur"),
-                    )
-                )
+                .otherwise(F.struct(spill.alias("ls"), t.alias("cur")))
             )
 
         done = F.aggregate(

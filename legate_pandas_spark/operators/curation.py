@@ -1238,3 +1238,90 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.max("pos") + (_SUB_W - 1)).alias("span_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate n-gram profiling (C4-style): n-grams that recur
+# across many documents OF THE SAME SOURCE are navigation chrome / templates /
+# legal footers; a document dominated by them carries little training signal.
+# ---------------------------------------------------------------------------
+
+_BP_N = 3  # boilerplate n-gram width
+_BP_MIN_DF_RATIO = 0.05  # gram is boilerplate when df/docs_in_source >= this
+
+_SQL_BOILERPLATE = f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - {_BP_N - 2}),
+                   i -> array_to_string(t[i:i+{_BP_N - 1}], ' ')))) AS g
+        FROM toks WHERE len(t) >= {_BP_N}
+    ),
+    src AS (SELECT source, count(*) AS nd FROM documents GROUP BY source),
+    df AS (SELECT source, g, count(*) AS c FROM grams GROUP BY source, g),
+    bp AS (
+        SELECT d.source, d.g FROM df d JOIN src s USING (source)
+        WHERE d.c * 1.0 / s.nd >= {_BP_MIN_DF_RATIO}
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(b.g) AS BIGINT) AS boilerplate_ngrams,
+           round(count(b.g) * 1.0 / count(*), 4) AS boilerplate_ratio
+    FROM grams gr
+    LEFT JOIN bp b ON gr.source = b.source AND gr.g = b.g
+    GROUP BY gr.doc_id
+"""
+
+
+@query("boilerplate_ngram_ratio", oracle=_SQL_BOILERPLATE)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    3-grams whose within-SOURCE document frequency exceeds a ratio threshold
+    — the cross-doc complement of repetition_profile's intra-doc signal, and
+    the standard template/footer filter in web-corpus curation (C4 lineage).
+
+    Pipeline: one gram explode (distinct per doc) → (source, gram) hash
+    aggregate for document frequency → broadcast per-source doc counts →
+    boilerplate gram table → one equi-join back on (source, gram) → per-doc
+    aggregate.
+
+    100 TB shape: everything keys on (source, gram) — partial aggregation
+    compresses the df pass map-side; the join back is a plain shuffled
+    equi-join (the boilerplate table is corpus-scale but filtered to hot
+    grams, a tiny fraction); per-source totals are a broadcast. No all-pairs
+    anywhere, no window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    grams = outer_explode(
+        toks.filter(F.size("t") >= _BP_N).select(
+            "doc_id", "source", _word_ngrams(F.col("t"), _BP_N).alias("gs")
+        ),
+        "gs",
+        "g",
+        "doc_id",
+        "source",
+    )
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    df = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    bp = (
+        df.join(F.broadcast(src), "source")
+        .filter(F.col("c") * F.lit(1.0) / F.col("nd") >= _BP_MIN_DF_RATIO)
+        .select("source", "g")
+        .withColumn("__bp__", F.lit(True))
+    )
+    return (
+        grams.join(bp, ["source", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count(F.col("__bp__")).alias("boilerplate_ngrams"),
+            F.round(
+                F.count(F.col("__bp__")) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("boilerplate_ratio"),
+        )
+    )
