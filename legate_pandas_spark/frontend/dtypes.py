@@ -116,6 +116,15 @@ def floordiv(left: Column, right: Column) -> Column:
     return F.floor(left.cast("double") / right.cast("double")).cast("double")
 
 
+def floormod(left: Column, right: Column) -> Column:
+    """Python/pandas FLOORED modulo (result sign follows the divisor) —
+    Spark's ``%`` truncates toward zero, so -7 % 3 would be -1 instead of
+    pandas' 2. ``try_mod(try_mod(a, b) + b, b)`` reproduces Python for every
+    sign combination (the same identity the query translator compiles to);
+    a zero divisor yields null (documented divergence: numpy int % 0 is 0)."""
+    return F.try_mod(F.try_mod(left, right) + right, right)
+
+
 def resolve_ewm_alpha(alpha=None, com=None, span=None, halflife=None) -> float:
     """pandas ewm parameter resolution: exactly one of alpha/com/span/halflife,
     converted to the smoothing factor (pandas.core.window.ewm semantics:

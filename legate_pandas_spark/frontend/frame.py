@@ -535,7 +535,9 @@ class DataFrame:
         return self._dispatch_binop(other, lambda a, b: truediv(b, a), "div")
 
     def __mod__(self, other):
-        return self._dispatch_binop(other, lambda a, b: a % b, "mod")
+        from legate_pandas_spark.frontend.dtypes import floormod
+
+        return self._dispatch_binop(other, floormod, "mod")
 
     def __pow__(self, other):
         return self._dispatch_binop(other, lambda a, b: F.pow(a, b), "pow")
@@ -562,10 +564,65 @@ class DataFrame:
         )
 
     def mod(self, other, fill_value=None):
-        return self._dispatch_binop(other, lambda a, b: a % b, "mod", fill_value)
+        from legate_pandas_spark.frontend.dtypes import floormod
+
+        return self._dispatch_binop(other, floormod, "mod", fill_value)
 
     def pow(self, other, fill_value=None):
         return self._dispatch_binop(other, lambda a, b: F.pow(a, b), "pow", fill_value)
+
+    # reversed method forms (pandas radd/rsub/...)
+    def radd(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: b + a, "add", fill_value)
+
+    def rsub(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: b - a, "sub", fill_value)
+
+    def rmul(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: b * a, "mul", fill_value)
+
+    def rdiv(self, other, fill_value=None):
+        from legate_pandas_spark.frontend.dtypes import truediv
+
+        return self._dispatch_binop(
+            other, lambda a, b: truediv(b, a), "div", fill_value
+        )
+
+    rtruediv = rdiv
+
+    def rfloordiv(self, other, fill_value=None):
+        return self._dispatch_binop(
+            other, lambda a, b: F.floor(b / a).cast("double"), "floordiv", fill_value
+        )
+
+    def rmod(self, other, fill_value=None):
+        from legate_pandas_spark.frontend.dtypes import floormod
+
+        return self._dispatch_binop(
+            other, lambda a, b: floormod(b, a), "mod", fill_value
+        )
+
+    def rpow(self, other, fill_value=None):
+        return self._dispatch_binop(other, lambda a, b: F.pow(b, a), "pow", fill_value)
+
+    # comparison method forms (null-compare-false, like the operators)
+    def eq(self, other):
+        return self.__eq__(other)
+
+    def ne(self, other):
+        return self.__ne__(other)
+
+    def lt(self, other):
+        return self.__lt__(other)
+
+    def le(self, other):
+        return self.__le__(other)
+
+    def gt(self, other):
+        return self.__gt__(other)
+
+    def ge(self, other):
+        return self.__ge__(other)
 
     def __neg__(self):
         return self._binop(lambda c: -c, "neg")
@@ -1121,6 +1178,8 @@ class DataFrame:
             for col in spec
         }
         return pd.DataFrame(data).reindex(all_ops)
+
+    aggregate = agg  # pandas alias
 
     def transpose(self) -> "DataFrame":
         """Driver-side transpose (pandas .T). A transpose makes rows into the

@@ -96,7 +96,7 @@ class GroupBy:
         out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
         return self._finish(out)
 
-    aggregate = agg
+    aggregate = agg  # pandas alias
 
     def _apply_named(self, op: str) -> "DataFrame":
         dtypes = dict(self._df._sdf.dtypes)
@@ -716,6 +716,8 @@ class SeriesGroupBy:
     def agg(self, op: str):
         return self._gb.agg({self._col: op})
 
+    aggregate = agg  # pandas alias
+
     def _named(self, op: str):
         return self._gb.agg({self._col: op})
 
@@ -1140,3 +1142,5 @@ class PivotedGroupBy:
             .agg(_AGG_FNS[op](F.col(col)))
         )
         return DataFrame(pivoted, tuple(self._gb._keys) if self._gb._as_index else ())
+
+    aggregate = agg  # pandas alias

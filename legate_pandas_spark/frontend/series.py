@@ -17,6 +17,7 @@ from pyspark.sql import Column
 
 from legate_pandas_spark.frontend.dtypes import (
     floordiv,
+    floormod,
     null_compare_false,
     to_spark_type,
     truediv,
@@ -59,6 +60,17 @@ class Series:
     def spark_col(self) -> Column:
         return self._col
 
+    def _method_binop(self, other, op, fill_value=None):
+        """pandas method-form binop: ``fill_value`` substitutes for a missing
+        value in EITHER operand; both-missing stays null (pandas contract).
+        Pure expression — no extra plan nodes beyond the op itself."""
+        a, b = self._col, self._other_col(other)
+        if fill_value is None:
+            return self._wrap(op(a, b))
+        fa = F.coalesce(a, F.lit(fill_value))
+        fb = F.coalesce(b, F.lit(fill_value))
+        return self._wrap(F.when(~(a.isNull() & b.isNull()), op(fa, fb)))
+
     # -- arithmetic (pandas promotion rules) -------------------------------
     def __add__(self, other):
         return self._wrap(self._col + self._other_col(other))
@@ -86,7 +98,10 @@ class Series:
         return self._wrap(floordiv(self._col, self._other_col(other)))
 
     def __mod__(self, other):
-        return self._wrap(self._col % self._other_col(other))
+        return self._wrap(floormod(self._col, self._other_col(other)))
+
+    def __rmod__(self, other):
+        return self._wrap(floormod(self._other_col(other), self._col))
 
     def __pow__(self, other):
         return self._wrap(F.pow(self._col, self._other_col(other)))
@@ -139,6 +154,93 @@ class Series:
 
     def __invert__(self):
         return self._wrap(~self._col)
+
+    # -- pandas method-form binops (fill_value supported) -------------------
+    def add(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: a + b, fill_value)
+
+    def radd(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: b + a, fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: a - b, fill_value)
+
+    def rsub(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: b - a, fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: a * b, fill_value)
+
+    def rmul(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: b * a, fill_value)
+
+    def div(self, other, fill_value=None):
+        return self._method_binop(other, truediv, fill_value)
+
+    truediv = div
+
+    def rdiv(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: truediv(b, a), fill_value)
+
+    rtruediv = rdiv
+
+    def floordiv(self, other, fill_value=None):
+        return self._method_binop(other, floordiv, fill_value)
+
+    def rfloordiv(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: floordiv(b, a), fill_value)
+
+    def mod(self, other, fill_value=None):
+        return self._method_binop(other, floormod, fill_value)
+
+    def pow(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: F.pow(a, b), fill_value)
+
+    def rmod(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: floormod(b, a), fill_value)
+
+    def rpow(self, other, fill_value=None):
+        return self._method_binop(other, lambda a, b: F.pow(b, a), fill_value)
+
+    def eq(self, other):
+        return self.__eq__(other)
+
+    def ne(self, other):
+        return self.__ne__(other)
+
+    def lt(self, other):
+        return self.__lt__(other)
+
+    def le(self, other):
+        return self.__le__(other)
+
+    def gt(self, other):
+        return self.__gt__(other)
+
+    def ge(self, other):
+        return self.__ge__(other)
+
+    def repeat(self, repeats: int):
+        """pandas Series.repeat(int): each element repeated ``repeats``
+        times, consecutively in row order (order key = old*repeats+i, no
+        shuffle added by the explode)."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+
+        if repeats < 0:
+            raise ValueError("negative dimensions are not allowed")
+        name = self.name or "value"
+        sdf = self._frame._ordered_sdf().select(
+            F.col(ROW_ORDER), self._col.alias(name)
+        )
+        rep = sdf.select(
+            F.col(ROW_ORDER),
+            name,
+            F.explode(F.sequence(F.lit(0), F.lit(repeats - 1))).alias("__ri__"),
+        ).select(
+            (F.col(ROW_ORDER) * repeats + F.col("__ri__")).alias(ROW_ORDER),
+            name,
+        )
+        return DataFrame(rep, ())[name]
 
     # -- nulls ----------------------------------------------------------------
     def __getitem__(self, key):
@@ -938,6 +1040,8 @@ class Series:
         row = self._frame._sdf.agg(*exprs).collect()[0]
         out = pd.Series({op: row[op] for op in ops})
         return out if len(ops) > 1 else out.iloc[0]
+
+    aggregate = agg  # pandas alias
 
     def corr(self, other: "Series") -> float:
         return self._frame._sdf.agg(
