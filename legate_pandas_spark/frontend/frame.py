@@ -883,6 +883,48 @@ class DataFrame:
         remaining = tuple(c for c in self._index if c not in names)
         return DataFrame(self._sdf.drop(*names), remaining)
 
+    def swaplevel(self, i: int = -2, j: int = -1) -> "DataFrame":
+        """Swap two index levels (pandas swaplevel) — metadata only, the plan
+        is untouched."""
+        if len(self._index) < 2:
+            raise ValueError("swaplevel needs at least a 2-level index")
+        order = list(range(len(self._index)))
+        order[i], order[j] = order[j], order[i]
+        return DataFrame(self._sdf, tuple(self._index[k] for k in order))
+
+    def rename_axis(self, name) -> "DataFrame":
+        """Rename the (single) stored index level (pandas rename_axis)."""
+        if len(self._index) != 1:
+            raise ValueError("rename_axis requires exactly one index level")
+        old = self._index[0]
+        return DataFrame(self._sdf.withColumnRenamed(old, name), (name,))
+
+    def keys(self):
+        """pandas DataFrame.keys(): the column labels."""
+        return self.columns
+
+    def get(self, key, default=None):
+        """pandas DataFrame.get: column if present, else ``default``."""
+        if isinstance(key, str):
+            return self[key] if key in self.columns else default
+        if all(k in self.columns for k in key):
+            return self[list(key)]
+        return default
+
+    def xs(self, key, level=None) -> "DataFrame":
+        """Cross-section over an index level (pandas xs): filter the level to
+        ``key`` and drop it — a pushdown-friendly predicate, never a collect."""
+        if not self._index:
+            raise ValueError("xs requires a stored index")
+        if level is None:
+            name = self._index[0]
+        else:
+            name = self._index[level] if isinstance(level, int) else level
+        remaining = tuple(c for c in self._index if c != name)
+        return DataFrame(
+            self._sdf.filter(F.col(name) == key).drop(name), remaining
+        )
+
     def combine_first(self, other: "DataFrame") -> "DataFrame":
         """Fill this frame's nulls from another frame aligned on the stored
         index (pandas combine_first): full outer index join + per-column

@@ -114,3 +114,27 @@ def test_series_repeat(spark):
     pd.testing.assert_series_equal(got, want, check_dtype=False, check_names=False)
     with pytest.raises(ValueError):
         ldf["v"].repeat(-1)
+
+
+def test_round6_stragglers(spark):
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": ["x", "y", "x", "y"], "v": [10.0, 20.0, 30.0, 40.0]}
+    )
+    l = lps.from_pandas(pdf, spark=spark)
+    assert l.keys() == list(pdf.keys())
+    assert l.get("v").to_pandas().tolist() == pdf.get("v").tolist()
+    assert l.get("nope", "dflt") == "dflt"
+
+    r = l.set_index("a").rename_axis("idx").to_pandas()
+    w = pdf.set_index("a").rename_axis("idx")
+    assert r.index.name == w.index.name
+    assert r["v"].tolist() == w["v"].tolist()
+
+    l2 = lps.from_pandas(pdf, spark=spark).set_index(["b", "a"])
+    p2 = pdf.set_index(["b", "a"])
+    got = l2.xs("x", level="b").to_pandas()
+    want = p2.xs("x", level="b")
+    assert sorted(got.index.tolist()) == sorted(want.index.tolist())
+    assert l2.swaplevel()._index == ("a", "b")
+    with pytest.raises(ValueError):
+        l.swaplevel()
