@@ -15,4 +15,5 @@ from legate_pandas_spark.streaming.documents import (  # noqa: F401
     quality_scrub_stream,
     corpus_dedup_stream,
     bloom_dedup_stream,
+    incremental_dedup_stream,
 )

@@ -175,3 +175,30 @@ def bloom_dedup_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_stream(docs: DataFrame, store: DataFrame) -> DataFrame:
+    """Streaming twin of operators/dedup.dedup_incremental_shard: flag each
+    arriving document against a STATIC corpus signature store via
+    stream-static joins (Structured Streaming re-reads the static side per
+    micro-batch; broadcast-hint it because a digest store is join-key-narrow).
+
+    ``store`` schema: (h string) — the corpus digest table (in production a
+    persisted parquet the batch pipeline appends survivors to). Output: one
+    row per arriving doc with ``is_exact_dup``; a doc that is NOT flagged can
+    be appended to the store by the sink. Near-dup banding stays in the batch
+    path: streaming marks exact hits cheaply (O(1) per doc against the
+    store's hash index), the nightly batch job runs the band+verify pass over
+    the day's survivors — the standard split of a production ingest loop."""
+    digests = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+    )
+    hit = F.broadcast(store.select(F.col("h"), F.lit(True).alias("__in_store__")))
+    return digests.join(hit, "h", "left").select(
+        "doc_id",
+        "source",
+        "h",
+        F.coalesce(F.col("__in_store__"), F.lit(False)).alias("is_exact_dup"),
+    )

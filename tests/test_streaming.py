@@ -363,3 +363,44 @@ def test_bloom_dedup_stream_flags_exact_dups(spark, sf_dir, documents_dir):
     uniques = set(docs.loc[sizes == 1, "doc_id"])
     flagged = set(got.loc[got["probable_dup"], "doc_id"])
     assert not (flagged & uniques)
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Stream-static incremental dedup (round 6): arriving docs flagged
+    against a static corpus digest store must match the same anti-join run in
+    batch — the streaming twin of dedup_incremental_shard's exact path."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.streaming import (
+        incremental_dedup_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    docs_batch = spark.read.parquet(documents_dir)
+    # store = digests of the doc_id % 4 != 0 "already-ingested" corpus
+    store = (
+        docs_batch.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    arriving = stream_documents(spark, documents_dir)
+    flagged = incremental_dedup_stream(arriving, store)
+    run_available_now(flagged, "incr_dedup", output_mode="append")
+    got = {
+        r["doc_id"]: r["is_exact_dup"]
+        for r in spark.table("incr_dedup").collect()
+    }
+    want = {
+        r["doc_id"]: r["hit"]
+        for r in docs_batch.select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        .join(store.withColumn("hit", F.lit(True)), "h", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(False)).alias("hit"))
+        .collect()
+    }
+    assert got == want
+    # every doc from the old corpus is (by construction) in the store
+    old_ids = {r["doc_id"] for r in docs_batch.filter(F.col("doc_id") % 4 != 0).select("doc_id").collect()}
+    assert all(got[d] for d in old_ids)
