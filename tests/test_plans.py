@@ -437,3 +437,18 @@ def test_facade_nlargest_is_take_ordered(spark):
     plan = plan_text(ldf.nlargest(5, "a")._sdf, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_round6_new_queries_plan_shapes(catalog, spark, sf_dir):
+    """Round-6 operators keep their scale contracts: exact-substring
+    decontamination probes a BROADCAST benchmark window table (never a
+    shuffled fact-fact join on windows), boilerplate profiling broadcasts the
+    per-source totals, and neither moves rows through a SinglePartition
+    exchange (incremental dedup is covered by the whole-catalog audit)."""
+    plan = plan_text(catalog["decontaminate_exact_substring"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert_no_full_single_partition(plan, "decontaminate_exact_substring")
+
+    plan = plan_text(catalog["boilerplate_ngram_ratio"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan  # per-source doc counts are broadcast
+    assert_no_full_single_partition(plan, "boilerplate_ngram_ratio")
