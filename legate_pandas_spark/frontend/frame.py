@@ -911,6 +911,35 @@ class DataFrame:
             return self[list(key)]
         return default
 
+    def dot(self, other) -> "DataFrame":
+        """pandas DataFrame.dot against a SMALL driver-side right matrix
+        (pandas DataFrame / dict of columns): output column j = Σ_k
+        self[k] · other[k][j] — the embedding-projection shape. Compiles to
+        pure per-row expressions (the right matrix is plan constants), so the
+        product is row-parallel with zero shuffle at any scale. A
+        distributed×distributed matmul is out of scope (use the ANN/similarity
+        operators for gram-matrix work)."""
+        import pandas as pd
+
+        if isinstance(other, dict):
+            other = pd.DataFrame(other)
+        if not isinstance(other, pd.DataFrame):
+            raise TypeError("dot expects a pandas DataFrame or dict right matrix")
+        missing = [k for k in other.index if k not in self.columns]
+        if missing:
+            raise ValueError(f"dot: right-matrix index not in columns: {missing}")
+        exprs = []
+        for j in other.columns:
+            term = None
+            for k in other.index:
+                t = F.col(k).cast("double") * F.lit(float(other.loc[k, j]))
+                term = t if term is None else term + t
+            exprs.append(term.alias(str(j)))
+        keep = [F.col(c) for c in self._index]
+        if ROW_ORDER in self._sdf.columns:
+            keep.append(F.col(ROW_ORDER))
+        return DataFrame(self._sdf.select(*keep, *exprs), self._index)
+
     def xs(self, key, level=None) -> "DataFrame":
         """Cross-section over an index level (pandas xs): filter the level to
         ``key`` and drop it — a pushdown-friendly predicate, never a collect."""

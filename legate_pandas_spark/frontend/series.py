@@ -1043,6 +1043,13 @@ class Series:
 
     aggregate = agg  # pandas alias
 
+    def dot(self, other: "Series") -> float:
+        """pandas Series.dot for aligned (same-frame) series: Σ a·b — one
+        distributed aggregate, scalar to the driver."""
+        return self._frame._sdf.agg(
+            F.sum(self._col.cast("double") * self._other_col(other).cast("double"))
+        ).collect()[0][0]
+
     def corr(self, other: "Series") -> float:
         return self._frame._sdf.agg(
             F.corr(self._col.cast("double"), self._other_col(other).cast("double"))

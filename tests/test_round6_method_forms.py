@@ -138,3 +138,17 @@ def test_round6_stragglers(spark):
     assert l2.swaplevel()._index == ("a", "b")
     with pytest.raises(ValueError):
         l.swaplevel()
+
+
+def test_dot_products(spark):
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [4.0, 5.0, 6.0]})
+    l = lps.from_pandas(pdf, spark=spark)
+    assert abs(l["x"].dot(l["y"]) - pdf["x"].dot(pdf["y"])) < 1e-9
+    rm = pd.DataFrame({"p": [0.5, -1.0], "q": [2.0, 0.25]}, index=["x", "y"])
+    got = l.dot(rm).to_pandas().reset_index(drop=True)
+    want = pdf.dot(rm).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        l.dot(pd.DataFrame({"p": [1.0]}, index=["zz"]))
