@@ -92,3 +92,43 @@ def test_interpolate_fuzz(spark, seed, lead_nulls, trail_nulls):
     assert np.allclose(
         got.values, want.values, rtol=1e-9, atol=1e-12, equal_nan=True
     ), (got.tolist(), want.tolist())
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(0, 10_000))
+def test_get_dummies_fuzz(spark, seed):
+    rng = np.random.RandomState(seed)
+    n = 20
+    pdf = pd.DataFrame(
+        {
+            "k": [f"k{x}" for x in rng.randint(0, 4, n)],
+            "v": rng.randn(n).round(3),
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = lps.get_dummies(ldf, columns=["k"]).to_pandas().reset_index(drop=True)
+    want = pd.get_dummies(pdf, columns=["k"]).reset_index(drop=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert np.allclose(
+            got[c].astype(float).values, want[c].astype(float).values, rtol=1e-9
+        ), c
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(0, 10_000))
+def test_crosstab_fuzz(spark, seed):
+    rng = np.random.RandomState(seed)
+    n = 25
+    pdf = pd.DataFrame(
+        {
+            "a": [f"a{x}" for x in rng.randint(0, 3, n)],
+            "b": [f"b{x}" for x in rng.randint(0, 4, n)],
+        }
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    got = lps.crosstab(ldf["a"], ldf["b"]).to_pandas().sort_index()
+    want = pd.crosstab(pdf["a"], pdf["b"]).sort_index()
+    assert list(got.index) == list(want.index)
+    for c in want.columns:
+        assert got[c].fillna(0).astype(int).tolist() == want[c].astype(int).tolist(), c
