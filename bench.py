@@ -100,6 +100,8 @@ HEADLINE = [
     "dedup_incremental_shard",
     "decontaminate_exact_substring",
     "boilerplate_ngram_ratio",
+    "temperature_mixture_sample",
+    "split_token_distribution_shift",
 ]
 
 

@@ -1325,3 +1325,198 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture reweighting — the standard multilingual /
+# multi-source training-mix formula: sampling share ∝ (n_s/N)^α with α < 1
+# up-weights small sources (α=1 is proportional, α=0 is uniform).
+# ---------------------------------------------------------------------------
+
+_TEMP_TARGET_FRAC = 0.5  # target corpus size = 50% of N
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(n)) AS z, sum(n) AS nn FROM counts),
+    rates AS (
+        SELECT c.source, c.n,
+               round(least(1.0,
+                     ({_TEMP_TARGET_FRAC} * t.nn) * (sqrt(c.n) / t.z) / c.n), 9)
+                   AS rate
+        FROM counts c CROSS JOIN tot t
+    ),
+    kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.rate
+        GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_docs,
+           round(r.rate, 6) AS keep_rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture sampling (α = 0.5): per-source keep
+    rates derived FROM the data — share_s = n_s^α / Σ n_t^α, keep_rate_s =
+    min(1, K·share_s/n_s) for target size K = 0.5·N — then a deterministic
+    Knuth-hash draw per document (same reproducible-coordinate trick as
+    train_val_test_split; re-runs and cluster-size changes never reshuffle
+    the sample). α = 0.5 is computed with sqrt, which IEEE requires to be
+    correctly rounded, so the rate arithmetic is bit-identical across
+    engines; the rate is additionally rounded to 9 dp so summation-order ulp
+    noise in Σ√n can never flip a boundary document.
+
+    100 TB shape: one count aggregate (source-cardinality rows) → driver-free
+    broadcast of the tiny rate table → pure per-row hash filter + one final
+    aggregate. The corpus is scanned twice (count, then filter); fusing to
+    one pass would need the rates ahead of time — exactly what a production
+    pipeline does by persisting the rate table between ingests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n")).alias("z"), F.sum("n").alias("nn")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(_TEMP_TARGET_FRAC) * F.col("nn"))
+                    * (F.sqrt("n") / F.col("z"))
+                    / F.col("n"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(h < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("rate", 6).alias("keep_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "split_token_distribution_shift",
+    oracle="""
+    WITH hashed AS (
+        SELECT lang, text,
+               ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS h
+        FROM documents
+    ),
+    tagged AS (
+        SELECT lang, text,
+               CASE WHEN h < 0.8 THEN 'train'
+                    WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM hashed
+    ),
+    toks AS (
+        SELECT split, lang,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> '')) AS w
+        FROM tagged WHERE split IN ('train', 'val')
+    ),
+    cnt AS (
+        SELECT lang, w,
+               count(*) FILTER (split = 'train') AS ct,
+               count(*) FILTER (split = 'val') AS cv
+        FROM toks GROUP BY lang, w
+    ),
+    tot AS (
+        SELECT lang, sum(ct) AS nt, sum(cv) AS nv, count(*) AS v
+        FROM cnt GROUP BY lang
+    ),
+    probs AS (
+        SELECT c.lang,
+               (c.ct + 1.0) / (t.nt + t.v) AS p,
+               (c.cv + 1.0) / (t.nv + t.v) AS q
+        FROM cnt c JOIN tot t USING (lang)
+    )
+    SELECT lang,
+           round(sum(p * ln(p / q)), 6) AS kl_train_val,
+           round(sum(q * ln(q / p)), 6) AS kl_val_train,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM probs GROUP BY lang
+    """,
+)
+def split_token_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit between the train and val splits (same
+    deterministic Knuth-hash split as train_val_test_split): per-language
+    add-one-smoothed unigram distributions and both KL divergences — the
+    standard sanity check that a split didn't skew token distributions (a
+    large asymmetric KL flags leakage-prone or topic-skewed splits before a
+    training run wastes compute).
+
+    100 TB shape: one token explode → (lang, token) hash aggregate with
+    conditional counts per split (map-side combinable) → broadcast per-lang
+    totals → one final per-lang aggregate. No window, no all-pairs; the
+    smoothing vocabulary is the observed (lang, token) domain, so adding data
+    never needs a schema change. Divergences rounded to 6 dp — cross-engine
+    float-sum ordering noise is ~1e-12, far below the rounding grid."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    tagged = docs.select(
+        "lang",
+        "text",
+        F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test").alias("split"),
+    ).filter(F.col("split").isin("train", "val"))
+    toks = outer_explode(
+        tagged.select(
+            "split",
+            "lang",
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")
+            ).alias("ws"),
+        ),
+        "ws",
+        "w",
+        "split",
+        "lang",
+    )
+    cnt = toks.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("ct").alias("nt"), F.sum("cv").alias("nv"), F.count(F.lit(1)).alias("v")
+    )
+    probs = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        ((F.col("ct") + 1.0) / (F.col("nt") + F.col("v"))).alias("p"),
+        ((F.col("cv") + 1.0) / (F.col("nv") + F.col("v"))).alias("q"),
+    )
+    return probs.groupBy("lang").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_train_val"
+        ),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias(
+            "kl_val_train"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )

@@ -62,6 +62,8 @@ QUERIES = [
     "pd_mortgage_style_pipeline",
     "dedup_incremental_shard",
     "decontaminate_exact_substring",
+    "temperature_mixture_sample",
+    "split_token_distribution_shift",
 ]
 
 SHIFT_KEYS = {
