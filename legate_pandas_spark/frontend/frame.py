@@ -1221,11 +1221,16 @@ class DataFrame:
         return self._map_numeric(F.abs)
 
     def clip(self, lower=None, upper=None) -> "DataFrame":
+        # nulls stay null (pandas): Spark's greatest/least SKIP nulls and
+        # would fill a missing value with the bound — guard on isNull
         def _clip(c):
+            src = c
             if lower is not None:
                 c = F.greatest(c, F.lit(lower))
             if upper is not None:
                 c = F.least(c, F.lit(upper))
+            if lower is not None or upper is not None:
+                c = F.when(src.isNull(), F.lit(None)).otherwise(c)
             return c
 
         return self._map_numeric(_clip)

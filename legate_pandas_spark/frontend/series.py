@@ -317,11 +317,16 @@ class Series:
         return self._wrap(F.when(cond_col, other_col).otherwise(self._col))
 
     def clip(self, lower=None, upper=None):
-        col = self._col
+        # nulls stay null (pandas): Spark's greatest/least SKIP nulls and
+        # would fill a missing value with the bound — guard on isNull
+        src = self._col
+        col = src
         if lower is not None:
             col = F.greatest(col, F.lit(lower))
         if upper is not None:
             col = F.least(col, F.lit(upper))
+        if lower is not None or upper is not None:
+            col = F.when(src.isNull(), F.lit(None)).otherwise(col)
         return self._wrap(col)
 
     # -- ordered ops (two-phase distributed scan over the row-order key) -----
