@@ -304,11 +304,20 @@ def rank_column(
         expr = F.col(off_n) + F.rank().over(w) + (peers - 1) / 2.0
     elif method == "min":
         expr = F.col(off_n) + F.rank().over(w)
+    elif method == "max":
+        # rank of the LAST peer: min rank + (peer count - 1)
+        peers = F.count(F.lit(1)).over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        expr = F.col(off_n) + F.rank().over(w) + (peers - 1)
     else:
         raise ValueError(f"unsupported rank method: {method!r}")
     expr = expr.cast("double")
+    total_d_nn = sum(r["__d__"] for r in counts)
     if na_option == "keep":
-        denom = float(total_nn or 1)
+        # pandas pct: dense ranks normalize by the DISTINCT count (the max
+        # dense rank), every other method by the row count
+        denom = float((total_d_nn if method == "dense" else total_nn) or 1)
         out_expr = F.when(c.isNotNull(), expr / denom if pct else expr)
     elif na_option in ("top", "bottom"):
         base = 0 if na_option == "top" else total_nn
@@ -319,13 +328,19 @@ def rank_column(
             null_rank = F.lit((0 if na_option == "top" else run_d) + 1)
         elif method == "average":
             null_rank = F.lit(base + (1 + null_n) / 2.0)
+        elif method == "max":
+            null_rank = F.lit(base + null_n)
         else:  # min
             null_rank = F.lit(base + 1)
         out_expr = F.when(c.isNotNull(), expr).otherwise(
             null_rank.cast("double")
         )
         if pct:
-            out_expr = out_expr / F.lit(float((total_nn + null_n) or 1))
+            if method == "dense":
+                denom = float((total_d_nn + (1 if null_n else 0)) or 1)
+            else:
+                denom = float((total_nn + null_n) or 1)
+            out_expr = out_expr / F.lit(denom)
     else:
         raise ValueError(f"unsupported na_option: {na_option!r}")
     return joined.withColumn(out, out_expr).drop(bkt, off_n, off_d)

@@ -397,8 +397,9 @@ class Series:
 
     def rank(self, method: str = "min", ascending: bool = True, pct: bool = False,
              na_option: str = "keep"):
-        """Rank values: 'min' = SQL rank, 'dense', 'first'=row_number,
-        'average' = pandas default; ``pct`` normalizes by the valid count.
+        """Rank values: 'min' = SQL rank, 'max' = last-peer rank, 'dense',
+        'first'=row_number, 'average' = pandas default; ``pct`` normalizes by
+        the valid count (dense: by the distinct count, like pandas).
         ``na_option``: 'keep' (nulls rank null), 'top', 'bottom'.
 
         Distributed two-phase rank (scan.rank_column): splitter boundaries
