@@ -51,6 +51,17 @@ class DataFrame:
         of columns — the reference's tests construct frames as
         ``lp.DataFrame(pandas_df)`` (e.g. tests/pandas/df_create.py), so the
         drop-in surface must too."""
+        # columns PROVABLY free of nulls (set only where the facade itself
+        # guarantees it: groupby dropna key outputs, and propagated through
+        # merges/renames). merge() uses this to compile a plain equi-join
+        # instead of null-safe equality when null keys cannot match — plain
+        # keys hash-partition as hash(k), letting Catalyst reuse the
+        # groupby's exchange instead of re-shuffling on
+        # (coalesce(k), isnull(k)) — the facade analog of the reference's
+        # tracked partition keys (reference core/table.py:222-268).
+        # Conservative: _replace() and every other construction path reset
+        # it to empty, so a stale flag cannot survive a value-changing op.
+        self._nonnull_cols: frozenset = frozenset()
         if isinstance(data, SparkDF):
             self._sdf = data
         elif isinstance(data, DataFrame):
@@ -59,6 +70,7 @@ class DataFrame:
             self._sdf = data._sdf
             self._index = tuple(index) or data._index
             self._cat_meta = dict(data._cat_meta)
+            self._nonnull_cols = frozenset(data._nonnull_cols)
             return
         else:
             import pandas as pd
@@ -115,6 +127,7 @@ class DataFrame:
     def copy(self, deep: bool = True) -> "DataFrame":
         out = DataFrame(self._sdf, self._index)
         out._cat_meta = dict(self._cat_meta)
+        out._nonnull_cols = frozenset(self._nonnull_cols)
         return out
 
     def squeeze(self):
@@ -146,9 +159,15 @@ class DataFrame:
             keep = [c for c in self._index if c not in key]
             if ROW_ORDER in self._sdf.columns:
                 keep.append(ROW_ORDER)
-            return self._replace(self._sdf.select(*(keep + key)))
+            out = self._replace(self._sdf.select(*(keep + key)))
+            # projection preserves values: keep guarantees for kept columns
+            out._nonnull_cols = self._nonnull_cols & set(keep + key)
+            return out
         if isinstance(key, Series):
-            return self._replace(self._sdf.filter(key._col))
+            out = self._replace(self._sdf.filter(key._col))
+            # row filtering cannot introduce nulls
+            out._nonnull_cols = frozenset(self._nonnull_cols)
+            return out
         raise TypeError(f"unsupported key type: {type(key)!r}")
 
     def __setitem__(self, name, value) -> None:
@@ -165,6 +184,7 @@ class DataFrame:
             for target, t in zip(name, tmp):
                 sdf = sdf.withColumn(target, F.col(t))
             self._sdf = sdf.drop(*tmp)
+            self._nonnull_cols = self._nonnull_cols - set(name)
             return
         if isinstance(value, Series):
             self._sdf = self._sdf.withColumn(name, value._col)
@@ -176,6 +196,7 @@ class DataFrame:
             if hasattr(value, "item") and not isinstance(value, (str, bytes)):
                 value = value.item()  # numpy typed scalars (reference df_fill)
             self._sdf = self._sdf.withColumn(name, F.lit(value))
+        self._nonnull_cols = self._nonnull_cols - {name}
 
     def __getattr__(self, name: str):
         # attribute-style column access (df.col1), after normal lookup fails
@@ -247,7 +268,12 @@ class DataFrame:
         for old, new in (columns or {}).items():
             sdf = sdf.withColumnRenamed(old, new)
         index = tuple((columns or {}).get(c, c) for c in self._index)
-        return DataFrame(sdf, index)
+        out = DataFrame(sdf, index)
+        # pure rename preserves values: remap the non-null guarantees
+        out._nonnull_cols = frozenset(
+            (columns or {}).get(c, c) for c in self._nonnull_cols
+        )
+        return out
 
     def set_axis(self, labels, axis=1) -> "DataFrame":
         """Replace all column labels (reference df_set_axis)."""
@@ -813,10 +839,12 @@ class DataFrame:
         sdf = self._sdf.withColumn(column, col)
         keep = [c for c in sdf.columns if c not in order]
         self._sdf = sdf.select(*(keep + order))
+        self._nonnull_cols = self._nonnull_cols - {column}
 
     def pop(self, column: str):
         s = self[column]
         self._sdf = self._sdf.drop(column)
+        self._nonnull_cols = self._nonnull_cols - {column}
         return s
 
     # ------------------------------------------------------------ index ops
@@ -834,8 +862,12 @@ class DataFrame:
         remaining = tuple(c for c in self._index if c not in names)
         if drop:
             keep = [c for c in self._sdf.columns if c not in names]
-            return DataFrame(self._sdf.select(*keep), remaining)
-        return DataFrame(self._sdf, remaining)
+            out = DataFrame(self._sdf.select(*keep), remaining)
+            out._nonnull_cols = self._nonnull_cols & set(keep)
+            return out
+        out = DataFrame(self._sdf, remaining)
+        out._nonnull_cols = frozenset(self._nonnull_cols)
+        return out
 
     # ------------------------------------------------------------ relational
     def merge(self, right: "DataFrame", **kwargs) -> "DataFrame":
@@ -897,6 +929,12 @@ class DataFrame:
         if len(self._index) != 1:
             raise ValueError("rename_axis requires exactly one index level")
         old = self._index[0]
+        if name != old and name in self.columns:
+            # the stored index is a physical column; renaming onto an existing
+            # data column would create a duplicate name in the Spark plan
+            raise ValueError(
+                f"rename_axis: {name!r} already exists as a data column"
+            )
         return DataFrame(self._sdf.withColumnRenamed(old, name), (name,))
 
     def keys(self):
@@ -925,9 +963,10 @@ class DataFrame:
             other = pd.DataFrame(other)
         if not isinstance(other, pd.DataFrame):
             raise TypeError("dot expects a pandas DataFrame or dict right matrix")
-        missing = [k for k in other.index if k not in self.columns]
-        if missing:
-            raise ValueError(f"dot: right-matrix index not in columns: {missing}")
+        if set(map(str, other.index)) != set(map(str, self.columns)):
+            # pandas requires exact alignment both ways; a silent drop of
+            # unmatched self-columns would return a wrong numeric answer.
+            raise ValueError("matrices are not aligned")
         exprs = []
         for j in other.columns:
             term = None
@@ -1811,6 +1850,7 @@ class DataFrame:
             for c in self.columns
         ]
         self._sdf = self._sdf.select(*sel)
+        self._nonnull_cols = frozenset()
 
     def align(self, other: "DataFrame", join: str = "outer"):
         """Pair of frames reindexed to a common index (pandas align, axis=0),
@@ -1958,6 +1998,7 @@ class DataFrame:
             )
         if inplace:
             self._sdf = out._sdf
+            self._nonnull_cols = frozenset()
             return None
         return out
 
@@ -2412,6 +2453,26 @@ class DataFrame:
     def unpersist(self) -> "DataFrame":
         self._sdf = self._sdf.unpersist()
         return self
+
+    def repartition_by(self, *cols: str, num_partitions: int | None = None) -> "DataFrame":
+        """Hash-partition the frame on ``cols`` (Spark repartition). The
+        facade analog of the reference's tracked ``_partition_keys``
+        (reference core/table.py:222-268; core/merge.py:296-354 reuses an
+        existing partitioning instead of re-exchanging): downstream
+        joins/groupbys keyed on ``cols`` satisfy their clustered-distribution
+        requirement from this ONE exchange, so Catalyst's EnsureRequirements
+        skips the per-consumer shuffles. Combine with ``persist()`` when the
+        partitioned frame feeds several branches."""
+        missing = [c for c in cols if c not in self.columns and c not in self._index]
+        if missing:
+            raise KeyError(f"repartition_by: unknown columns {missing}")
+        exprs = [F.col(c) for c in cols]
+        sdf = (
+            self._sdf.repartition(num_partitions, *exprs)
+            if num_partitions
+            else self._sdf.repartition(*exprs)
+        )
+        return self._replace(sdf)
 
     def to_spark(self) -> SparkDF:
         return self._sdf.select(*self.columns)

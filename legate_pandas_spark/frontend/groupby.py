@@ -67,6 +67,7 @@ class GroupBy:
         self._keys = keys
         self._as_index = as_index
         self._sort = sort
+        self._dropna = dropna
 
     def _finish(self, sdf):
         from legate_pandas_spark.frontend.frame import DataFrame
@@ -74,7 +75,14 @@ class GroupBy:
         if self._sort:
             sdf = sdf.orderBy(*[F.asc(k) for k in self._keys])
         index = tuple(self._keys) if self._as_index else ()
-        return DataFrame(sdf, index)
+        out = DataFrame(sdf, index)
+        if self._dropna:
+            # null group keys were filtered: the output key columns are
+            # provably null-free — downstream merges on them can use plain
+            # equality and reuse this aggregate's hash(k) exchange (see
+            # DataFrame._nonnull_cols)
+            out._nonnull_cols = frozenset(self._keys)
+        return out
 
     def agg(self, spec=None, **named) -> "DataFrame":
         """dict spec ({col: op|[ops]}), a single op name, or pandas named

@@ -134,6 +134,7 @@ class LocIndexer:
         val = value._col if isinstance(value, Series) else F.lit(value)
         base = F.col(col) if col in self._df._sdf.columns else F.lit(None)
         self._df._sdf = self._df._sdf.withColumn(col, F.when(cond, val).otherwise(base))
+        self._df._nonnull_cols = self._df._nonnull_cols - {col}
 
 
 class ILocIndexer:
@@ -242,6 +243,7 @@ class AtIndexer:
             df._sdf = with_pos.withColumn(
                 name, F.when(F.col("__pos__") == row, F.lit(value)).otherwise(F.col(name))
             ).drop("__pos__")
+            df._nonnull_cols = df._nonnull_cols - {name}
         else:
             name = col
             idx = df._index[0] if df._index else None
@@ -250,3 +252,4 @@ class AtIndexer:
             df._sdf = df._sdf.withColumn(
                 name, F.when(F.col(idx) == F.lit(row), F.lit(value)).otherwise(F.col(name))
             )
+            df._nonnull_cols = df._nonnull_cols - {name}

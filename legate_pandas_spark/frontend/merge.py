@@ -40,6 +40,7 @@ def merge(
     right_index: bool = False,
     suffixes: tuple[str, str] = ("_x", "_y"),
     broadcast: bool = False,
+    method: str | None = None,
     indicator: bool = False,
     validate: str | None = None,
 ):
@@ -124,24 +125,46 @@ def merge(
         # pandas indicator: presence markers survive the outer join as flags
         lsdf = lsdf.withColumn("__from_left__", F.lit(True))
         rsdf = rsdf.withColumn("__from_right__", F.lit(True))
-    if broadcast:
-        # reference method='broadcast' (core/merge.py:639-643) → Catalyst hint
+    # reference merge method= (core/merge.py:85-92 JoinVariantCode HASH |
+    # BROADCAST, default HASH): 'broadcast' replicates the right side;
+    # 'hash' FORCES the partitioned path, overriding Catalyst's broadcast
+    # cost-model pick — useful when the right side is dimension-sized but a
+    # chain of nested broadcast builds would serialize on the driver
+    # (measured 2.3x on the mortgage everdf chain, SCALE.md round 7).
+    if method not in (None, "hash", "broadcast"):
+        raise ValueError(f"invalid merge method: {method!r}")
+    if broadcast or method == "broadcast":
         rsdf = F.broadcast(rsdf)
+    elif method == "hash":
+        rsdf = rsdf.hint("SHUFFLE_MERGE")
 
+    lflags = getattr(left, "_nonnull_cols", frozenset())
+    rflags = getattr(right, "_nonnull_cols", frozenset())
     if how == "cross":
         joined = lsdf.crossJoin(rsdf)
     else:
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            # pandas matches NaN keys to each other (reference
-            # df_merge_with_null tests this against real pandas) — null-safe
-            # equality, still a hash-joinable equi-key in Spark
-            c = lsdf[lk].eqNullSafe(rsdf[rpref + rk])
+            if lk in lflags or rk in rflags:
+                # either side is provably null-free on this key, so plain
+                # equality ≡ null-safe (a null can only match another null).
+                # Plain keys hash-partition as hash(k) — Catalyst reuses an
+                # upstream groupby's exchange instead of re-shuffling on
+                # (coalesce(k), isnull(k)), the facade analog of the
+                # reference's partition-key reuse (core/merge.py:296-354).
+                c = lsdf[lk] == rsdf[rpref + rk]
+            else:
+                # pandas matches NaN keys to each other (reference
+                # df_merge_with_null tests this against real pandas) —
+                # null-safe equality, still a hash-joinable equi-key in Spark
+                c = lsdf[lk].eqNullSafe(rsdf[rpref + rk])
             cond = c if cond is None else (cond & c)
         joined = lsdf.join(rsdf, cond, _HOW_MAP[how])
 
     if how in ("semi", "anti"):
-        return DataFrame(joined, left._index)
+        out = DataFrame(joined, left._index)
+        out._nonnull_cols = frozenset(lflags)
+        return out
 
     # ---- output projection: pandas naming / ordering ----------------------
     out_cols = []
@@ -179,6 +202,25 @@ def merge(
     # merge result gets a fresh RangeIndex unless joining on index)
     out_index = tuple(left._index) if (left_index and right_index) else ()
     out = DataFrame(joined.select(*out_cols), out_index)
+    # propagate non-null guarantees: a surviving side's columns keep their
+    # values (left under left/inner, right under right/inner); the other
+    # side's columns may be nulled by non-matches. Outer propagates nothing.
+    out_flags = set()
+    if how in ("inner", "left", "cross"):
+        for c in lcols:
+            if c in lflags and not (c in lkey_shared and how in ("outer", "right")):
+                out_flags.add(c + suffixes[0] if c in collisions else c)
+    if how in ("inner", "right", "cross"):
+        for c in rcols:
+            if c in rflags and c not in rkey_shared:
+                out_flags.add(c + suffixes[1] if c in collisions else c)
+        # shared keys are emitted from the left expr; under inner the matched
+        # values equal the right side's (non-null if the right key is
+        # flagged); under right they coalesce to the right side's value
+        for lk, rk, sh in zip(lkeys, rkeys, shared_key):
+            if sh and rk in rflags:
+                out_flags.add(lk)
+    out._nonnull_cols = frozenset(out_flags)
     # categorical dtype survives the merge on columns that keep their name
     # (pandas: shared categorical keys stay categorical)
     lmeta = getattr(left, "_cat_meta", {})

@@ -232,6 +232,12 @@ class Series:
         sdf = self._frame._ordered_sdf().select(
             F.col(ROW_ORDER), self._col.alias(name)
         )
+        if repeats == 0:
+            # sequence(0, -1) would emit [0, -1] (default step -1) and
+            # duplicate every element; pandas returns an empty Series.
+            from legate_pandas_spark.frontend.frame import DataFrame as _DF
+
+            return _DF(sdf.filter(F.lit(False)), ())[name]
         rep = sdf.select(
             F.col(ROW_ORDER),
             name,

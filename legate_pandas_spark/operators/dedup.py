@@ -192,14 +192,62 @@ _SQL_LSH_PAIRS = f"""
 
 @query("dedup_minhash_lsh", oracle=_SQL_LSH_PAIRS)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
+    """Near-duplicate pairs via MinHash LSH with exact Jaccard verification,
+    guarded against hot band buckets (round-7 verdict item #2).
 
-    Pipeline: signatures → 4 bands of 2 hashes → self-join per band (candidates
-    only collide on identical band keys, bounding the pair count) → exact 3-gram
-    Jaccard ≥ 0.8 on candidates. The expensive verification only touches the
-    LSH-surfaced pairs — this is the 100 TB scale path (O(n) + O(collisions))."""
+    Pipeline: shingle-set IDENTITY grouping → signatures over one
+    REPRESENTATIVE per identity group → 4 bands of 2 hashes → self-join per
+    band → exact 3-gram Jaccard ≥ 0.8 on rep candidates → expand group pairs
+    back to doc pairs.
+
+    The hot-band failure mode is k near-identical docs sharing a band bucket:
+    the band self-join then emits k² candidate pairs and the verification
+    join re-intersects the same two shingle sets k² times. But identical
+    shingle SETS are exactly what makes a bucket hot, and MinHash signatures,
+    band keys, candidacy, and Jaccard are all pure functions of the shingle
+    set — so docs are first grouped by set identity (count + sum + bit_xor of
+    xxhash64(shingle), one map-side-combinable aggregate) and the entire LSH
+    pipeline runs on one representative per group: candidate and verification
+    work drops from O(members²) to O(groups²), without any approximation:
+
+    * within-group pairs have Jaccard exactly 1.0 — emitted directly;
+    * a cross-group doc pair is a band candidate iff its rep pair is, and has
+      the same Jaccard — rep pairs are verified exactly, then expanded to
+      member pairs (the expansion rows ARE the answer, so the output is
+      bit-identical to the unguarded form; pinned by the adversarial
+      clone-corpus test and the unchanged DuckDB oracle).
+
+    The identity key is (count, sum mod 2³¹, xor) of 64-bit shingle hashes — a
+    collision needs all three to agree across different sets; the oracle gate
+    would surface one as a 1.0-Jaccard mismatch."""
+    return _lsh_pairs_guarded(spark, sf_dir)
+
+
+def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     sh = _doc_shingles(spark, sf_dir, persist=True)
-    mh = _minhash_signatures(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle-set identity per doc: one aggregate (shingles are per-doc
+    # distinct by construction, so the multiset IS the set). sum is taken
+    # mod 2^31 to stay ANSI-overflow-safe at any doc count.
+    hv = F.xxhash64("s")
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(hv, F.lit(2**31))).alias("_hsum"),
+        F.bit_xor(hv).alias("_hxor"),
+    )
+    w = Window.partitionBy("n", "_hsum", "_hxor")
+    # one aggregate serves both identity grouping AND the set sizes the
+    # Jaccard verification needs (n travels with the membership row)
+    members = stats.select(
+        "doc_id", "n", F.min("doc_id").over(w).alias("gid")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = members.filter(F.col("doc_id") == F.col("gid")).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    shr = sh.join(reps, sh["doc_id"] == reps["rep_id"], "left_semi")
+
+    mh = _minhash_signatures(shr).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _band_table(mh)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -213,23 +261,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = members.filter(F.col("doc_id") == F.col("gid")).select("doc_id", "n")
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(shr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sh.alias("sb"),
+            shr.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
-    return (
+    rep_pairs = (
         inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
+            F.round(jac, 4).alias("jaccard"),
+        )
     )
+    # expand rep pairs to member pairs; groups are disjoint so each doc pair
+    # appears exactly once (gid pairs are unordered-unique via rep_a < rep_b)
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    cross = (
+        rep_pairs.join(ma, F.col("ga") == F.col("ma.gid"))
+        .join(mb, F.col("gb") == F.col("mb.gid"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma.gid") == F.col("mb.gid"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _SQL_CONNECTED = f"""

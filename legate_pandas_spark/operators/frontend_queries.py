@@ -815,7 +815,15 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf["status"] = (perf["l_quantity"] / 10).astype("int64")
     # perf feeds ever + 3 delinq aggregates + the joined frame: persist the
     # projected slice once (the reference's eager execution materializes it
-    # implicitly; our lazy plan would re-scan lineitem 5x)
+    # implicitly; our lazy plan would re-scan lineitem 5x). Hash-partition it
+    # on the loan key FIRST (the reference tracks `_partition_keys`,
+    # core/table.py:222-268, and reuses them across its 7 merges /
+    # 16 groupbys, core/merge.py:296-354): every downstream loan-keyed
+    # groupby and merge — and, via subset-clustering, the
+    # (loan, josh_mody_n, y) month aggregate and the (loan, year, month)
+    # combine merge — then satisfies its distribution requirement from this
+    # ONE cached exchange, so EnsureRequirements adds no further shuffle on
+    # the perf lineage.
     perf.persist()
 
     ever = (
@@ -835,12 +843,12 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.rename(columns={"l_shipdate": name})
 
     delinq = first_at(1, "delinquency_30")
-    delinq = delinq.merge(first_at(3, "delinquency_90"), on="l_orderkey", how="left")
+    delinq = delinq.merge(first_at(3, "delinquency_90"), on="l_orderkey", how="left", method="hash")
     delinq["delinquency_90"] = delinq["delinquency_90"].fillna(default_ts)
-    delinq = delinq.merge(first_at(5, "delinquency_180"), on="l_orderkey", how="left")
+    delinq = delinq.merge(first_at(5, "delinquency_180"), on="l_orderkey", how="left", method="hash")
     delinq["delinquency_180"] = delinq["delinquency_180"].fillna(default_ts)
 
-    everdf = ever.merge(delinq, on="l_orderkey", how="left")
+    everdf = ever.merge(delinq, on="l_orderkey", how="left", method="hash")
     for c in ("delinquency_30", "delinquency_90", "delinquency_180"):
         everdf[c] = everdf[c].fillna(default_ts)
 
@@ -848,14 +856,22 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined["timestamp_year"] = joined["l_shipdate"].dt.year.astype("int64")
     joined["timestamp_month"] = joined["l_shipdate"].dt.month.astype("int64")
     joined = joined.drop(columns=["l_shipdate"])
-    joined = joined.merge(everdf, on="l_orderkey", how="left")
+    joined = joined.merge(everdf, on="l_orderkey", how="left", method="hash")
     for c in ("ever_30", "ever_90", "ever_180"):
         joined[c] = joined[c].fillna(-1).astype("int32")
     joined["delinquency_30"] = joined["delinquency_30"].fillna(default_ts)
     joined["delinquency_12"] = joined["status"]
     joined["upb_12"] = joined["l_extendedprice"]
     # joined feeds the 12 month-bucket aggregates AND the combine merge —
-    # 13 consumers of one lineitem-sized frame
+    # 13 consumers of one lineitem-sized frame. No explicit repartition: an
+    # A/B at sf0.1 (SCALE.md round-7 note) measured repartition_by(loan) on
+    # perf at 3.17s and on joined at 2.6-3.1s vs 2.57-2.75s baseline —
+    # Catalyst already supplies the reference's `_partition_keys` reuse
+    # (core/table.py:222-268): when the everdf side is too big to broadcast,
+    # the SMJ output IS hash(loan) and every downstream loan-keyed
+    # groupby/merge reuses it (with requireAllClusterKeysForCoPartition=false
+    # in session.py, subset-key joins reuse it too); when AQE broadcasts, the
+    # shuffle disappears entirely, so a forced exchange only adds cost.
     joined.persist()
 
     # Month-bucket loop, FUSED (round 6): the reference runs 12 iterations of

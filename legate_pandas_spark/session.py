@@ -30,6 +30,12 @@ _TUNED_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "32",
+    # let a join reuse children already hash-partitioned on a SUBSET of its
+    # keys (e.g. the mortgage combine merge on (loan, year, month) over two
+    # frames both hash(loan)) instead of re-exchanging both sides — the
+    # Catalyst analog of the reference's tracked `_partition_keys` reuse
+    # (reference core/table.py:222-268, core/merge.py:296-354)
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # timestamps in the testdata are naive wall times stored as UTC-epoch
     # nanos; rendering/extraction must not shift with the host timezone
     "spark.sql.session.timeZone": "UTC",
@@ -62,6 +68,7 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
         # local[k] test scale: 200 default shuffle partitions is pure overhead
         "spark.sql.shuffle.partitions": "32",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
         "spark.sql.session.timeZone": "UTC",
     }
     for k, v in settings.items():

@@ -39,7 +39,7 @@ def test_dt_floor_strftime(spark):
     )
     pdf = pd.DataFrame({"ts": ts})
     ldf = lps.from_pandas(pdf, spark=spark)
-    got = ldf["ts"].dt.floor("H").to_pandas()
+    got = ldf["ts"].dt.floor("h").to_pandas()
     want = pdf["ts"].dt.floor("h")
     pd.testing.assert_series_equal(got, want, check_names=False)
     got_s = ldf["ts"].dt.strftime("%Y-%m-%d %H:%M").to_pandas()

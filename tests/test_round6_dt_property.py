@@ -52,7 +52,7 @@ def test_dt_fields_match_pandas(spark, seed):
 
 
 @settings(max_examples=10, deadline=None)
-@given(st.integers(0, 10_000), st.sampled_from(["D", "H", "min"]))
+@given(st.integers(0, 10_000), st.sampled_from(["D", "h", "min"]))
 def test_dt_floor_matches_pandas(spark, seed, freq):
     ps = _ts_series(seed)
     s = lps.from_pandas(ps.to_frame("ts"), spark=spark)["ts"]
