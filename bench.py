@@ -96,6 +96,8 @@ HEADLINE = [
     "pagerank_two_iter",
     "merge_micro_padded_strings",
     "sort_micro_checksum",
+    # round 7: sketch percentile production path
+    "percentile_approx_stats",
     # round 6: incremental ingest loop + exact-substring decontamination
     "dedup_incremental_shard",
     "decontaminate_exact_substring",
@@ -105,7 +107,46 @@ HEADLINE = [
 ]
 
 
+def _other_spark_jvms() -> list[str]:
+    """Other live Spark JVMs on this box (concurrent pytest/oracle runs
+    invalidated the round-6 bench artifact — ROUND_NOTES gotcha #3)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-af", "org.apache.spark.deploy.SparkSubmit"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+    except Exception:
+        return []
+    me = str(os.getpid())
+    procs = []
+    for line in out.strip().splitlines():
+        pid = line.split()[0]
+        if pid == me:
+            continue
+        # skip our own child JVM (it has our pid as its parent)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = f.read().split()[3]
+            if ppid == me:
+                continue
+        except OSError:
+            continue
+        procs.append(line[:120])
+    return procs
+
+
 def main() -> int:
+    others = _other_spark_jvms()
+    if others and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        print(
+            "bench: refusing to run — other Spark JVMs are live (timings would "
+            "be load-contaminated). Set SPARK_GRAFT_BENCH_FORCE=1 to override.\n"
+            + "\n".join(others),
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from legate_pandas_spark.operators import QUERIES, load_all
     from legate_pandas_spark.session import get_spark

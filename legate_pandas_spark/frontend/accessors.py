@@ -349,6 +349,39 @@ class StringMethods:
         )
         return DataFrame(sdf, frame._index)
 
+    def get_dummies(self, sep: str = "|"):
+        """One-hot indicator frame from sep-delimited values (pandas
+        str.get_dummies): one column per distinct token, sorted; a null
+        string yields all-zero row. Only the DISTINCT token dictionary
+        reaches the driver (it must become the column schema — same bounded
+        collect as module get_dummies, frontend/encode.py); the indicators
+        are pure per-row array_contains expressions."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        frame = self._s._frame
+        import re as _re
+
+        arr = F.split(self._s._col, _re.escape(sep))
+        toks = sorted(
+            r["__t__"]
+            for r in frame._sdf.select(F.explode(arr).alias("__t__"))
+            .filter(F.col("__t__") != "")
+            .distinct()
+            .collect()
+        )
+        sdf0 = frame._ordered_sdf()
+        keep = list(frame._index) + [
+            c for c in sdf0.columns if c.startswith("__") and c.endswith("__")
+        ]
+        sdf = sdf0.select(
+            *[F.col(c) for c in keep],
+            *[
+                F.when(F.array_contains(arr, t), 1).otherwise(0).alias(t)
+                for t in toks
+            ],
+        )
+        return DataFrame(sdf, frame._index)
+
     def get(self, i: int):
         """Element i of an array/split value (null when absent)."""
         return self._wrap(F.get(self._s._col, i))

@@ -2092,13 +2092,64 @@ class DataFrame:
             raise ValueError("Index contains duplicate entries, cannot reshape")
         return pivot_table(self, values, index, columns, aggfunc="first")
 
-    def explode(self, column: str) -> "DataFrame":
+    def explode(self, column) -> "DataFrame":
         """One row per array element (pandas explode; empty/null arrays keep a
-        null row, matching pandas)."""
+        null row, matching pandas). A LIST of columns explodes them zipped
+        (pandas multi-column explode): element counts must match per row —
+        mismatches raise ValueError like pandas. The check is one
+        short-circuiting aggregate (limit-1 probe); the explode itself is
+        arrays_zip + one generator, row-parallel at any scale."""
+        if isinstance(column, (list, tuple)):
+            cols = list(column)
+            if len(cols) == 1:
+                return self.explode(cols[0])
+            sizes = [
+                F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.size(c))
+                for c in cols
+            ]
+            mismatch = None
+            for s in sizes[1:]:
+                m = s != sizes[0]
+                mismatch = m if mismatch is None else (mismatch | m)
+            if bool(self._sdf.filter(mismatch).limit(1).count()):
+                raise ValueError("columns must have matching element counts")
+            others = [c for c in self._sdf.columns if c not in cols]
+            zipped = self._sdf.select(
+                *others, F.explode_outer(F.arrays_zip(*cols)).alias("__z__")
+            )
+            return self._replace(
+                zipped.select(
+                    *others, *[F.col(f"__z__.{c}").alias(c) for c in cols]
+                )
+            )
         others = [c for c in self._sdf.columns if c != column]
         return self._replace(
             self._sdf.select(*others, F.explode_outer(column).alias(column))
         )
+
+    def convert_dtypes(self) -> "DataFrame":
+        """pandas convert_dtypes, restricted to the inference that changes
+        values' storage type here: float columns whose non-null values are
+        all integral become bigint (pandas → Int64; nulls stay null — Spark
+        columns are nullable natively, so no masked-array machinery needed).
+        Strings/bools/ints are already their best types. One probe aggregate
+        over all float columns decides every cast (single job)."""
+        floats = [c for c, t in self.dtypes.items() if t in ("float", "double")]
+        if not floats:
+            return self.copy()
+        probe = self._sdf.agg(
+            *[
+                F.max(
+                    F.when(F.col(c) != F.round(F.col(c)), F.lit(1)).otherwise(0)
+                ).alias(c)
+                for c in floats
+            ]
+        ).first()
+        out = self._sdf
+        for c in floats:
+            if not probe[c]:  # all non-null values integral (or all null)
+                out = out.withColumn(c, F.col(c).cast("bigint"))
+        return self._replace(out)
 
     def duplicated(self, subset=None, keep: str | bool = "first"):
         """Boolean Series marking duplicate rows (reference dedup keep

@@ -35,6 +35,33 @@ from legate_pandas_spark.frontend.indexing import _PID_BITS, _attach_positions
 _seq = itertools.count()
 
 
+def _stabilize(sdf):
+    """Materialize a multi-job scan input once when recomputing it is
+    expensive (round-7: pd_global_rank_rolling profiling).
+
+    The two-phase machinery (rank buckets, position offsets, carries) runs
+    2-3 driver-blocking jobs plus the final stage over the SAME input. When
+    that input's lineage contains a Sort/Join/Window — e.g. the post-
+    `sort_values` frame, whose orderBy re-runs its range-partitioner SAMPLING
+    job on every execution — each phase replays the whole chain (measured:
+    the rank counts job alone cost 1.1s on a 5k-row frame). A lazy
+    localCheckpoint materializes the frame into executor-local blocks on the
+    first phase job; later phases read the blocks. Cheap lineages (pruned
+    parquet scans) are NOT checkpointed — re-scanning a pruned column beats
+    materializing the full width once."""
+    try:
+        plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return sdf
+    if any(k in plan for k in ("Sort ", "Join ", "Window ", "LogicalRDD")):
+        if "LogicalRDD" in plan and not any(
+            k in plan for k in ("Sort ", "Join ", "Window ")
+        ):
+            return sdf  # already checkpoint-backed
+        return sdf.localCheckpoint(eager=False)
+    return sdf
+
+
 def _pid():
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
@@ -59,6 +86,7 @@ def attach_carries(sdf, specs: dict, reverse: bool = False):
     (FOLLOWING when ``reverse``), null when none have data. All specs share
     one phase-1 aggregate job.
     """
+    sdf = _stabilize(sdf)
     agg_df = (
         sdf.groupBy(_pid().alias("__pid__"))
         .agg(*[e.alias(n) for n, (e, _) in specs.items()])
@@ -256,6 +284,7 @@ def rank_column(
     """
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
+    sdf = _stabilize(sdf)
     bounds = _rank_boundaries(sdf, c)
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
@@ -265,14 +294,16 @@ def rank_column(
     uniq = next(_seq)
     bkt = f"__rb_{uniq}__"
     bsdf = sdf.withColumn(bkt, F.when(c.isNotNull(), bucket))
-    counts = (
-        bsdf.groupBy(bkt)
-        .agg(
-            F.count(F.lit(1)).alias("__n__"),
-            F.countDistinct(c).alias("__d__"),
-        )
-        .collect()
+    # the per-bucket DISTINCT count is only consumed by dense-rank offsets /
+    # dense pct normalization; countDistinct forces an Expand + second
+    # shuffle, so skip it for the other methods (round-7 profiling: it
+    # doubled the phase-1 job cost)
+    need_d = method == "dense" or (pct and method == "dense")
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    aggs.append(
+        F.countDistinct(c).alias("__d__") if need_d else F.lit(0).alias("__d__")
     )
+    counts = bsdf.groupBy(bkt).agg(*aggs).collect()
     null_n = sum(r["__n__"] for r in counts if r[bkt] is None)
     counts = [r for r in counts if r[bkt] is not None]
     counts.sort(key=lambda r: r[bkt], reverse=not ascending)
@@ -902,6 +933,8 @@ def rolling_parts(sdf, k: int, fresh: bool):
 
     uniq = next(_seq)
     POS, TGT, GH = f"__rwp_{uniq}__", f"__rwt_{uniq}__", f"__rwg_{uniq}__"
+    # the offsets job, the main branch, AND the ghost branch all consume sdf
+    sdf = _stabilize(sdf)
     with_pos, _total, triples = _attach_positions(
         sdf, fresh, pos_name=POS, with_offsets=True
     )

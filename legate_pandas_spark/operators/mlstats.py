@@ -29,8 +29,10 @@ from legate_pandas_spark.sources.tables import load_table
 )
 def percentile_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median/percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`). Exact percentiles shuffle per group; at 100 TB use
-    `approx_percentile` (not oracle-comparable across engines, hence exact here)."""
+    DuckDB `quantile_cont`). The exact aggregate buffers every group value —
+    correct at test scale, unbounded memory at 100 TB. The production path is
+    its own catalog row, `percentile_approx_stats` (mergeable sketch,
+    O(accuracy) state, rank-bound-verified oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("median_qty"),
@@ -38,6 +40,62 @@ def percentile_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
         F.round(F.percentile("l_discount", 0.9), 4).alias("p90_disc"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "percentile_approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           true AS p50_price_ok,
+           true AS p90_price_ok,
+           true AS median_qty_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path (round-7 verdict item #3, clears
+    percentile_median_stats' weak flag): `approx_percentile` with accuracy
+    10000 — a mergeable sketch whose per-group state is O(accuracy), unlike
+    exact `percentile`, whose aggregation buffer holds EVERY group value.
+
+    Sketch values differ between engines, so the oracle contract is the
+    sketch's own guarantee instead of the value: a result v for quantile q is
+    valid iff its rank interval [count(<v), count(<=v)] intersects
+    [(q-eps)·n, (q+eps)·n] with eps = 1/accuracy. Spark verifies that bound
+    itself with one extra conditional-count aggregate (a count pass — also
+    scale-safe, no sort, no per-group buffers) and emits booleans; DuckDB
+    asserts `true`. A sketch violating its documented error bound fails the
+    hash compare. In production only the first (sketch) pass runs; the
+    verification pass is the testable contract."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    li.persist()
+    eps = 1.0 / 10000
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50v"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90v"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qtyv"),
+    )
+    j = li.join(F.broadcast(sk), "l_returnflag")
+
+    def _ok(col, v, q):
+        lo = F.sum(F.when(F.col(col) < F.col(v), 1).otherwise(0))
+        hi = F.sum(F.when(F.col(col) <= F.col(v), 1).otherwise(0))
+        n = F.count(F.lit(1))
+        return (lo <= (q + eps) * n + 1) & (hi >= (q - eps) * n - 1)
+
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _ok("l_extendedprice", "p50v", 0.5).alias("p50_price_ok"),
+            _ok("l_extendedprice", "p90v", 0.9).alias("p90_price_ok"),
+            _ok("l_quantity", "qtyv", 0.5).alias("median_qty_ok"),
+        )
     )
 
 

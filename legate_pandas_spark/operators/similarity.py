@@ -333,45 +333,131 @@ def ivf_topk(
     """,
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, blocked by label: the pairwise
-    cosine comparison runs only WITHIN each block (the standard scale pattern —
-    block on a cheap key, compare within blocks), surfacing the top-5 most
-    similar pairs per block. With a real near-dup corpus the window filter
-    becomes a `cosine_sim >= threshold` predicate on the same plan."""
+    """Embedding-cosine near-duplicate detection, blocked by label, guarded
+    against identical-vector skew (round-7 verdict item #4).
+
+    The naive form self-joins each label block (top-5 most-similar pairs per
+    block); k copies of one embedding then cost k² comparisons. Cosine is a
+    pure function of the two vectors, so vectors are first collapsed into
+    IDENTITY GROUPS (groupBy the embedding array itself — no hashing, no
+    collision risk) and the pairwise stage runs on one representative per
+    group: O(groups²) per block. The exact top-5 is reconstructed from group
+    pairs without materializing member pairs:
+
+    * per-label threshold: group pairs ordered by cosine desc, cumulative
+      member-pair counts (|A|·|B| cross, C(|A|,2) within) find the cosine at
+      which 5 pairs are covered; only group pairs at or above it expand;
+    * bounded expansion: a member pair ranked by (vec_a, vec_b) is dominated
+      by any pair that swaps in a smaller id from the same group, so only the
+      6 smallest ids per group can reach the global top-5 — each kept group
+      pair expands to ≤36 candidate rows, then the final window re-ranks and
+      cuts 5.
+
+    Members of a group share the exact same doubles, so the rep cosine is
+    bit-identical to every member pair's — output matches the unguarded form
+    and the unchanged DuckDB oracle (pinned by the adversarial clone test).
+    For near-identical-but-DISTINCT vectors, exact top-k is inherently
+    pairwise; the approximate production paths are the ANN/LSH/IVF rows."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # per-vector norm computed ONCE before pairing — inside the pair stage it
-    # would be recomputed per pair (block_size× redundant work; same fix as
-    # semdedup's assignment stage)
-    normed = emb.select(
-        "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    wg = Window.partitionBy("label", "embedding")
+    full = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.min("vec_id").over(wg).alias("gid"),
+        F.count(F.lit(1)).over(wg).alias("gsz"),
+    )
+    wr = Window.partitionBy("label", "gid").orderBy("vec_id")
+    full = full.withColumn("_mrk", F.row_number().over(wr)).persist()
+    mem = full.select("label", "vec_id", "gid", "_mrk")
+
+    reps = full.filter(F.col("vec_id") == F.col("gid")).select(
+        "label", "gid", "embedding", "gsz"
+    )
+    normed = reps.select(
+        "label", "gid", "embedding", "gsz", _norm(F.col("embedding")).alias("nrm")
     )
     a = normed.select(
         "label",
-        F.col("vec_id").alias("vec_a"),
+        F.col("gid").alias("ga"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
+        F.col("gsz").alias("sza"),
     )
     b = normed.select(
         F.col("label").alias("_lb"),
-        F.col("vec_id").alias("vec_b"),
+        F.col("gid").alias("gb"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
+        F.col("gsz").alias("szb"),
     )
-    pairs = a.join(
-        b, (F.col("label") == F.col("_lb")) & (F.col("vec_a") < F.col("vec_b"))
+    cross_g = a.join(
+        b, (F.col("label") == F.col("_lb")) & (F.col("ga") < F.col("gb"))
     ).select(
         "label",
-        "vec_a",
-        "vec_b",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
-        ).alias("cosine_sim"),
+        "ga",
+        "gb",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias(
+            "cosine_sim"
+        ),
+        (F.col("sza") * F.col("szb")).alias("npairs"),
     )
-    w = Window.partitionBy("label").orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
+    self_g = normed.filter(F.col("gsz") >= 2).select(
+        "label",
+        F.col("gid").alias("ga"),
+        F.col("gid").alias("gb"),
+        F.round(
+            _dot(F.col("embedding"), F.col("embedding")) / (F.col("nrm") * F.col("nrm")),
+            4,
+        ).alias("cosine_sim"),
+        (F.col("gsz") * (F.col("gsz") - 1) / 2).cast("long").alias("npairs"),
+    )
+    gp = cross_g.unionByName(self_g)
+
+    wcum = (
+        Window.partitionBy("label")
+        .orderBy(F.desc("cosine_sim"), F.asc("ga"), F.asc("gb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlab = Window.partitionBy("label")
+    gp = gp.withColumn("_cum", F.sum("npairs").over(wcum))
+    # cosine of the first group pair at which 5 member pairs are covered; keep
+    # every group pair at or above it (whole tie bands stay intact)
+    gp = gp.withColumn(
+        "_thresh",
+        F.max(F.when(F.col("_cum") >= 5, F.col("cosine_sim"))).over(wlab),
+    )
+    kept = gp.filter(
+        F.col("_thresh").isNull() | (F.col("cosine_sim") >= F.col("_thresh"))
+    ).select("label", "ga", "gb", "cosine_sim")
+
+    small = mem.filter(F.col("_mrk") <= 6).select(
+        F.col("label").alias("_ml"), F.col("gid").alias("_mg"), F.col("vec_id")
+    )
+    ma = small.alias("ma")
+    mb = small.alias("mb")
+    expanded = (
+        kept.join(
+            ma, (F.col("label") == F.col("ma._ml")) & (F.col("ga") == F.col("ma._mg"))
+        )
+        .join(
+            mb, (F.col("label") == F.col("mb._ml")) & (F.col("gb") == F.col("mb._mg"))
+        )
+        .filter((F.col("ga") < F.col("gb")) | (F.col("ma.vec_id") < F.col("mb.vec_id")))
+        .select(
+            "label",
+            F.least("ma.vec_id", "mb.vec_id").alias("vec_a"),
+            F.greatest("ma.vec_id", "mb.vec_id").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")
+    )
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
+        expanded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 5)
         .select("label", "vec_a", "vec_b", "cosine_sim")
     )
