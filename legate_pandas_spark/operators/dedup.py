@@ -86,27 +86,44 @@ def _mh_expr(k: int, j: int) -> Column:
     return F.min(F.substring(F.col(f"_h{k}"), 8 * j + 1, 8)).alias(f"mh{4 * k + j}")
 
 
-def _band_table(mh: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key) — N_BANDS bands of 2 minhashes each."""
+def _band_table(mh: DataFrame, carry: list | None = None) -> DataFrame:
+    """(doc_id, band_idx, band_key[, *carry]) — N_BANDS bands of 2 minhashes
+    each. ``carry`` names extra doc-level columns to keep on every band row
+    (set size, shard flags) so downstream joins against doc-level side tables
+    disappear from the candidate path."""
     bands = None
     for b in range(N_BANDS):
         part = mh.select(
             "doc_id",
             F.lit(b).alias("band_idx"),
             F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+            *[F.col(c) for c in (carry or [])],
         )
         bands = part if bands is None else bands.unionByName(part)
     return bands
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """One row per doc with N_MINHASH 8-hex minhashes from a shingle frame."""
+def _minhash_signatures(sh: DataFrame, with_identity: bool = False) -> DataFrame:
+    """One row per doc with N_MINHASH 8-hex minhashes from a shingle frame.
+
+    ``with_identity`` adds the shingle-SET identity key — (n, _hsum, _hxor) of
+    xxhash64(shingle) — to the SAME aggregate, so the round-7 hot-band guards
+    get their grouping for free (one pass over the exploded shingles instead
+    of two; sum mod 2^31 keeps ANSI overflow impossible at any doc size)."""
     hashed = sh.select(
         "doc_id",
         F.md5(F.concat(F.lit("0|"), F.col("s"))).alias("_h0"),
         F.md5(F.concat(F.lit("1|"), F.col("s"))).alias("_h1"),
+        *([F.xxhash64("s").alias("_hv")] if with_identity else []),
     )
-    return hashed.groupBy("doc_id").agg(*[_mh_expr(k, j) for k in (0, 1) for j in range(4)])
+    aggs = [_mh_expr(k, j) for k in (0, 1) for j in range(4)]
+    if with_identity:
+        aggs += [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.col("_hv"), F.lit(2**31))).alias("_hsum"),
+            F.bit_xor(F.col("_hv")).alias("_hxor"),
+        ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 _SQL_MINHASH = f"""
@@ -223,13 +240,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_guarded(spark, sf_dir)
 
 
-def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _identity_members(sh: DataFrame) -> DataFrame:
+    """(doc_id, n, gid): docs grouped by shingle-SET identity — gid is the
+    min doc_id of each identical-set group. One map-side-combinable aggregate
+    (shingles are per-doc distinct by construction, so the multiset IS the
+    set; the sum component is taken mod 2^31 to stay ANSI-overflow-safe at
+    any doc count) + a partitioned window over doc-level rows."""
     from pyspark.sql.window import Window
 
-    sh = _doc_shingles(spark, sf_dir, persist=True)
-    # shingle-set identity per doc: one aggregate (shingles are per-doc
-    # distinct by construction, so the multiset IS the set). sum is taken
-    # mod 2^31 to stay ANSI-overflow-safe at any doc count.
     hv = F.xxhash64("s")
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -237,18 +255,27 @@ def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(hv).alias("_hxor"),
     )
     w = Window.partitionBy("n", "_hsum", "_hxor")
-    # one aggregate serves both identity grouping AND the set sizes the
-    # Jaccard verification needs (n travels with the membership row)
-    members = stats.select(
-        "doc_id", "n", F.min("doc_id").over(w).alias("gid")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    reps = members.filter(F.col("doc_id") == F.col("gid")).select(
-        F.col("doc_id").alias("rep_id")
-    )
-    shr = sh.join(reps, sh["doc_id"] == reps["rep_id"], "left_semi")
+    return stats.select("doc_id", "n", F.min("doc_id").over(w).alias("gid"))
 
-    mh = _minhash_signatures(shr).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _band_table(mh)
+
+def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sh = _doc_shingles(spark, sf_dir, persist=True)
+    # ONE aggregate yields signatures AND the identity key; one doc-level
+    # window stamps gid. The guard's total overhead over the unguarded form
+    # is that window plus the expansion joins — the signature aggregate was
+    # needed anyway.
+    full = _minhash_signatures(sh, with_identity=True)
+    wg = Window.partitionBy("n", "_hsum", "_hxor")
+    full = full.withColumn("gid", F.min("doc_id").over(wg)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    members = full.select("doc_id", "n", "gid")
+    mh = full.filter(F.col("doc_id") == F.col("gid"))
+    # band rows carry the rep's set size, so the Jaccard denominator needs no
+    # doc-level sizes joins — the candidate row IS fully self-describing
+    bands = _band_table(mh, carry=["n"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -258,29 +285,28 @@ def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
-    sizes = members.filter(F.col("doc_id") == F.col("gid")).select("doc_id", "n")
     inter = (
-        cand.join(shr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            shr.alias("sb"),
+            sh.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
-    rep_pairs = (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("doc_a").alias("ga"),
-            F.col("doc_b").alias("gb"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    rep_pairs = inter.filter(jac >= JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("ga"),
+        F.col("doc_b").alias("gb"),
+        F.round(jac, 4).alias("jaccard"),
     )
     # expand rep pairs to member pairs; groups are disjoint so each doc pair
     # appears exactly once (gid pairs are unordered-unique via rep_a < rep_b)
@@ -574,45 +600,83 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
     )
     sh = _doc_shingles(spark, sf_dir, persist=True)  # both shards, one pass
-    mh = _minhash_signatures(sh)
-    bands = _band_table(mh)
-    old_bands = bands.filter(F.col("doc_id") % _INCR_MOD != 0)
 
-    # --- the NEW shard ---
-    new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
-    new_bands = bands.filter(F.col("doc_id") % _INCR_MOD == 0)
+    # hot-band guard (round-7, same discipline as dedup_minhash_lsh): group
+    # docs by shingle-set identity and run the band join on one REP per
+    # group — k_new clones × k_old clones in a hot band cost 1 rep pair,
+    # not k_new·k_old candidates. The output is per-new-doc EXISTENCE, so
+    # the group verdict broadcasts to members directly:
+    #   * a group holding both new and old docs → its new docs are near-dups
+    #     (identical shingle sets, Jaccard exactly 1.0);
+    #   * otherwise a new-doc group is near iff its rep verifies ≥ τ against
+    #     the rep of any old-holding group it band-collides with.
+    from pyspark.sql.window import Window
 
+    # ONE aggregate yields signatures AND the identity key; the doc-level
+    # window stamps gid plus the per-group shard flags in the same pass
+    full = _minhash_signatures(sh, with_identity=True)
+    w = Window.partitionBy("n", "_hsum", "_hxor")
+    full = full.select(
+        "*",
+        F.min("doc_id").over(w).alias("gid"),
+        F.max((F.col("doc_id") % _INCR_MOD != 0).cast("int")).over(w).alias("has_old"),
+        F.max((F.col("doc_id") % _INCR_MOD == 0).cast("int")).over(w).alias("has_new"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    members = full.select("doc_id", "n", "gid")
+    # band rows carry set size + shard flags: the candidate path needs no
+    # doc-level gstats/sizes joins at all
+    bands = _band_table(
+        full.filter(F.col("doc_id") == F.col("gid")),
+        carry=["n", "has_old", "has_new"],
+    )
+    new_g_bands = bands.filter(F.col("has_new") == 1).select(
+        F.col("doc_id").alias("ng"), "band_idx", "band_key", F.col("n").alias("na")
+    )
+    old_g_bands = bands.filter(F.col("has_old") == 1).select(
+        F.col("doc_id").alias("og"),
+        F.col("band_idx").alias("_bi"),
+        F.col("band_key").alias("_bk"),
+        F.col("n").alias("nb"),
+    )
     cand = (
-        new_bands.alias("n")
-        .join(
-            old_bands.alias("o"),
-            (F.col("n.band_idx") == F.col("o.band_idx"))
-            & (F.col("n.band_key") == F.col("o.band_key")),
+        new_g_bands.join(
+            old_g_bands,
+            (F.col("band_idx") == F.col("_bi"))
+            & (F.col("band_key") == F.col("_bk"))
+            & (F.col("ng") != F.col("og")),
         )
-        .select(
-            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
-        )
+        .select("ng", "og", "na", "nb")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        cand.join(sh.alias("sa"), F.col("ng") == F.col("sa.doc_id"))
         .join(
             sh.alias("sb"),
-            (F.col("old_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+            (F.col("og") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
         )
-        .groupBy("new_id", "old_id")
+        .groupBy("ng", "og", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
-    near = (
-        inter.join(sizes.alias("za"), F.col("new_id") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("old_id") == F.col("zb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("new_id")
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    near_groups = (
+        inter.filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("ng").alias("gid"))
+        .unionByName(
+            full.filter(
+                (F.col("doc_id") == F.col("gid"))
+                & (F.col("has_old") == 1)
+                & (F.col("has_new") == 1)
+            ).select("gid")
+        )
         .distinct()
+    )
+    near = (
+        members.join(near_groups, "gid")
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select(F.col("doc_id").alias("new_id"))
         .withColumn("__near__", F.lit(True))
     )
+    new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
     exact = old_dig.withColumn("__exact__", F.lit(True))
     return (
         new_docs.join(exact, "h", "left")

@@ -82,6 +82,40 @@ def test_rep_pipeline_sees_one_doc_per_identity_group(spark, tmp_path):
     assert n_groups == 4  # clone clique + suffix doc + 2 unrelated
 
 
+def test_incremental_shard_adversarial_clones(spark, tmp_path):
+    """Same guard on the shard path: clones split across new/old shards —
+    the group verdict (has_old ∧ has_new ⇒ near) must match the oracle's
+    pairwise band-join semantics exactly."""
+    import os
+
+    import pandas as pd
+
+    from legate_pandas_spark.operators import ORACLES, load_all
+    from legate_pandas_spark.operators.dedup import dedup_incremental_shard
+
+    load_all()
+    clone = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [(i, "en", clone) for i in range(40)]  # ids 0,4,8.. are 'new'
+    rows.append((101, "en", clone + " slightly extended suffix here"))
+    rows.append((104, "en", "unrelated text about catalyst physical planning rules"))
+    docs = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    p = str(tmp_path / "sfshard")
+    os.makedirs(p, exist_ok=True)
+    docs.to_parquet(os.path.join(p, "documents.parquet"), index=False)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = sorted(con.execute(ORACLES["dedup_incremental_shard"]).fetchall())
+    got = sorted(
+        tuple(r) for r in dedup_incremental_shard(spark, p).collect()
+    )
+    assert got == exp
+    # sanity: the clone clique's new docs are exact dups (identical text)
+    assert any(r[1] for r in got)
+
+
 def test_clean_corpus_unchanged(spark, sf_dir, duck):
     """No-clone regression: the guarded form still matches the oracle on the
     real testdata (same check the driver runs)."""
