@@ -64,6 +64,10 @@ QUERIES = [
     "decontaminate_exact_substring",
     "temperature_mixture_sample",
     "split_token_distribution_shift",
+    # round 7
+    "percentile_approx_stats",
+    "dedup_embedding_cosine_blocked",
+    "pd_global_rank_rolling",
 ]
 
 SHIFT_KEYS = {
