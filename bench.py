@@ -96,8 +96,9 @@ HEADLINE = [
     "pagerank_two_iter",
     "merge_micro_padded_strings",
     "sort_micro_checksum",
-    # round 7: sketch percentile production path
+    # round 7: sketch percentile production path + PQ ANN
     "percentile_approx_stats",
+    "ann_pq_topk",
     # round 6: incremental ingest loop + exact-substring decontamination
     "dedup_incremental_shard",
     "decontaminate_exact_substring",

@@ -685,3 +685,165 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rmse"), 6).alias("max_rmse"),
         F.round(F.avg("mx"), 6).alias("avg_absmax"),
     )
+
+
+_PQ_M = 4  # subspaces over the 64-dim embeddings (16 dims each)
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 8  # centroids per subspace
+_PQ_Q = 5  # query vectors (vec_id < _PQ_Q)
+_PQ_TOPK = 5
+
+_SQL_PQ_ANN = f"""
+    WITH unnested AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    u AS (SELECT vec_id, pos, pos // {_PQ_SUB} AS m, v FROM unnested),
+    cent0 AS (
+      SELECT vec_id AS cid, pos, pos // {_PQ_SUB} AS m, v AS c
+      FROM u WHERE vec_id < {_PQ_K}
+    ),
+    d1 AS (
+      SELECT u.vec_id, u.m, c.cid,
+             round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+      FROM u JOIN cent0 c USING (pos)
+      GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT a1.m, a1.cid, u.pos, round(avg(u.v), 6) AS c
+      FROM u JOIN a1 ON u.vec_id = a1.vec_id AND u.m = a1.m
+      GROUP BY 1, 2, 3
+    ),
+    d2 AS (
+      SELECT u.vec_id, u.m, c.cid,
+             round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+      FROM u JOIN cent1 c USING (pos)
+      WHERE u.m = c.m
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT u.vec_id AS qid, u.m, c.cid,
+             round(sum((u.v - c.c) * (u.v - c.c)), 6) AS dq
+      FROM u JOIN cent1 c USING (pos)
+      WHERE u.vec_id < {_PQ_Q} AND u.m = c.m
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT q.qid, x.vec_id, round(sum(q.dq), 6) AS adc_dist
+      FROM codes x JOIN qtab q ON q.m = x.m AND q.cid = x.cid
+      WHERE x.vec_id <> q.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT qid, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc) t
+    WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+@query("ann_pq_topk", oracle=_SQL_PQ_ANN)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the memory-bound 100 TB ANN path.
+
+    Train: the 64-dim embeddings split into M=4 16-dim subspaces; per
+    subspace an 8-centroid codebook from ONE deterministic Lloyd iteration
+    (init = the first 8 vectors' subvectors — the same fixed-seed discipline
+    as kmeans_two_rounds). Encode: each vector becomes M codes (argmin
+    centroid per subspace) — 4 small ints instead of 64 floats, a 64×
+    compression of the search structure. Query: asymmetric distance — the
+    query's exact distance to every centroid per subspace is a Q×M×K lookup
+    table (160 rows, broadcast); a candidate's approximate distance is M
+    table lookups summed, NO vector math per candidate. Top-5 per query,
+    self excluded.
+
+    Determinism contract (oracle-checked even though iterative + float):
+    distances and centroids round at 6dp, every argmin and the final top-k
+    tiebreak on cid/vec_id — the kmeans_two_rounds pattern.
+
+    100 TB shape: training is two broadcast-join + partial-agg passes;
+    encoding is linear and the codes table is what production persists
+    (bytes per vector); ADC search is one broadcast hash join of the tiny
+    lookup table against codes + one partial-aggregatable sum — the scan
+    never touches the raw embedding column at query time (column pruning
+    drops it). Window for top-k partitions by query id (parallel across the
+    query batch, same shape as ann_multi_query_topk)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        "pos",
+        (F.col("pos") / _PQ_SUB).cast("int").alias("m"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    u = u.persist()
+
+    cent0 = u.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "pos", "m", F.col("v").alias("c")
+    )
+
+    def assign(cent):
+        d = (
+            u.join(F.broadcast(cent.drop("m")), "pos")
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+
+    a1 = assign(cent0)
+    cent1 = (
+        u.join(a1, ["vec_id", "m"])
+        .groupBy("m", "cid", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    cent1 = cent1.persist()
+    codes = assign(cent1.select("cid", "pos", "m", "c"))
+
+    qtab = (
+        u.filter(F.col("vec_id") < _PQ_Q)
+        .join(F.broadcast(cent1), ["m", "pos"])
+        .groupBy(F.col("vec_id").alias("qid"), "m", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("dq")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "vec_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -68,6 +68,7 @@ QUERIES = [
     "percentile_approx_stats",
     "dedup_embedding_cosine_blocked",
     "pd_global_rank_rolling",
+    "ann_pq_topk",
 ]
 
 SHIFT_KEYS = {
