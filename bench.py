@@ -99,6 +99,7 @@ HEADLINE = [
     # round 7: sketch percentile production path + PQ ANN
     "percentile_approx_stats",
     "ann_pq_topk",
+    "gopher_quality_rules",
     # round 6: incremental ingest loop + exact-substring decontamination
     "dedup_incremental_shard",
     "decontaminate_exact_substring",

@@ -655,3 +655,132 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > total / float(_HH_INV_SUPPORT))
     )
+
+
+_SQL_GOPHER = """
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS words,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(words) AS n_words,
+             round(list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE)))
+                   / len(words), 4) AS mean_word_len,
+             round(CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE)
+                   / len(words), 4) AS symbol_word_ratio,
+             round(CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+                        AS DOUBLE) / len(lines), 4) AS bullet_line_frac,
+             round(CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                        AS DOUBLE) / len(lines), 4) AS ellipsis_line_frac,
+             round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(words), 4) AS alpha_word_frac
+      FROM w
+    ),
+    rules AS (
+      SELECT doc_id, lang, n_words, mean_word_len, symbol_word_ratio,
+             bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+             (n_words BETWEEN 50 AND 100000)        AS ok_word_count,
+             (mean_word_len BETWEEN 3 AND 10)       AS ok_mean_word_len,
+             (symbol_word_ratio < 0.1)              AS ok_symbol_ratio,
+             (bullet_line_frac < 0.9)               AS ok_bullets,
+             (ellipsis_line_frac < 0.3)             AS ok_ellipsis,
+             (alpha_word_frac > 0.8)                AS ok_alpha_words
+      FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+           CAST(sum(CASE WHEN ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+           CAST(sum(CASE WHEN ok_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol_ratio,
+           CAST(sum(CASE WHEN ok_bullets THEN 1 ELSE 0 END) AS BIGINT) AS pass_bullets,
+           CAST(sum(CASE WHEN ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS pass_ellipsis,
+           CAST(sum(CASE WHEN ok_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha_words,
+           CAST(sum(CASE WHEN ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                         AND ok_bullets AND ok_ellipsis AND ok_alpha_words
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM rules
+    GROUP BY lang
+"""
+
+
+@query("gopher_quality_rules", oracle=_SQL_GOPHER)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    appendix A1.1), per-language pass counts: word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio (# / ellipsis) < 0.1,
+    bullet-started lines < 90%, ellipsis-ended lines < 30%, words with an
+    alphabetic character > 80%.
+
+    Every rule is a pure per-row Catalyst expression over the token/line
+    arrays (zero shuffle until the final per-language count aggregate), so
+    this runs at corpus scale as one linear pass — the same discipline as
+    text_quality_score; the funnel form (per-rule attrition) mirrors
+    quality_filter_funnel's staged report."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_wl = F.round(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+        )
+        / n_words,
+        4,
+    )
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"(#|\.\.\.)"))).cast("double")
+        / n_words,
+        4,
+    )
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+        ).cast("double")
+        / n_lines,
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+        4,
+    )
+    m = docs.select(
+        "lang",
+        n_words.alias("nw"),
+        mean_wl.alias("mwl"),
+        symbol_ratio.alias("sr"),
+        bullet_frac.alias("bf"),
+        ellipsis_frac.alias("ef"),
+        alpha_frac.alias("af"),
+    )
+    ok_wc = F.col("nw").between(50, 100000)
+    ok_mwl = F.col("mwl").between(3, 10)
+    ok_sr = F.col("sr") < 0.1
+    ok_bf = F.col("bf") < 0.9
+    ok_ef = F.col("ef") < 0.3
+    ok_af = F.col("af") > 0.8
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(ok_wc).alias("pass_word_count"),
+        cnt(ok_mwl).alias("pass_mean_word_len"),
+        cnt(ok_sr).alias("pass_symbol_ratio"),
+        cnt(ok_bf).alias("pass_bullets"),
+        cnt(ok_ef).alias("pass_ellipsis"),
+        cnt(ok_af).alias("pass_alpha_words"),
+        cnt(ok_wc & ok_mwl & ok_sr & ok_bf & ok_ef & ok_af).alias("pass_all"),
+    )
