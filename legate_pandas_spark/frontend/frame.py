@@ -352,13 +352,38 @@ class DataFrame:
         if thresh is not None:
             non_null = sum(F.col(c).isNotNull().cast("int") for c in cols)
             return self._replace(self._sdf.filter(non_null >= thresh))
-        return self._replace(self._sdf.dropna(how=how, subset=cols))
+        out = self._replace(self._sdf.dropna(how=how, subset=cols))
+        # values unchanged, rows only removed: existing proofs survive; with
+        # how='any' every surviving row is non-null on EVERY subset column —
+        # new proofs for the merge fast path (see _nonnull_cols)
+        out._nonnull_cols = frozenset(self._nonnull_cols) | (
+            frozenset(cols) if how == "any" else frozenset()
+        )
+        return out
 
     # ------------------------------------------------------------ nulls / casts
     def fillna(self, value) -> "DataFrame":
         if isinstance(value, dict):
-            return self._replace(self._sdf.fillna(value))
-        return self._replace(self._sdf.fillna(value, subset=self.columns))
+            out = self._replace(self._sdf.fillna(value))
+            # a scalar-filled column cannot hold nulls afterwards (Spark
+            # fillna skips type-incompatible columns, so only count a column
+            # proven when the fill value's type family matches)
+            dtypes = dict(self._sdf.dtypes)
+            proven = {
+                c
+                for c, v in value.items()
+                if v is not None and c in dtypes and _fill_applies(dtypes[c], v)
+            }
+            out._nonnull_cols = frozenset(self._nonnull_cols) | proven
+            return out
+        out = self._replace(self._sdf.fillna(value, subset=self.columns))
+        if value is not None:
+            dtypes = dict(self._sdf.dtypes)
+            proven = {
+                c for c in self.columns if _fill_applies(dtypes.get(c, ""), value)
+            }
+            out._nonnull_cols = frozenset(self._nonnull_cols) | proven
+        return out
 
     def isna(self) -> "DataFrame":
         sel = list(self._index) + [F.col(c).isNull().alias(c) for c in self.columns]
@@ -2663,6 +2688,23 @@ class DataFrame:
 
     def __repr__(self) -> str:
         return f"DataFrame[cols={self.columns}, index={list(self._index)}]"
+
+
+_NUMERIC_SPARK = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _fill_applies(spark_type: str, value) -> bool:
+    """Mirror Spark DataFrameNaFunctions.fill applicability: a scalar fill
+    only touches columns whose type family matches the value's (numeric /
+    string / boolean); other columns keep their nulls — so a non-null proof
+    may only be claimed for matching columns."""
+    if isinstance(value, bool):
+        return spark_type == "boolean"
+    if isinstance(value, (int, float)):
+        return spark_type in _NUMERIC_SPARK or spark_type.startswith("decimal")
+    if isinstance(value, str):
+        return spark_type == "string"
+    return False
 
 
 _FREQ_MAP = {"h": "hour", "min": "minute", "t": "minute", "d": "day", "s": "second"}

@@ -107,3 +107,31 @@ def test_groupby_chain_single_exchange_on_key(spark):
     m = l.merge(r, on="k", method="hash")
     exs = _exchanges(m)
     assert len(exs) == 2, exs  # one per aggregate, zero for the join
+
+
+def test_dropna_any_proves_subset_nonnull(spark):
+    import numpy as np
+
+    pdf = pd.DataFrame({"k": [1.0, None, 2.0], "v": [1.0, 2.0, None]})
+    ldf = from_pandas(pdf, spark=spark)
+    d = ldf.dropna(subset=["k"])
+    assert "k" in d._nonnull_cols and "v" not in d._nonnull_cols
+    d_all = ldf.dropna(how="all")
+    assert not d_all._nonnull_cols
+    # correctness with a null-keyed right side stays pandas-exact
+    r = pd.DataFrame({"k": [np.nan, 2.0], "w": [10, 20]})
+    got = d.merge(from_pandas(r, spark=spark), on="k", how="left").to_pandas()
+    exp = pdf.dropna(subset=["k"]).merge(r, on="k", how="left")
+    assert sorted(got["w"].fillna(-1)) == sorted(exp["w"].fillna(-1))
+
+
+def test_fillna_proves_matching_columns_only(spark):
+    pdf = pd.DataFrame({"k": [1.0, None], "s": ["a", None]})
+    ldf = from_pandas(pdf, spark=spark)
+    f = ldf.fillna(0.0)
+    assert "k" in f._nonnull_cols and "s" not in f._nonnull_cols
+    fd = ldf.fillna({"s": "zz"})
+    assert "s" in fd._nonnull_cols and "k" not in fd._nonnull_cols
+    # values right
+    assert f.to_pandas()["k"].tolist() == [1.0, 0.0]
+    assert fd.to_pandas()["s"].tolist() == ["a", "zz"]
