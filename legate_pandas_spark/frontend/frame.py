@@ -2234,21 +2234,26 @@ class DataFrame:
         n: int | None = None,
         random_state: int | None = None,
     ) -> "DataFrame":
-        """Bernoulli row sampling (distributed; deterministic under a seed for
-        a fixed partition layout). ``random_state`` is the pandas spelling of
-        ``seed``.
+        """Row sampling (distributed). ``random_state`` is the pandas
+        spelling of ``seed``.
 
-        Documented divergence (COVERAGE.md): ``n`` draws APPROXIMATELY n rows
-        (Bernoulli at rate n/count), where pandas returns exactly n — an
-        exact-n distributed draw needs a global rank over random keys (a
-        full shuffle); use nlargest/limit when exactness matters."""
+        ``frac`` is Bernoulli (deterministic under a seed for a fixed
+        partition layout). ``n`` draws EXACTLY n rows (round-7; previously a
+        documented approximate-n divergence): each row gets a random key and
+        the n smallest win — TakeOrderedAndProject, per-partition top-n then
+        a driver merge of n-row heads, never a global sort. The drawn SET
+        matches pandas semantics (uniform without replacement), not pandas'
+        exact row sequence."""
         if random_state is not None:
             seed = random_state
         if frac is None:
             if n is None:
                 raise ValueError("sample: pass frac or n")
-            total = self._sdf.count()
-            frac = min(1.0, n / max(total, 1))
+            if replace:
+                raise NotImplementedError("sample(n, replace=True): use frac")
+            r = F.rand(seed) if seed is not None else F.rand()
+            keyed = self._sdf.withColumn("__smpk__", r)
+            return self._replace(keyed.orderBy("__smpk__").limit(n).drop("__smpk__"))
         return self._replace(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
     def reindex(self, index=None, columns=None, fill_value=None) -> "DataFrame":

@@ -921,7 +921,14 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ].merge(testdf, on=["l_orderkey", "timestamp_year", "timestamp_month"], how="left")
 
-    acq = _read(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    # dropna on the acquisition key (a no-op on this data — o_orderkey is the
+    # table's key) PROVES it null-free, so the final merge compiles plain
+    # equality and the big combined side reuses its hash(l_orderkey)
+    # partitioning instead of re-exchanging on the null-safe key shape — the
+    # "declare your keys" idiom a pandas user writes anyway before a big join
+    acq = _read(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]].dropna(
+        subset=["o_orderkey"]
+    )
     final = combined.merge(
         acq, left_on="l_orderkey", right_on="o_orderkey", how="left"
     )

@@ -78,3 +78,17 @@ def test_convert_dtypes_integral_floats(spark):
     got = ldf.to_pandas()
     assert got["f_int"].dropna().tolist() == exp["f_int"].dropna().tolist()
     assert got["f_real"].tolist() == exp["f_real"].tolist()
+
+
+def test_sample_n_exact(spark):
+    pdf = pd.DataFrame({"v": range(200)})
+    ldf = from_pandas(pdf, spark=spark)
+    got = ldf.sample(n=17, random_state=42).to_pandas()
+    assert len(got) == 17
+    assert set(got["v"]).issubset(set(range(200)))
+    # deterministic under a seed
+    got2 = ldf.sample(n=17, random_state=42).to_pandas()
+    assert sorted(got["v"]) == sorted(got2["v"])
+    # plan uses top-n, not a global sort
+    plan = ldf.sample(n=17, random_state=1)._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

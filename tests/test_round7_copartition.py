@@ -135,3 +135,25 @@ def test_fillna_proves_matching_columns_only(spark):
     # values right
     assert f.to_pandas()["k"].tolist() == [1.0, 0.0]
     assert fd.to_pandas()["s"].tolist() == ["a", "zz"]
+
+
+def test_mortgage_loan_exchanges_are_plain(spark):
+    """pd_mortgage_e2e_full plan pin (round-7 verdict item #1): the loan-key
+    lineage must hash-partition on PLAIN l_orderkey (provenance fast path) —
+    null-safe (coalesce, isnull) loan exchanges defeat every reuse. Allows a
+    small residue for joins against unproven scan sides."""
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["pd_mortgage_e2e_full"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nullsafe_loan = plan.count("Exchange hashpartitioning(coalesce(l_orderkey")
+    plain_loan = len(
+        [
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning(l_orderkey" in line
+        ]
+    )
+    assert nullsafe_loan == 0, f"null-safe loan exchanges leaked back: {nullsafe_loan}"
+    assert plain_loan >= 3  # the groupby/merge chain runs on plain hash(loan)
