@@ -755,33 +755,9 @@ _SQL_PQ_ANN = f"""
 """
 
 
-@query("ann_pq_topk", oracle=_SQL_PQ_ANN)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., "Product Quantization for
-    Nearest Neighbor Search", TPAMI 2011): the memory-bound 100 TB ANN path.
-
-    Train: the 64-dim embeddings split into M=4 16-dim subspaces; per
-    subspace an 8-centroid codebook from ONE deterministic Lloyd iteration
-    (init = the first 8 vectors' subvectors — the same fixed-seed discipline
-    as kmeans_two_rounds). Encode: each vector becomes M codes (argmin
-    centroid per subspace) — 4 small ints instead of 64 floats, a 64×
-    compression of the search structure. Query: asymmetric distance — the
-    query's exact distance to every centroid per subspace is a Q×M×K lookup
-    table (160 rows, broadcast); a candidate's approximate distance is M
-    table lookups summed, NO vector math per candidate. Top-5 per query,
-    self excluded.
-
-    Determinism contract (oracle-checked even though iterative + float):
-    distances and centroids round at 6dp, every argmin and the final top-k
-    tiebreak on cid/vec_id — the kmeans_two_rounds pattern.
-
-    100 TB shape: training is two broadcast-join + partial-agg passes;
-    encoding is linear and the codes table is what production persists
-    (bytes per vector); ADC search is one broadcast hash join of the tiny
-    lookup table against codes + one partial-aggregatable sum — the scan
-    never touches the raw embedding column at query time (column pruning
-    drops it). Window for top-k partitions by query id (parallel across the
-    query batch, same shape as ann_multi_query_topk)."""
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ trainer: (unnested dims, trained codebook cent1, assign fn).
+    One deterministic Lloyd iteration per subspace — see ann_pq_topk."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -823,6 +799,39 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 6).alias("c"))
     )
     cent1 = cent1.persist()
+    return u, cent1, assign
+
+
+@query("ann_pq_topk", oracle=_SQL_PQ_ANN)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the memory-bound 100 TB ANN path.
+
+    Train: the 64-dim embeddings split into M=4 16-dim subspaces; per
+    subspace an 8-centroid codebook from ONE deterministic Lloyd iteration
+    (init = the first 8 vectors' subvectors — the same fixed-seed discipline
+    as kmeans_two_rounds). Encode: each vector becomes M codes (argmin
+    centroid per subspace) — 4 small ints instead of 64 floats, a 64×
+    compression of the search structure. Query: asymmetric distance — the
+    query's exact distance to every centroid per subspace is a Q×M×K lookup
+    table (160 rows, broadcast); a candidate's approximate distance is M
+    table lookups summed, NO vector math per candidate. Top-5 per query,
+    self excluded.
+
+    Determinism contract (oracle-checked even though iterative + float):
+    distances and centroids round at 6dp, every argmin and the final top-k
+    tiebreak on cid/vec_id — the kmeans_two_rounds pattern.
+
+    100 TB shape: training is two broadcast-join + partial-agg passes;
+    encoding is linear and the codes table is what production persists
+    (bytes per vector); ADC search is one broadcast hash join of the tiny
+    lookup table against codes + one partial-aggregatable sum — the scan
+    never touches the raw embedding column at query time (column pruning
+    drops it). Window for top-k partitions by query id (parallel across the
+    query batch, same shape as ann_multi_query_topk)."""
+    from pyspark.sql.window import Window
+
+    u, cent1, assign = _pq_train(spark, sf_dir)
     codes = assign(cent1.select("cid", "pos", "m", "c"))
 
     qtab = (

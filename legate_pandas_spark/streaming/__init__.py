@@ -12,8 +12,10 @@ from legate_pandas_spark.streaming.events import (  # noqa: F401
 )
 from legate_pandas_spark.streaming.documents import (  # noqa: F401
     stream_documents,
+    stream_embeddings,
     quality_scrub_stream,
     corpus_dedup_stream,
     bloom_dedup_stream,
     incremental_dedup_stream,
+    pq_encode_stream,
 )

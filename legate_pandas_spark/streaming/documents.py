@@ -14,7 +14,14 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -202,3 +209,58 @@ def incremental_dedup_stream(docs: DataFrame, store: DataFrame) -> DataFrame:
         "h",
         F.coalesce(F.col("__in_store__"), F.lit(False)).alias("is_exact_dup"),
     )
+
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("label", StringType()),
+    ]
+)
+
+
+def stream_embeddings(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of embeddings parquet files."""
+    return spark.readStream.schema(EMBEDDINGS_SCHEMA).parquet(directory)
+
+
+def pq_encode_stream(embs: DataFrame, codebook: list) -> DataFrame:
+    """Streaming twin of ann_pq_topk's ENCODE stage: compress each arriving
+    embedding to its M product-quantization codes against a codebook trained
+    by the batch job (operators/similarity.ann_pq_topk / _pq_train).
+
+    ``codebook`` is the collected cent1 rows [(m, cid, pos, c), ...] — 512
+    doubles, compiled into PLAIN PLAN CONSTANTS: per (subspace, centroid) the
+    squared distance is one fold over zip_with(slice(embedding), literal
+    centroid array), and the code is array_position of the minimum — first
+    match wins ties, matching the batch argmin's (d, cid) tiebreak because
+    the candidate array is ordered by cid. Completely STATELESS (no
+    aggregation, no watermark, no state store): the legal-everywhere
+    streaming shape, one row in → one row out, whole-stage codegen."""
+    by_mc: dict = {}
+    for m, cid, pos, c in codebook:
+        by_mc.setdefault((int(m), int(cid)), {})[int(pos)] = float(c)
+    ms = sorted({k[0] for k in by_mc})
+    # subspace width from the pos span of subspace 0
+    pos0 = sorted(p for (m, _), d in by_mc.items() if m == 0 for p in d)
+    sub_size = pos0[-1] - pos0[0] + 1
+
+    code_cols = []
+    for m in ms:
+        cids = sorted(c for (mm, c) in by_mc if mm == m)
+        dists = []
+        for cid in cids:
+            dim_map = by_mc[(m, cid)]
+            cvec = F.array(
+                *[F.lit(dim_map[p]) for p in sorted(dim_map)]
+            )
+            seg = F.slice(F.col("embedding"), m * sub_size + 1, sub_size)
+            diff = F.zip_with(seg, cvec, lambda x, y: (x - y) * (x - y))
+            dists.append(
+                F.round(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v), 6)
+            )
+        arr = F.array(*dists)
+        code = F.array_position(arr, F.array_min(arr)) - 1
+        code_cols.append(code.cast("int").alias(f"code_{m}"))
+    return embs.select("vec_id", "label", *code_cols)

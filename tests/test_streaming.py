@@ -404,3 +404,53 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, documents_dir):
     # every doc from the old corpus is (by construction) in the store
     old_ids = {r["doc_id"] for r in docs_batch.filter(F.col("doc_id") % 4 != 0).select("doc_id").collect()}
     assert all(got[d] for d in old_ids)
+
+
+@pytest.fixture(scope="module")
+def embeddings_dir(sf_dir, tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("emb_stream")
+    # normalize to the stream schema (embedding as double array)
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf["embedding"] = pdf["embedding"].map(lambda a: [float(x) for x in a])
+    pdf["label"] = pdf["label"].astype(str)
+    pdf[["vec_id", "embedding", "label"]].to_parquet(
+        d / "embeddings.parquet", index=False
+    )
+    return str(d)
+
+
+def test_pq_encode_stream_matches_batch_codes(spark, sf_dir, embeddings_dir):
+    """Streaming PQ encode (stateless, codebook as plan constants) must
+    produce EXACTLY the batch assign()'s codes for every vector."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators.similarity import _pq_train
+    from legate_pandas_spark.streaming import (
+        pq_encode_stream,
+        run_available_now,
+        stream_embeddings,
+    )
+
+    u, cent1, assign = _pq_train(spark, sf_dir)
+    codebook = [
+        (r["m"], r["cid"], r["pos"], r["c"]) for r in cent1.collect()
+    ]
+    batch_codes = {
+        (r["vec_id"], r["m"]): r["cid"]
+        for r in assign(cent1.select("cid", "pos", "m", "c")).collect()
+    }
+
+    arriving = stream_embeddings(spark, embeddings_dir)
+    encoded = pq_encode_stream(arriving, codebook)
+    run_available_now(encoded, "pq_codes", output_mode="append")
+    got = spark.table("pq_codes").collect()
+    assert got, "stream produced no rows"
+    n_m = len({m for (_, m) in batch_codes})
+    mismatches = []
+    for r in got:
+        for m in range(n_m):
+            if r[f"code_{m}"] != batch_codes[(r["vec_id"], m)]:
+                mismatches.append((r["vec_id"], m, r[f"code_{m}"], batch_codes[(r["vec_id"], m)]))
+    assert not mismatches, mismatches[:5]
