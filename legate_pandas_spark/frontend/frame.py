@@ -2193,6 +2193,57 @@ class DataFrame:
         out = DataFrame(sdf.withColumn("__dup__", flag), self._index)
         return Series(out, F.col("__dup__"), "__dup__")
 
+    def corrwith(self, other) -> "Series":
+        """pandas DataFrame.corrwith against a Series OF THIS FRAME (the
+        feature-vs-target shape: ``df.corrwith(df["y"])``): one aggregate of
+        per-column Pearson correlations (Spark's distributed co-moment
+        aggregate — single pass, partial-combinable). Cross-frame alignment
+        is out of scope, same contract as rolling corr/cov."""
+        from legate_pandas_spark.frontend.series import Series
+
+        if not isinstance(other, Series) or other._frame is not self:
+            raise ValueError("corrwith requires a Series of the same frame")
+        import pandas as pd
+
+        aggs, names = [], []
+        dtypes = self.dtypes
+        for c in self.columns:
+            if not is_numeric_spark_type(dtypes[c]):
+                continue
+            aggs.append(F.corr(F.col(c), other._col).alias(c))
+            names.append(c)
+        row = self._sdf.agg(*aggs).collect()[0]
+        return pd.Series({c: row[c] for c in names})
+
+    def at_time(self, time_str: str) -> "DataFrame":
+        """Rows whose (timestamp) index is exactly this wall time of day
+        (pandas at_time) — a pushdown-friendly filter, never a collect."""
+        if len(self._index) != 1:
+            raise ValueError("at_time requires a single (timestamp) index")
+        idx = F.col(self._index[0])
+        fmt = "HH:mm:ss" if time_str.count(":") == 2 else "HH:mm"
+        return self._replace(self._sdf.filter(F.date_format(idx, fmt) == time_str))
+
+    def between_time(self, start: str, end: str, inclusive: str = "both") -> "DataFrame":
+        """Rows whose index time-of-day falls in [start, end] (pandas
+        between_time; same-day range only). Pure filter expression."""
+        if len(self._index) != 1:
+            raise ValueError("between_time requires a single (timestamp) index")
+        fmt = "HH:mm:ss"
+        t = F.date_format(F.col(self._index[0]), fmt)
+
+        def _pad(s):
+            return s if s.count(":") == 2 else s + ":00"
+
+        s, e = _pad(start), _pad(end)
+        lo = t >= s if inclusive in ("both", "left") else t > s
+        hi = t <= e if inclusive in ("both", "right") else t < e
+        return self._replace(self._sdf.filter(lo & hi))
+
+    def to_records(self, index: bool = True):
+        """numpy structured record array (pandas to_records) — an action."""
+        return self.to_pandas().to_records(index=index)
+
     def resample(self, freq: str, on: str) -> "Resampler":
         """Time-bucket resampling (pandas resample → groupBy time window).
         freq: pandas-style offset ('1H', '15min', '1D')."""

@@ -92,3 +92,45 @@ def test_sample_n_exact(spark):
     # plan uses top-n, not a global sort
     plan = ldf.sample(n=17, random_state=1)._sdf._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corrwith_series_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 3.0, 4.0],
+            "b": [2.0, 1.0, 4.0, 3.0],
+            "y": [1.0, 3.0, 2.0, 5.0],
+            "s": ["x", "y", "z", "w"],
+        }
+    )
+    ldf = from_pandas(pdf, spark=spark)
+    got = ldf.corrwith(ldf["y"])
+    exp = pdf[["a", "b", "y"]].corrwith(pdf["y"])
+    for c in ("a", "b", "y"):
+        assert abs(got[c] - exp[c]) < 1e-9
+    with pytest.raises(ValueError, match="same frame"):
+        other = from_pandas(pdf, spark=spark)
+        ldf.corrwith(other["y"])
+
+
+def test_at_time_between_time(spark):
+    idx = pd.date_range("2024-01-01", periods=30, freq="37min")
+    pdf = pd.DataFrame({"ts": idx, "v": range(30)})
+    ldf = from_pandas(pdf, spark=spark).set_index("ts")
+    ppdf = pdf.set_index("ts")
+    got = ldf.at_time("09:52").to_pandas()
+    exp = ppdf.at_time("09:52")
+    assert sorted(got["v"]) == sorted(exp["v"])
+    gbt = ldf.between_time("06:00", "12:00").to_pandas()
+    ebt = ppdf.between_time("06:00", "12:00")
+    assert sorted(gbt["v"]) == sorted(ebt["v"])
+    gbt2 = ldf.between_time("06:00", "12:00", inclusive="left").to_pandas()
+    ebt2 = ppdf.between_time("06:00", "12:00", inclusive="left")
+    assert sorted(gbt2["v"]) == sorted(ebt2["v"])
+
+
+def test_to_records(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    got = from_pandas(pdf, spark=spark).to_records(index=False)
+    exp = pdf.to_records(index=False)
+    assert got.tolist() == exp.tolist()
