@@ -27,6 +27,21 @@ from legate_pandas_spark.frontend.series import Series
 ROW_ORDER = "__row_order__"
 
 
+def _normalize_wall_time(time_str: str) -> str:
+    """Canonical zero-padded HH:mm:ss for at_time/between_time inputs:
+    pandas accepts '9:30' but date_format output is zero-padded, so the raw
+    string would silently never match."""
+    import datetime
+
+    s = str(time_str).strip()
+    for fmt in ("%H:%M:%S", "%H:%M", "%H:%M:%S.%f"):
+        try:
+            return datetime.datetime.strptime(s, fmt).time().strftime("%H:%M:%S")
+        except ValueError:
+            continue
+    raise ValueError(f"Cannot convert arg {time_str!r} to a time")
+
+
 def _caller_env(env: dict, depth: int) -> dict:
     """Resolution environment for ``@var`` references in query()/eval():
     the calling frame's globals, overlaid by its locals, overlaid by explicit
@@ -2128,8 +2143,13 @@ class DataFrame:
             cols = list(column)
             if len(cols) == 1:
                 return self.explode(cols[0])
+            # pandas' mylen (probed on pandas 2.2.2): null scalars AND empty
+            # lists count as length 1, so null-vs-[x] and []-vs-[x] explode
+            # fine while null-vs-[x,y] raises. Mirror that exactly.
             sizes = [
-                F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.size(c))
+                F.when(
+                    F.col(c).isNull() | (F.size(c) == 0), F.lit(1)
+                ).otherwise(F.size(c))
                 for c in cols
             ]
             mismatch = None
@@ -2139,8 +2159,16 @@ class DataFrame:
             if bool(self._sdf.filter(mismatch).limit(1).count()):
                 raise ValueError("columns must have matching element counts")
             others = [c for c in self._sdf.columns if c not in cols]
+            # arrays_zip(null, [9]) is null (losing the 9 pandas keeps) —
+            # coalesce null arrays to empty so zip pads them with nulls
+            # element-wise instead of nulling the whole row.
+            dtypes = dict(self._sdf.dtypes)
+            zcols = [
+                F.coalesce(F.col(c), F.array().cast(dtypes[c])).alias(c)
+                for c in cols
+            ]
             zipped = self._sdf.select(
-                *others, F.explode_outer(F.arrays_zip(*cols)).alias("__z__")
+                *others, F.explode_outer(F.arrays_zip(*zcols)).alias("__z__")
             )
             return self._replace(
                 zipped.select(
@@ -2162,18 +2190,37 @@ class DataFrame:
         floats = [c for c, t in self.dtypes.items() if t in ("float", "double")]
         if not floats:
             return self.copy()
+        # A column is non-integral when any NON-NaN value is fractional or
+        # outside bigint range: Infinity/1e300 pass the naive round probe
+        # (round(inf)=inf) but cast('bigint') clamps them to Long.MAX/MIN,
+        # where pandas keeps the column float. NaN is pandas-missing
+        # (convert_dtypes turns [1.0, NaN] into Int64 with NA), so it is
+        # EXCLUDED from the probe and nanvl'd to null before the cast —
+        # Spark's cast(NaN as bigint) would otherwise corrupt it to 0.
         probe = self._sdf.agg(
             *[
                 F.max(
-                    F.when(F.col(c) != F.round(F.col(c)), F.lit(1)).otherwise(0)
+                    F.when(
+                        ~F.isnan(F.col(c))
+                        & (
+                            (F.col(c) != F.round(F.col(c)))
+                            | ~F.col(c).between(
+                                float(-(2**63)), float(2**63 - 1)
+                            )
+                        ),
+                        F.lit(1),
+                    ).otherwise(0)
                 ).alias(c)
                 for c in floats
             ]
         ).first()
         out = self._sdf
         for c in floats:
-            if not probe[c]:  # all non-null values integral (or all null)
-                out = out.withColumn(c, F.col(c).cast("bigint"))
+            if not probe[c]:  # all non-null, non-NaN values integral
+                out = out.withColumn(
+                    c,
+                    F.nanvl(F.col(c), F.lit(None).cast("double")).cast("bigint"),
+                )
         return self._replace(out)
 
     def duplicated(self, subset=None, keep: str | bool = "first"):
@@ -2221,21 +2268,18 @@ class DataFrame:
         if len(self._index) != 1:
             raise ValueError("at_time requires a single (timestamp) index")
         idx = F.col(self._index[0])
-        fmt = "HH:mm:ss" if time_str.count(":") == 2 else "HH:mm"
-        return self._replace(self._sdf.filter(F.date_format(idx, fmt) == time_str))
+        t = _normalize_wall_time(time_str)
+        return self._replace(
+            self._sdf.filter(F.date_format(idx, "HH:mm:ss") == t)
+        )
 
     def between_time(self, start: str, end: str, inclusive: str = "both") -> "DataFrame":
         """Rows whose index time-of-day falls in [start, end] (pandas
         between_time; same-day range only). Pure filter expression."""
         if len(self._index) != 1:
             raise ValueError("between_time requires a single (timestamp) index")
-        fmt = "HH:mm:ss"
-        t = F.date_format(F.col(self._index[0]), fmt)
-
-        def _pad(s):
-            return s if s.count(":") == 2 else s + ":00"
-
-        s, e = _pad(start), _pad(end)
+        t = F.date_format(F.col(self._index[0]), "HH:mm:ss")
+        s, e = _normalize_wall_time(start), _normalize_wall_time(end)
         lo = t >= s if inclusive in ("both", "left") else t > s
         hi = t <= e if inclusive in ("both", "right") else t < e
         return self._replace(self._sdf.filter(lo & hi))
@@ -2302,6 +2346,14 @@ class DataFrame:
                 raise ValueError("sample: pass frac or n")
             if replace:
                 raise NotImplementedError("sample(n, replace=True): use frac")
+            # pandas raises when n exceeds the population (replace=False).
+            # The probe is a CollectLimit(n) count — early-exits after n rows,
+            # never a full scan.
+            if self._sdf.limit(n).count() < n:
+                raise ValueError(
+                    "Cannot take a larger sample than population when "
+                    "'replace=False'"
+                )
             r = F.rand(seed) if seed is not None else F.rand()
             keyed = self._sdf.withColumn("__smpk__", r)
             return self._replace(keyed.orderBy("__smpk__").limit(n).drop("__smpk__"))

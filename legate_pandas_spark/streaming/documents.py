@@ -261,6 +261,13 @@ def pq_encode_stream(embs: DataFrame, codebook: list) -> DataFrame:
                 F.round(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v), 6)
             )
         arr = F.array(*dists)
-        code = F.array_position(arr, F.array_min(arr)) - 1
+        # Map the argmin POSITION back to the actual centroid id: a trained
+        # codebook can have empty clusters (cids non-contiguous after Lloyd
+        # iterations), so position-1 != cid in general and the batch assign()
+        # emits cids, not positions.
+        cid_arr = F.array(*[F.lit(int(c)) for c in cids])
+        code = F.element_at(
+            cid_arr, F.array_position(arr, F.array_min(arr)).cast("int")
+        )
         code_cols.append(code.cast("int").alias(f"code_{m}"))
     return embs.select("vec_id", "label", *code_cols)
