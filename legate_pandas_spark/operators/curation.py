@@ -709,10 +709,15 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split — the leakage a held-out eval set must not have. Composes the
     sub-linear LSH candidate generation with the hash-based split (both
     engine-deterministic), so the whole audit is oracle-checkable; the
-    splits join is a broadcast of two tiny columns onto the pair list."""
-    from legate_pandas_spark.operators.dedup import dedup_minhash_lsh
+    splits join is a broadcast of two tiny columns onto the pair list.
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    The pair list is the session-memoized lsh_verified_pairs stage — when
+    dedup_minhash_lsh (or connected components) already ran in this session,
+    the audit reuses the persisted pairs instead of re-deriving the LSH
+    pipeline from raw shingles (round-7 verdict Next #4)."""
+    from legate_pandas_spark.operators.dedup import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     sa = docs.select(
         F.col("doc_id").alias("doc_a"), _split_expr(F.col("doc_id")).alias("split_a")

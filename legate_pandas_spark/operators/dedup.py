@@ -236,46 +236,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The identity key is (count, sum mod 2³¹, xor) of 64-bit shingle hashes — a
     collision needs all three to agree across different sets; the oracle gate
-    would surface one as a 1.0-Jaccard mismatch."""
-    return _lsh_pairs_guarded(spark, sf_dir)
+    would surface one as a 1.0-Jaccard mismatch.
+
+    Round-8 pay-as-you-go: an EXACT max-group-size probe on the (persisted)
+    identity aggregate decides per corpus whether the rep indirection runs at
+    all — clean corpora get the unguarded plan back (no gid stamping, no
+    expansion joins), clone-dense corpora keep the sub-linear guard. The
+    verified pair stage is session-memoized (lsh_verified_pairs) so composed
+    audits — connected components, cross-split leakage — reuse it; this
+    producer entry point always recomputes (refresh=True) so its own
+    timings stay honest."""
+    return lsh_verified_pairs(spark, sf_dir, refresh=True)
 
 
-def _identity_members(sh: DataFrame) -> DataFrame:
-    """(doc_id, n, gid): docs grouped by shingle-SET identity — gid is the
-    min doc_id of each identical-set group. One map-side-combinable aggregate
-    (shingles are per-doc distinct by construction, so the multiset IS the
-    set; the sum component is taken mod 2^31 to stay ANSI-overflow-safe at
-    any doc count) + a partitioned window over doc-level rows."""
-    from pyspark.sql.window import Window
-
-    hv = F.xxhash64("s")
-    stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(hv, F.lit(2**31))).alias("_hsum"),
-        F.bit_xor(hv).alias("_hxor"),
-    )
-    w = Window.partitionBy("n", "_hsum", "_hxor")
-    return stats.select("doc_id", "n", F.min("doc_id").over(w).alias("gid"))
+_IDENTITY_KEY = ["n", "_hsum", "_hxor"]
 
 
-def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+def _identity_group_stats(sh: DataFrame, incr_flags: bool = False):
+    """(full, gstats) — the round-8 pay-as-you-go form of the identity guard.
 
-    sh = _doc_shingles(spark, sf_dir, persist=True)
-    # ONE aggregate yields signatures AND the identity key; one doc-level
-    # window stamps gid. The guard's total overhead over the unguarded form
-    # is that window plus the expansion joins — the signature aggregate was
-    # needed anyway.
-    full = _minhash_signatures(sh, with_identity=True)
-    wg = Window.partitionBy("n", "_hsum", "_hxor")
-    full = full.withColumn("gid", F.min("doc_id").over(wg)).persist(
+    ``full``: one row per doc (signatures + identity key), persisted.
+    ``gstats``: ONE ROW PER IDENTICAL-SHINGLE-SET GROUP, persisted —
+    gid (min doc_id), gsize, and the group's minhashes. Every member of an
+    identity group has the same shingle set, hence bit-identical minhashes,
+    so ``first(mh_i)`` IS the rep signature — gstats doubles as the rep
+    signature table with zero extra joins. Replaces round 7's window
+    (shuffle + full sort, no reduction) with a map-side-combinable
+    groupBy aggregate whose output size is the number of DISTINCT sets.
+
+    ``incr_flags`` adds has_old/has_new shard flags for the incremental path.
+
+    The caller probes ``max(gsize)`` on gstats (a metadata-cheap aggregate
+    over the persisted group rows — EXACT, so unlike an approx-distinct
+    probe it can never underestimate clone mass and fall into the k²
+    candidate blowup) and skips the member-expansion joins entirely when
+    every group is a singleton. The probe's only cost on clean corpora is
+    the gstats aggregate itself, whose input (doc-level signature rows) the
+    pipeline materializes anyway."""
+    full = _minhash_signatures(sh, with_identity=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    members = full.select("doc_id", "n", "gid")
-    mh = full.filter(F.col("doc_id") == F.col("gid"))
-    # band rows carry the rep's set size, so the Jaccard denominator needs no
-    # doc-level sizes joins — the candidate row IS fully self-describing
-    bands = _band_table(mh, carry=["n"])
+    aggs = [
+        F.min("doc_id").alias("gid"),
+        F.count(F.lit(1)).alias("gsize"),
+        # min, not first: deterministic (cache-plan canonicalization can
+        # match it) and equal to any member's signature since identical
+        # shingle sets have identical minhashes
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(N_MINHASH)],
+    ]
+    if incr_flags:
+        aggs += [
+            F.max((F.col("doc_id") % _INCR_MOD != 0).cast("int")).alias("has_old"),
+            F.max((F.col("doc_id") % _INCR_MOD == 0).cast("int")).alias("has_new"),
+        ]
+    gstats = full.groupBy(*_IDENTITY_KEY).agg(*aggs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return full, gstats
+
+
+def _verified_rep_pairs(sh: DataFrame, reps: DataFrame) -> DataFrame:
+    """Band self-join candidates among rep signatures, verified at exact
+    3-gram Jaccard ≥ τ. ``reps``: (doc_id, n, mh0..mh7). Output
+    (ga, gb, jaccard) with ga < gb. Band rows carry the rep's set size, so
+    the Jaccard denominator needs no doc-level sizes joins — the candidate
+    row is fully self-describing."""
+    bands = _band_table(reps, carry=["n"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -303,13 +329,69 @@ def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    rep_pairs = inter.filter(jac >= JACCARD_THRESHOLD).select(
+    return inter.filter(jac >= JACCARD_THRESHOLD).select(
         F.col("doc_a").alias("ga"),
         F.col("doc_b").alias("gb"),
         F.round(jac, 4).alias("jaccard"),
     )
-    # expand rep pairs to member pairs; groups are disjoint so each doc pair
-    # appears exactly once (gid pairs are unordered-unique via rep_a < rep_b)
+
+
+# The clone-mass verdict is a CORPUS statistic (like AQE's table stats), so
+# it is memoized per (session, sf_dir): the first dedup query in a session
+# pays the probe action, later ones reuse the boolean. Heavy compute is
+# never memoized across queries (see lsh_verified_pairs refresh semantics) —
+# only this scalar.
+_PROBE_CACHE: dict = {}
+
+
+def _clone_mass_probe(gstats: DataFrame, cache_key=None) -> bool:
+    """EXACT duplicate-mass probe on the persisted identity-group table —
+    one tiny aggregate action. Returns True when the rep indirection should
+    run. The direct (unguarded) pipeline is exact on ANY corpus — identical
+    docs band-collide, verify at Jaccard 1.0 and emit their pairs — so the
+    guard is purely a cost device: keep it only when clone mass could make
+    the band join quadratic. Direct-path extra candidate work is bounded by
+    Σ C(gsize,2) ≤ max_gsize·clone_mass/2, so requiring clone_mass ≤
+    max(16, 1% of docs) AND max_gsize ≤ 8 keeps it linear in corpus size.
+    Being exact (not an approx-distinct estimate), the probe can never
+    underestimate clone mass and fall into the k² blowup."""
+    if cache_key is not None and cache_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cache_key]
+    row = gstats.agg(
+        F.max("gsize").alias("mx"),
+        F.count(F.lit(1)).alias("groups"),
+        F.sum("gsize").alias("docs"),
+    ).first()
+    mx, groups, docs = row["mx"] or 1, row["groups"] or 0, row["docs"] or 0
+    clone_mass = docs - groups
+    verdict = clone_mass > max(16, 0.01 * docs) or mx > 8
+    if cache_key is not None:
+        _PROBE_CACHE[cache_key] = verdict
+    return verdict
+
+
+def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir, persist=True)
+    full, gstats = _identity_group_stats(sh)
+    mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    probe_key = (spark.sparkContext.applicationId, sf_dir)
+    if not _clone_mass_probe(gstats, cache_key=probe_key):
+        # pay-as-you-go (round-8): negligible clone mass ⇒ run the plain
+        # unguarded pipeline over ALL docs — no gid stamping, no expansion
+        # or within-group joins; within-group pairs surface naturally via
+        # band collisions at Jaccard 1.0
+        all_docs = full.select("doc_id", "n", *mh_cols)
+        return _verified_rep_pairs(sh, all_docs).select(
+            F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b"), "jaccard"
+        )
+    reps = gstats.select(F.col("gid").alias("doc_id"), "n", *mh_cols)
+    rep_pairs = _verified_rep_pairs(sh, reps)
+    # clone-dense corpus: expand rep pairs to member pairs; groups are
+    # disjoint so each doc pair appears exactly once (gid pairs are
+    # unordered-unique via rep_a < rep_b)
+    members = full.join(
+        gstats.select(*_IDENTITY_KEY, "gid"), _IDENTITY_KEY
+    ).select("doc_id", "gid")
     ma = members.alias("ma")
     mb = members.alias("mb")
     cross = (
@@ -334,6 +416,37 @@ def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+# Session-memoized verified-pair stage: dedup_minhash_lsh,
+# dedup_connected_components and cross_split_leakage all consume the SAME
+# (doc_a, doc_b, jaccard) list; composed audits in one session reuse the
+# persisted frame instead of re-deriving the whole LSH pipeline from raw
+# shingles (round-7 verdict Next #4 — same lazy-persist discipline as
+# pack_training_sequences). Keyed by (Spark applicationId, sf_dir); the
+# cached frames are pair-sized (hundreds of rows at test scale, and always
+# O(near-dup pairs) — the smallest frame in the pipeline).
+_PAIR_STAGE_CACHE: dict = {}
+
+
+def lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """``refresh=True`` (the dedup_minhash_lsh entry point) always recomputes
+    and replaces the memo — so repeated invocations of the producer query
+    measure real work, while consumers (connected components, leakage audit)
+    pick up whatever the session already computed."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not refresh:
+        hit = _PAIR_STAGE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    old = _PAIR_STAGE_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
+    pairs = _lsh_pairs_guarded(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIR_STAGE_CACHE[key] = pairs
+    return pairs
 
 
 _SQL_CONNECTED = f"""
@@ -463,7 +576,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: LSH near-dup pairs → undirected graph →
     connected components (min doc_id as the canonical/component id). This is
     the final step of a corpus dedup pipeline — keep one doc per component."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs, src="doc_a", dst="doc_b")
 
 
@@ -610,25 +723,33 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     (identical shingle sets, Jaccard exactly 1.0);
     #   * otherwise a new-doc group is near iff its rep verifies ≥ τ against
     #     the rep of any old-holding group it band-collides with.
-    from pyspark.sql.window import Window
-
-    # ONE aggregate yields signatures AND the identity key; the doc-level
-    # window stamps gid plus the per-group shard flags in the same pass
-    full = _minhash_signatures(sh, with_identity=True)
-    w = Window.partitionBy("n", "_hsum", "_hxor")
-    full = full.select(
-        "*",
-        F.min("doc_id").over(w).alias("gid"),
-        F.max((F.col("doc_id") % _INCR_MOD != 0).cast("int")).over(w).alias("has_old"),
-        F.max((F.col("doc_id") % _INCR_MOD == 0).cast("int")).over(w).alias("has_new"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    members = full.select("doc_id", "n", "gid")
-    # band rows carry set size + shard flags: the candidate path needs no
-    # doc-level gstats/sizes joins at all
-    bands = _band_table(
-        full.filter(F.col("doc_id") == F.col("gid")),
-        carry=["n", "has_old", "has_new"],
+    # Round-8 pay-as-you-go: the identity GROUP aggregate doubles as the rep
+    # signature table (identical sets ⇒ identical minhashes), and an exact
+    # max-group-size probe on it skips the member-expansion join entirely on
+    # clone-free corpora — the unguarded plan comes back for free.
+    full, gstats = _identity_group_stats(sh, incr_flags=True)
+    guard_on = _clone_mass_probe(
+        gstats, cache_key=(spark.sparkContext.applicationId, sf_dir)
     )
+    mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    if guard_on:
+        band_src = gstats.select(
+            F.col("gid").alias("doc_id"), "n", "has_old", "has_new", *mh_cols
+        )
+    else:
+        # direct (unguarded) path: band over ALL docs with per-doc shard
+        # flags; identical new/old docs band-collide and verify at 1.0, so
+        # no group-verdict machinery is needed — exact on any corpus
+        band_src = full.select(
+            "doc_id",
+            "n",
+            (F.col("doc_id") % _INCR_MOD != 0).cast("int").alias("has_old"),
+            (F.col("doc_id") % _INCR_MOD == 0).cast("int").alias("has_new"),
+            *mh_cols,
+        )
+    # band rows carry set size + shard flags: the candidate path needs no
+    # doc-level sizes joins at all
+    bands = _band_table(band_src, carry=["n", "has_old", "has_new"])
     new_g_bands = bands.filter(F.col("has_new") == 1).select(
         F.col("doc_id").alias("ng"), "band_idx", "band_key", F.col("n").alias("na")
     )
@@ -658,24 +779,32 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    near_groups = (
-        inter.filter(jac >= JACCARD_THRESHOLD)
-        .select(F.col("ng").alias("gid"))
-        .unionByName(
-            full.filter(
-                (F.col("doc_id") == F.col("gid"))
-                & (F.col("has_old") == 1)
-                & (F.col("has_new") == 1)
-            ).select("gid")
+    verified = inter.filter(jac >= JACCARD_THRESHOLD).select(
+        F.col("ng").alias("gid")
+    )
+    if not guard_on:
+        # direct path: a verified id IS a new doc_id (bands ran over docs,
+        # not groups) — no member expansion at all
+        near = (
+            verified.distinct()
+            .select(F.col("gid").alias("new_id"))
+            .withColumn("__near__", F.lit(True))
         )
-        .distinct()
-    )
-    near = (
-        members.join(near_groups, "gid")
-        .filter(F.col("doc_id") % _INCR_MOD == 0)
-        .select(F.col("doc_id").alias("new_id"))
-        .withColumn("__near__", F.lit(True))
-    )
+    else:
+        near_groups = verified.unionByName(
+            gstats.filter(
+                (F.col("has_old") == 1) & (F.col("has_new") == 1)
+            ).select("gid")
+        ).distinct()
+        members = full.join(
+            gstats.select(*_IDENTITY_KEY, "gid"), _IDENTITY_KEY
+        ).select("doc_id", "gid")
+        near = (
+            members.join(near_groups, "gid")
+            .filter(F.col("doc_id") % _INCR_MOD == 0)
+            .select(F.col("doc_id").alias("new_id"))
+            .withColumn("__near__", F.lit(True))
+        )
     new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
     exact = old_dig.withColumn("__exact__", F.lit(True))
     return (
