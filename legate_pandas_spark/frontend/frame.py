@@ -424,6 +424,16 @@ class DataFrame:
                 meta.pop(c, None)
         out = self._replace(sdf)
         out._cat_meta = meta
+        # ANSI cast THROWS on invalid input instead of yielding null, so a
+        # proven column stays proven through any non-categorical cast; the
+        # categorical path can null out-of-dictionary values (pandas
+        # semantics), so those columns lose their proof.
+        cat_targets = {
+            c
+            for c, t in mapping.items()
+            if isinstance(t, pd.CategoricalDtype) or str(t) == "category"
+        }
+        out._nonnull_cols = frozenset(self._nonnull_cols) - cat_targets
         return out
 
     # ---------------------------------------------------- frame-level binops
@@ -3177,7 +3187,15 @@ def concat(objs, axis: int = 0) -> DataFrame:
         out = objs[0]._sdf
         for o in objs[1:]:
             out = out.unionByName(o._sdf, allowMissingColumns=True)
-        return DataFrame(out, objs[0]._index)
+        res = DataFrame(out, objs[0]._index)
+        # a column of the union is provably null-free iff every input proves
+        # it (a column absent from an input is null-padded there, and an
+        # absent column is never in that input's proof set)
+        proven = set(objs[0]._nonnull_cols)
+        for o in objs[1:]:
+            proven &= set(o._nonnull_cols)
+        res._nonnull_cols = frozenset(proven)
+        return res
     if axis == 1:
         base = objs[0]
         if not base._index:

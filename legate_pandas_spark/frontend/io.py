@@ -97,6 +97,12 @@ def read_parquet(path, columns=None, index_col=None, spark=None) -> DataFrame:
         keep = list(columns) + ([index_col] if index_col else meta_index)
         sdf = sdf.select(*keep)
     df = DataFrame(sdf)
+    # non-nullable schema fields are born proven (round-8 provenance
+    # producer). Spark usually force-nullables file-sourced fields, so this
+    # fires only when the scan preserves required-ness — harmless otherwise.
+    df._nonnull_cols = frozenset(
+        f.name for f in sdf.schema.fields if not f.nullable
+    )
     if index_col:
         return df.set_index(index_col)
     if meta_index:

@@ -140,12 +140,14 @@ def merge(
 
     lflags = getattr(left, "_nonnull_cols", frozenset())
     rflags = getattr(right, "_nonnull_cols", frozenset())
+    plain_pairs = []  # key pairs joined with plain (not null-safe) equality
     if how == "cross":
         joined = lsdf.crossJoin(rsdf)
     else:
         cond = None
         for lk, rk in zip(lkeys, rkeys):
             if lk in lflags or rk in rflags:
+                plain_pairs.append((lk, rk))
                 # either side is provably null-free on this key, so plain
                 # equality ≡ null-safe (a null can only match another null).
                 # Plain keys hash-partition as hash(k) — Catalyst reuses an
@@ -220,6 +222,15 @@ def merge(
         for lk, rk, sh in zip(lkeys, rkeys, shared_key):
             if sh and rk in rflags:
                 out_flags.add(lk)
+    if how == "inner":
+        # an inner join on PLAIN equality proves BOTH output key columns:
+        # a null key on either side makes the predicate null → row dropped,
+        # so every surviving key value is non-null (round-8 producer — each
+        # new proof is another exchange a downstream groupby/merge can reuse)
+        for lk, rk in plain_pairs:
+            out_flags.add(lk + suffixes[0] if lk in collisions else lk)
+            if rk not in rkey_shared:
+                out_flags.add(rk + suffixes[1] if rk in collisions else rk)
     out._nonnull_cols = frozenset(out_flags)
     # categorical dtype survives the merge on columns that keep their name
     # (pandas: shared categorical keys stay categorical)
