@@ -469,6 +469,13 @@ _SQL_CONNECTED = f"""
 """
 
 
+# Driver-solve cutover, measured on local[32] (SCALE.md round-8 audit):
+# Arrow collect + numpy solve ≈ 2.5s at 2M edges vs 15.5s of distributed
+# star rounds; 5M edges ≈ 80 MB of longs on the driver. Module-level so the
+# distributed path is testable by patching it down.
+_CC_SMALL_EDGE_THRESHOLD = 5_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
@@ -491,13 +498,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Adaptive small-graph path: LSH/near-dup pair graphs are tiny relative to
     the corpus (sf0.1: 256 edges from 10k docs), so below
-    ``small_edge_threshold`` edges (≈ a few MB — the same driver-safe size
-    class as the scan machinery's carry collects) the component labels come
-    from one driver-side union-find instead of ~6 shuffle stages × O(log n)
-    rounds. Measured at sf0.1: 1.93s → 0.64s. The distributed rounds remain
-    the ≥threshold path.
+    ``small_edge_threshold`` edges the component labels come from one
+    driver-side vectorized solve instead of ~6 shuffle stages × O(log n)
+    rounds. Round-8 audit (SCALE.md): the crossover was measured, not
+    guessed — distributed rounds cost 7-15s at 200k-2M edges on local[32]
+    (per-round scheduler floor × log n rounds), while the driver solve
+    (Arrow toPandas + numpy min-label/pointer-jumping, O(E) per round,
+    O(log n) rounds — replacing round-7's per-edge Python dict loop) takes
+    ~0.1s at 2M edges. Threshold 5M edges ≈ 80 MB of Arrow longs on the
+    driver — the same driver-safe size class as the broadcast stores used
+    elsewhere; beyond it the star rounds win on memory, not time, and a
+    100 TB pair graph (≫ driver RAM) takes them automatically.
     """
-    small_edge_threshold = 100_000
+    small_edge_threshold = _CC_SMALL_EDGE_THRESHOLD
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -507,27 +520,39 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     n_edges = e.count()  # checkpoint is materialized — this is metadata-cheap
     if n_edges <= small_edge_threshold:
-        parent: dict = {}
+        import numpy as np
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+        epdf = e.toPandas()  # Arrow path: two long columns
+        if len(epdf) == 0:
+            return e.sparkSession.createDataFrame(
+                [], schema="doc_id long, component_id long"
+            )
+        uv = np.concatenate([epdf["u"].to_numpy(), epdf["v"].to_numpy()])
+        # np.unique sorts, so compact index order == doc_id order: the min
+        # INDEX of a component maps back to its min doc_id
+        nodes, idx = np.unique(uv, return_inverse=True)
+        ui, vi = idx[: len(epdf)], idx[len(epdf):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            before = parent.copy()
+            # hook: every edge pulls both endpoints' labels to their min
+            mn = np.minimum(parent[ui], parent[vi])
+            np.minimum.at(parent, ui, mn)
+            np.minimum.at(parent, vi, mn)
+            # pointer jumping to a star (full path compression)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent, before):
+                break
+        import pandas as pd
 
-        for row in e.collect():
-            ra, rb = find(row["u"]), find(row["v"])
-            if ra != rb:
-                # min id becomes the root → component id = component min
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        # every non-isolated node appears as a union key or root value
-        labels = [(x, find(x)) for x in set(parent) | set(parent.values())]
-        return e.sparkSession.createDataFrame(
-            labels, schema="doc_id long, component_id long"
+        labels = pd.DataFrame(
+            {"doc_id": nodes, "component_id": nodes[parent]}
         )
+        return e.sparkSession.createDataFrame(labels)
     prev_sig = None
     for i in range(max_iterations):
         # large-star: neighborhoods from both directions
@@ -571,12 +596,45 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return members.unionByName(roots)
 
 
+def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list whose connected components equal those of the full
+    verified-pair list, but LINEAR in clone mass (round-8 scale audit): on
+    clone-dense corpora the expanded pair list holds C(k,2) edges per
+    k-clone clique, yet connectivity only needs k-1 — so emit one STAR edge
+    per group member (doc → gid) plus the verified REP pairs (gid ↔ gid).
+    Components and their min-ids are identical: within-group docs connect
+    through gid (the group min), cross-group through the rep pair. On
+    clone-free corpora this IS the memoized pair list. All inputs
+    (sh/full/gstats) are persisted by the pair pipeline, so no recompute."""
+    sh = _doc_shingles(spark, sf_dir, persist=True)
+    full, gstats = _identity_group_stats(sh)
+    probe_key = (spark.sparkContext.applicationId, sf_dir)
+    if not _clone_mass_probe(gstats, cache_key=probe_key):
+        return lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    reps = gstats.select(F.col("gid").alias("doc_id"), "n", *mh_cols)
+    rep_pairs = _verified_rep_pairs(sh, reps).select(
+        F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b")
+    )
+    star = (
+        full.join(gstats.select(*_IDENTITY_KEY, "gid"), _IDENTITY_KEY)
+        .filter(F.col("doc_id") != F.col("gid"))
+        .select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return rep_pairs.unionByName(star)
+
+
 @query("dedup_connected_components", oracle=_SQL_CONNECTED)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: LSH near-dup pairs → undirected graph →
     connected components (min doc_id as the canonical/component id). This is
-    the final step of a corpus dedup pipeline — keep one doc per component."""
-    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    the final step of a corpus dedup pipeline — keep one doc per component.
+
+    Scale shape (round-8): the edge list is the REP-pair + identity-star
+    form (_lsh_component_edges), linear in clone mass where the expanded
+    pair list is quadratic — a 1M-clone clique feeds 1M-1 star edges into
+    the solver, not 5·10¹¹ pairs."""
+    pairs = _lsh_component_edges(spark, sf_dir)
     return connected_components(pairs, src="doc_a", dst="doc_b")
 
 
