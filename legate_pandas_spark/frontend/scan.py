@@ -303,24 +303,52 @@ def rank_column(
     aggs.append(
         F.countDistinct(c).alias("__d__") if need_d else F.lit(0).alias("__d__")
     )
-    counts = bsdf.groupBy(bkt).agg(*aggs).collect()
-    null_n = sum(r["__n__"] for r in counts if r[bkt] is None)
-    counts = [r for r in counts if r[bkt] is not None]
-    counts.sort(key=lambda r: r[bkt], reverse=not ascending)
-    # nulls-first offsets when they outrank every value
-    run_n = null_n if na_option == "top" else 0
-    run_d = (1 if null_n else 0) if na_option == "top" else 0
-    offs = []
-    for r in counts:
-        offs.append((r[bkt], run_n, run_d))
-        run_n += r["__n__"]
-        run_d += r["__d__"]
-    total_nn = run_n - (null_n if na_option == "top" else 0)
     off_n, off_d = f"__ro_{uniq}__", f"__rd_{uniq}__"
-    off_df = bsdf.sparkSession.createDataFrame(
-        offs or [(0, 0, 0)], schema=f"{bkt} int, {off_n} long, {off_d} long"
-    )
-    joined = bsdf.join(F.broadcast(off_df), bkt, "left")
+    if na_option == "keep" and not pct:
+        # COLLECT-FREE offsets (round-8 job-count reduction): the rank's
+        # cross-bucket offsets need no driver scalars here (no pct
+        # denominator, no null-rank literals), so the exclusive prefix over
+        # the ≤64-row bucket-count table is computed IN the plan by a
+        # broadcast non-equi self-join + re-aggregate — no SinglePartition
+        # window, no driver-blocking job; the whole rank becomes one Spark
+        # job instead of two.
+        cnt = (
+            bsdf.filter(F.col(bkt).isNotNull()).groupBy(bkt).agg(*aggs)
+        )
+        prior = F.col("__bb__") < F.col(bkt) if ascending else F.col("__bb__") > F.col(bkt)
+        rc = cnt.select(
+            F.col(bkt).alias("__bb__"),
+            F.col("__n__").alias("__bn__"),
+            F.col("__d__").alias("__bd__"),
+        )
+        off_df = (
+            cnt.join(F.broadcast(rc), prior, "left")
+            .groupBy(bkt)
+            .agg(
+                F.coalesce(F.sum("__bn__"), F.lit(0)).alias(off_n),
+                F.coalesce(F.sum("__bd__"), F.lit(0)).alias(off_d),
+            )
+        )
+        joined = bsdf.join(F.broadcast(off_df), bkt, "left")
+        counts, null_n, total_nn = [], 0, 0  # driver scalars unused below
+    else:
+        counts = bsdf.groupBy(bkt).agg(*aggs).collect()
+        null_n = sum(r["__n__"] for r in counts if r[bkt] is None)
+        counts = [r for r in counts if r[bkt] is not None]
+        counts.sort(key=lambda r: r[bkt], reverse=not ascending)
+        # nulls-first offsets when they outrank every value
+        run_n = null_n if na_option == "top" else 0
+        run_d = (1 if null_n else 0) if na_option == "top" else 0
+        offs = []
+        for r in counts:
+            offs.append((r[bkt], run_n, run_d))
+            run_n += r["__n__"]
+            run_d += r["__d__"]
+        total_nn = run_n - (null_n if na_option == "top" else 0)
+        off_df = bsdf.sparkSession.createDataFrame(
+            offs or [(0, 0, 0)], schema=f"{bkt} int, {off_n} long, {off_d} long"
+        )
+        joined = bsdf.join(F.broadcast(off_df), bkt, "left")
     order = c.asc() if ascending else c.desc()
     w = Window.partitionBy(F.col(bkt)).orderBy(order)
     if method == "first":
@@ -916,6 +944,44 @@ def grouped_ewm_mean_columns(sdf, keys: list, cols: dict, alpha: float):
     )
 
 
+def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
+    """Collect-free twin of ``indexing._attach_positions`` (round-8 job-count
+    reduction): the per-pid count table (≤ num_partitions rows) stays IN the
+    plan, and the exclusive prefix (partition start offsets) comes from a
+    broadcast non-equi self-join + re-aggregate over it — no SinglePartition
+    window, no driver-blocking collect. Returns (sdf + position column,
+    offsets DataFrame with (pid, start, cnt))."""
+    from legate_pandas_spark.frontend.frame import ROW_ORDER
+
+    pid = F.shiftright(F.col(ROW_ORDER), _PID_BITS)
+    if fresh:
+        local = F.col(ROW_ORDER) - F.shiftleft(pid, _PID_BITS)
+    else:
+        w = Window.partitionBy(pid).orderBy(F.asc(ROW_ORDER))
+        local = F.row_number().over(w) - 1
+    uniq = next(_seq)
+    P, C, O = f"__lp_{uniq}__", f"__lc_{uniq}__", f"__lo_{uniq}__"
+    cnt = sdf.groupBy(pid.alias(P)).agg(F.count(F.lit(1)).alias(C))
+    rc = cnt.select(F.col(P).alias("__lb__"), F.col(C).alias("__lbn__"))
+    off = (
+        cnt.join(F.broadcast(rc), F.col("__lb__") < F.col(P), "left")
+        .groupBy(P, C)
+        .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias(O))
+    )
+    with_pos = (
+        sdf.withColumn(P, pid)
+        .join(F.broadcast(off.select(P, O)), P, "left")
+        .withColumn(
+            pos_name, (local + F.coalesce(F.col(O), F.lit(0))).cast("long")
+        )
+        .drop(P, O)
+    )
+    offsets_df = off.select(
+        F.col(P).alias("pid"), F.col(O).alias("start"), F.col(C).alias("cnt")
+    )
+    return with_pos, offsets_df
+
+
 def rolling_parts(sdf, k: int, fresh: bool):
     """Build the pieces for a k-row rolling frame without an unpartitioned
     window: (augmented sdf, window spec, ghost flag column name, helper cols).
@@ -929,25 +995,22 @@ def rolling_parts(sdf, k: int, fresh: bool):
     window then partitions by target pid — partition-parallel, with at most
     num_partitions × (k-1) duplicated rows.
     """
-    from legate_pandas_spark.frontend.indexing import _attach_positions
-
     uniq = next(_seq)
     POS, TGT, GH = f"__rwp_{uniq}__", f"__rwt_{uniq}__", f"__rwg_{uniq}__"
-    # the offsets job, the main branch, AND the ghost branch all consume sdf
+    # the offsets table, the main branch, AND the ghost branch all consume sdf
     sdf = _stabilize(sdf)
-    with_pos, _total, triples = _attach_positions(
-        sdf, fresh, pos_name=POS, with_offsets=True
-    )
-    ranges = [
-        (pid, max(0, start - (k - 1)), start - 1)
-        for pid, start, _cnt in triples
-        if start > 0 and k > 1
-    ]
+    # round-8: positions AND the ghost range map are collect-free — the
+    # per-pid offsets table stays in the plan and the (target, lo, hi) map
+    # derives from it lazily, so building a rolling column schedules ZERO
+    # driver-blocking jobs (was: one offsets collect per rolling op)
+    with_pos, offsets_df = _attach_positions_lazy(sdf, fresh, pos_name=POS)
     main = with_pos.withColumn(TGT, _pid()).withColumn(GH, F.lit(False))
-    if ranges:
+    if k > 1:
         lo, hi = f"__rwl_{uniq}__", f"__rwh_{uniq}__"
-        rmap = with_pos.sparkSession.createDataFrame(
-            ranges, schema=f"{TGT} long, {lo} long, {hi} long"
+        rmap = offsets_df.filter(F.col("start") > 0).select(
+            F.col("pid").alias(TGT),
+            F.greatest(F.col("start") - F.lit(k - 1), F.lit(0)).alias(lo),
+            (F.col("start") - 1).alias(hi),
         )
         ghosts = (
             with_pos.join(
