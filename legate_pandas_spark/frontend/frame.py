@@ -2298,6 +2298,127 @@ class DataFrame:
         """numpy structured record array (pandas to_records) — an action."""
         return self.to_pandas().to_records(index=index)
 
+    # -- round-8 breadth ----------------------------------------------------
+    def filter(self, items=None, like: str | None = None, regex: str | None = None,
+               axis=None) -> "DataFrame":
+        """pandas DataFrame.filter: select COLUMNS by exact list, substring,
+        or regex (axis=1, the DataFrame default) — pure metadata, no plan
+        nodes beyond the projection. Row-label filtering (axis=0) follows
+        the lazy-RangeIndex contract elsewhere: use loc/query."""
+        import re as _re
+
+        if axis in (0, "index"):
+            raise NotImplementedError("filter(axis=0): use loc/query")
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError(
+                "Keyword arguments `items`, `like`, or `regex` are mutually exclusive"
+            )
+        if items is not None:
+            # pandas preserves the ITEMS order for items=
+            keep = [c for c in items if c in set(self.columns)]
+        elif like is not None:
+            keep = [c for c in self.columns if like in c]
+        else:
+            pat = _re.compile(regex)
+            keep = [c for c in self.columns if pat.search(c)]
+        return self[keep]
+
+    def median(self):
+        """Per-column exact medians of numeric columns (pandas median) — ONE
+        distributed aggregate; approx_percentile is the 100 TB swap."""
+        import pandas as pd
+
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric_spark_type(dtypes[c])]
+        row = self._sdf.select(
+            *[F.median(F.col(c)).alias(c) for c in cols]
+        ).collect()[0]
+        return pd.Series({c: row[c] for c in cols})
+
+    def transform(self, func) -> "DataFrame":
+        """pandas DataFrame.transform for NAMED elementwise functions (str or
+        list of str) — same-shaped output, all expressions in one projection
+        (whole-stage codegen). Callables are out of scope (they would force a
+        Python UDF on the hot path; use the named forms)."""
+        _FNS = {
+            "abs": F.abs,
+            "sqrt": F.sqrt,
+            "exp": F.exp,
+            "log": F.log,
+            "log1p": F.log1p,
+            "floor": F.floor,
+            "ceil": F.ceil,
+        }
+        funcs = [func] if isinstance(func, str) else list(func)
+        bad = [f for f in funcs if f not in _FNS]
+        if bad:
+            raise NotImplementedError(
+                f"transform supports named elementwise fns {sorted(_FNS)}; got {bad}"
+            )
+        keep = [
+            F.col(c)
+            for c in self._sdf.columns
+            if c in self._index or (c.startswith("__") and c.endswith("__"))
+        ]
+        if len(funcs) == 1:
+            fn = _FNS[funcs[0]]
+            sel = [fn(F.col(c)).alias(c) for c in self.columns]
+        else:
+            # pandas multi-func: (column, func) MultiIndex — flatten to
+            # 'col_func' names (documented flattening, same as agg naming)
+            sel = [
+                _FNS[f](F.col(c)).alias(f"{c}_{f}")
+                for c in self.columns
+                for f in funcs
+            ]
+        return self._replace(self._sdf.select(*keep, *sel))
+
+    @classmethod
+    def from_dict(cls, data: dict, orient: str = "columns") -> "DataFrame":
+        import pandas as pd
+
+        return from_pandas(pd.DataFrame.from_dict(data, orient=orient))
+
+    @classmethod
+    def from_records(cls, data, columns=None) -> "DataFrame":
+        import pandas as pd
+
+        return from_pandas(pd.DataFrame.from_records(data, columns=columns))
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    def to_markdown(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_markdown(*args, **kwargs)
+
+    def to_html(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_html(*args, **kwargs)
+
+    # pandas aliases
+    def isnull(self) -> "DataFrame":
+        return self.isna()
+
+    def notnull(self) -> "DataFrame":
+        return self.notna()
+
+    def pad(self) -> "DataFrame":
+        return self.ffill()
+
+    def backfill(self) -> "DataFrame":
+        return self.bfill()
+
+    def product(self):
+        return self.prod()
+
+    def multiply(self, other, fill_value=None):
+        return self.mul(other, fill_value=fill_value)
+
+    def divide(self, other, fill_value=None):
+        return self.div(other, fill_value=fill_value)
+
+    def subtract(self, other, fill_value=None):
+        return self.sub(other, fill_value=fill_value)
+
     def resample(self, freq: str, on: str) -> "Resampler":
         """Time-bucket resampling (pandas resample → groupBy time window).
         freq: pandas-style offset ('1H', '15min', '1D')."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column
+from pyspark.sql.window import Window
 
 from legate_pandas_spark.frontend.dtypes import (
     floordiv,
@@ -1141,6 +1142,174 @@ class Series:
 
     def tolist(self) -> list:
         return list(self.to_pandas())
+
+    # -- round-8 breadth ----------------------------------------------------
+    def median(self):
+        """Exact median (pandas Series.median) — Spark's distributed median
+        aggregate; swap to approx_percentile at 100 TB (same documented trade
+        as quantile/describe)."""
+        return self._reduce(F.median(self._col))
+
+    def copy(self, deep: bool = True) -> "Series":
+        out = self._wrap(self._col, self.name)
+        out._cat = self._cat
+        return out
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def tail(self, n: int = 5):
+        """Last n values (pandas tail) — per-partition tail + driver trim of
+        ≤ num_partitions·n rows, never a global sort (the mirror of head's
+        CollectLimit)."""
+        from legate_pandas_spark.frontend.frame import DataFrame, ROW_ORDER
+
+        name = self.name or "value"
+        sdf = self._frame._ordered_sdf().select(
+            F.col(ROW_ORDER), self._col.alias(name)
+        )
+        out = DataFrame(
+            sdf.orderBy(F.desc(ROW_ORDER)).limit(n).orderBy(F.asc(ROW_ORDER)).select(name)
+        )
+        return out[name]
+
+    def case_when(self, caselist) -> "Series":
+        """pandas 2.2 Series.case_when: [(condition, replacement), ...] —
+        compiles to one Catalyst CASE WHEN chain (whole-stage codegen, zero
+        extra plan nodes). Conditions are boolean Series of the same frame;
+        unmatched rows keep this Series' value, like pandas."""
+        expr = None
+        for cond, repl in reversed(list(caselist)):
+            c = cond._col if isinstance(cond, Series) else cond
+            r = repl._col if isinstance(repl, Series) else F.lit(repl)
+            expr = F.when(c, r).otherwise(
+                expr if expr is not None else self._col
+            )
+        return self._wrap(expr if expr is not None else self._col)
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._is_monotonic(increasing=True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._is_monotonic(increasing=False)
+
+    def _is_monotonic(self, increasing: bool) -> bool:
+        """Distributed monotonicity check (pandas is_monotonic_*): ONE
+        aggregate computes, per ingest partition, the local violation flag
+        (via a pid-partitioned lag window — parallel) plus the partition's
+        first/last values; the driver stitches the ≤num_partitions boundary
+        pairs. Nulls make the answer False, like pandas."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.scan import _pid
+
+        sdf = self._frame._ordered_sdf()
+        w = Window.partitionBy(_pid()).orderBy(F.asc(ROW_ORDER))
+        prev = F.lag(self._col).over(w)
+        bad = (
+            F.when(self._col.isNull(), True)
+            .when(prev.isNull(), False)
+            .otherwise(prev > self._col if increasing else prev < self._col)
+        )
+        proj = sdf.select(
+            _pid().alias("__pid__"),
+            F.col(ROW_ORDER),
+            self._col.alias("__v__"),
+            bad.alias("__bad__"),
+        )
+        rows = (
+            proj.groupBy("__pid__")
+            .agg(
+                F.max(F.col("__bad__").cast("int")).alias("bad"),
+                F.min_by("__v__", F.col(ROW_ORDER)).alias("first"),
+                F.max_by("__v__", F.col(ROW_ORDER)).alias("last"),
+            )
+            .orderBy("__pid__")
+            .collect()
+        )
+        if any(r["bad"] for r in rows):
+            return False
+        for a, b in zip(rows, rows[1:]):
+            if a["last"] is None or b["first"] is None:
+                return False
+            if (a["last"] > b["first"]) if increasing else (a["last"] < b["first"]):
+                return False
+        return True
+
+    def argmax(self) -> int:
+        """POSITION of the maximum (pandas argmax; -1 on all-null)."""
+        return self._arg_reduce(descending=True)
+
+    def argmin(self) -> int:
+        return self._arg_reduce(descending=False)
+
+    def _arg_reduce(self, descending: bool) -> int:
+        from legate_pandas_spark.frontend.frame import ROW_ORDER
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+        from legate_pandas_spark.frontend.scan import _seq
+
+        pos = f"__arg_{next(_seq)}__"
+        fresh = ROW_ORDER not in self._frame._sdf.columns
+        with_pos, _total = _attach_positions(
+            self._frame._ordered_sdf(), fresh, pos_name=pos
+        )
+        order = self._col.desc() if descending else self._col.asc()
+        row = (
+            with_pos.filter(self._col.isNotNull())
+            .orderBy(order, F.asc(pos))
+            .select(pos)
+            .limit(1)
+            .collect()
+        )
+        return int(row[0][0]) if row else -1
+
+    def describe(self):
+        """pandas Series.describe for numeric series — count/mean/std/min/
+        quartiles/max in ONE distributed aggregate (exact percentiles; the
+        100 TB swap is approx_percentile, same trade as quantile)."""
+        import pandas as pd
+
+        row = self._frame._sdf.select(
+            F.count(self._col).alias("count"),
+            F.avg(self._col).alias("mean"),
+            F.stddev_samp(self._col).alias("std"),
+            F.min(self._col).alias("min"),
+            F.percentile(self._col, F.lit(0.25)).alias("25%"),
+            F.percentile(self._col, F.lit(0.5)).alias("50%"),
+            F.percentile(self._col, F.lit(0.75)).alias("75%"),
+            F.max(self._col).alias("max"),
+        ).collect()[0]
+        return pd.Series(row.asDict(), name=self.name)
+
+    def to_dict(self) -> dict:
+        return self.to_pandas().to_dict()
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    # pandas method-form aliases
+    def multiply(self, other, fill_value=None):
+        return self.mul(other, fill_value=fill_value)
+
+    def divide(self, other, fill_value=None):
+        return self.div(other, fill_value=fill_value)
+
+    def subtract(self, other, fill_value=None):
+        return self.sub(other, fill_value=fill_value)
+
+    def pad(self):
+        return self.ffill()
+
+    def backfill(self):
+        return self.bfill()
+
+    def transpose(self) -> "Series":
+        return self
+
+    @property
+    def T(self) -> "Series":
+        return self
 
     def groupby(self, by):
         """Series groupby (reference sr_groupby): group this column by a key
