@@ -1288,6 +1288,26 @@ class Series:
     def to_string(self, *args, **kwargs) -> str:
         return self.to_pandas().to_string(*args, **kwargs)
 
+    # delegations through the one-column frame (index machinery lives there)
+    def take(self, positions) -> "Series":
+        name = self.name or "0"
+        return self.to_frame(name).take(positions)[name]
+
+    def truncate(self, before=None, after=None) -> "Series":
+        name = self.name or "0"
+        return self.to_frame(name).truncate(before=before, after=after)[name]
+
+    def sort_index(self, ascending: bool = True) -> "Series":
+        name = self.name or "0"
+        return self.to_frame(name).sort_index(ascending=ascending)[name]
+
+    def reset_index(self, drop: bool = False):
+        """drop=True → Series on a fresh RangeIndex; drop=False → DataFrame
+        with the index as a column (pandas contract)."""
+        name = self.name or "0"
+        out = self.to_frame(name).reset_index(drop=drop)
+        return out[name] if drop else out
+
     # pandas method-form aliases
     def multiply(self, other, fill_value=None):
         return self.mul(other, fill_value=fill_value)

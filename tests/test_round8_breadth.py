@@ -153,3 +153,23 @@ def test_series_aliases_and_utils(spark, pdf):
     assert p == pdf["alpha_two"].ffill().tolist()
     b = ldf["alpha_two"].backfill().to_pandas().tolist()
     assert b == pdf["alpha_two"].bfill().tolist()
+
+
+def test_series_frame_delegations(spark):
+    pdf = pd.DataFrame({"k": [3, 1, 2], "v": [30.0, 10.0, 20.0]}).set_index("k")
+    ldf = from_pandas(pdf.reset_index(), spark=spark).set_index("k")
+    s = ldf["v"]
+    got = s.sort_index().to_pandas().tolist()
+    assert got == pdf["v"].sort_index().tolist()
+    tr = s.truncate(before=1, after=2).to_pandas()
+    exp = pdf["v"].sort_index().truncate(before=1, after=2)
+    assert sorted(tr) == sorted(exp)
+    # reset_index shapes
+    r1 = s.reset_index(drop=True)
+    assert r1.to_pandas().sort_values().tolist() == sorted(pdf["v"])
+    r2 = s.reset_index()
+    assert set(r2.columns) >= {"k", "v"}
+    # positional take on a fresh frame
+    pdf2 = pd.DataFrame({"v": [10.0, 20.0, 30.0, 40.0]})
+    s2 = from_pandas(pdf2, spark=spark)["v"]
+    assert sorted(s2.take([0, 2]).to_pandas()) == [10.0, 30.0]

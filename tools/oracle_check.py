@@ -81,6 +81,7 @@ def main() -> int:
         )
 
     failures = []
+    results: dict = {}
     for name, fn in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -89,26 +90,55 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark error: {exc}"[:300]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in ORACLES:
+            results[name] = {"status": "ROWS", "rows": len(spark_pdf)}
             print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb error: {exc}"[:300]}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = compare(spark_pdf, duck_pdf)
         if problems:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": "; ".join(problems)[:300]}
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
         else:
+            results[name] = {"status": "OK", "rows": len(spark_pdf)}
             print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    # Structured artifact (committed per round so the full-gate result — not
+    # just the driver's 50-query sample — is reviewable): only written for
+    # FULL runs, a filtered run would clobber it with a partial picture.
+    if not only:
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "OK"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "ROWS"),
+            "n_fail": len(failures),
+            "failures": failures,
+            "results": results,
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "oracle_full_results.json",
+        )
+        try:
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
     return 1 if failures else 0
 
 
