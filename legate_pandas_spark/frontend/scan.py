@@ -950,7 +950,27 @@ def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
     plan, and the exclusive prefix (partition start offsets) comes from a
     broadcast non-equi self-join + re-aggregate over it — no SinglePartition
     window, no driver-blocking collect. Returns (sdf + position column,
-    offsets DataFrame with (pid, start, cnt))."""
+    offsets DataFrame with (pid, start, cnt)).
+
+    The self-join is O(P²) pairs in the partition count, so the lazy path is
+    gated at 4096 partitions (16M broadcast-nested-loop comparisons, trivial);
+    a wider scan (e.g. an 800k-split 100 TB read) falls back to the driver
+    collect, whose cost is linear in P. ``getNumPartitions`` is planning-only
+    (no job) and upper-bounds the distinct pids on the narrow-op lineages
+    this machinery sees."""
+    try:
+        if sdf.rdd.getNumPartitions() > 4096:
+            from legate_pandas_spark.frontend.indexing import _attach_positions
+
+            with_pos, total, triples = _attach_positions(
+                sdf, fresh, pos_name=pos_name, with_offsets=True
+            )
+            offsets_df = sdf.sparkSession.createDataFrame(
+                triples or [(0, 0, 0)], schema="pid long, start long, cnt long"
+            )
+            return with_pos, offsets_df
+    except Exception:
+        pass  # planning probe failed: take the lazy path
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
     pid = F.shiftright(F.col(ROW_ORDER), _PID_BITS)
