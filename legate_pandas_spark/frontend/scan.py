@@ -952,25 +952,12 @@ def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
     window, no driver-blocking collect. Returns (sdf + position column,
     offsets DataFrame with (pid, start, cnt)).
 
-    The self-join is O(P²) pairs in the partition count, so the lazy path is
-    gated at 4096 partitions (16M broadcast-nested-loop comparisons, trivial);
-    a wider scan (e.g. an 800k-split 100 TB read) falls back to the driver
-    collect, whose cost is linear in P. ``getNumPartitions`` is planning-only
-    (no job) and upper-bounds the distinct pids on the narrow-op lineages
-    this machinery sees."""
-    try:
-        if sdf.rdd.getNumPartitions() > 4096:
-            from legate_pandas_spark.frontend.indexing import _attach_positions
-
-            with_pos, total, triples = _attach_positions(
-                sdf, fresh, pos_name=pos_name, with_offsets=True
-            )
-            offsets_df = sdf.sparkSession.createDataFrame(
-                triples or [(0, 0, 0)], schema="pid long, start long, cnt long"
-            )
-            return with_pos, offsets_df
-    except Exception:
-        pass  # planning probe failed: take the lazy path
+    The exclusive prefix is TWO-LEVEL (pids bucketed by pid >> 10): the
+    intra-bucket self-join is equi-keyed on the bucket with a residual
+    pid-comparison, and the cross-bucket prefix joins the ≤P/1024-row bucket
+    totals — O(P·1024 + (P/1024)²) pairs, so an 800k-split 100 TB scan costs
+    ~8·10⁸ cheap comparisons across the cluster instead of the naive
+    single-level join's 6·10¹¹."""
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
     pid = F.shiftright(F.col(ROW_ORDER), _PID_BITS)
@@ -981,12 +968,39 @@ def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
         local = F.row_number().over(w) - 1
     uniq = next(_seq)
     P, C, O = f"__lp_{uniq}__", f"__lc_{uniq}__", f"__lo_{uniq}__"
+    B = f"__lbk_{uniq}__"
     cnt = sdf.groupBy(pid.alias(P)).agg(F.count(F.lit(1)).alias(C))
-    rc = cnt.select(F.col(P).alias("__lb__"), F.col(C).alias("__lbn__"))
+    cnt = cnt.withColumn(B, F.shiftright(F.col(P), 10))
+    # intra-bucket exclusive prefix: equi-join on the bucket, residual pid<
+    rc = cnt.select(
+        F.col(B).alias("__lb_b__"),
+        F.col(P).alias("__lb_p__"),
+        F.col(C).alias("__lbn__"),
+    )
+    intra = (
+        cnt.join(
+            F.broadcast(rc),
+            (F.col("__lb_b__") == F.col(B)) & (F.col("__lb_p__") < F.col(P)),
+            "left",
+        )
+        .groupBy(P, C, B)
+        .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias("__lintra__"))
+    )
+    # cross-bucket exclusive prefix over the bucket totals
+    btot = cnt.groupBy(B).agg(F.sum(C).alias("__lbt__"))
+    rbt = btot.select(F.col(B).alias("__lp_b__"), F.col("__lbt__").alias("__lptn__"))
+    boff = (
+        btot.join(F.broadcast(rbt), F.col("__lp_b__") < F.col(B), "left")
+        .groupBy(B)
+        .agg(F.coalesce(F.sum("__lptn__"), F.lit(0)).alias("__lboff__"))
+    )
     off = (
-        cnt.join(F.broadcast(rc), F.col("__lb__") < F.col(P), "left")
-        .groupBy(P, C)
-        .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias(O))
+        intra.join(F.broadcast(boff), B, "left")
+        .select(
+            P,
+            C,
+            (F.col("__lintra__") + F.coalesce(F.col("__lboff__"), F.lit(0))).alias(O),
+        )
     )
     with_pos = (
         sdf.withColumn(P, pid)
