@@ -238,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision needs all three to agree across different sets; the oracle gate
     would surface one as a 1.0-Jaccard mismatch.
 
-    Round-8 pay-as-you-go: an EXACT max-group-size probe on the (persisted)
+    Round-8 pay-as-you-go: an EXACT clone-mass probe on the (persisted)
     identity aggregate decides per corpus whether the rep indirection runs at
     all — clean corpora get the unguarded plan back (no gid stamping, no
     expansion joins), clone-dense corpora keep the sub-linear guard. The
@@ -259,19 +259,17 @@ def _identity_group_stats(sh: DataFrame, incr_flags: bool = False):
     ``gstats``: ONE ROW PER IDENTICAL-SHINGLE-SET GROUP, persisted —
     gid (min doc_id), gsize, and the group's minhashes. Every member of an
     identity group has the same shingle set, hence bit-identical minhashes,
-    so ``first(mh_i)`` IS the rep signature — gstats doubles as the rep
+    so ``min(mh_i)`` IS the rep signature — gstats doubles as the rep
     signature table with zero extra joins. Replaces round 7's window
     (shuffle + full sort, no reduction) with a map-side-combinable
     groupBy aggregate whose output size is the number of DISTINCT sets.
 
     ``incr_flags`` adds has_old/has_new shard flags for the incremental path.
 
-    The caller probes ``max(gsize)`` on gstats (a metadata-cheap aggregate
-    over the persisted group rows — EXACT, so unlike an approx-distinct
-    probe it can never underestimate clone mass and fall into the k²
-    candidate blowup) and skips the member-expansion joins entirely when
-    every group is a singleton. The probe's only cost on clean corpora is
-    the gstats aggregate itself, whose input (doc-level signature rows) the
+    The caller runs ``_clone_mass_probe`` on gstats (one tiny aggregate over
+    the persisted group rows) and skips the rep indirection entirely on
+    low-clone-mass corpora. The probe's only cost on clean corpora is the
+    gstats aggregate itself, whose input (doc-level signature rows) the
     pipeline materializes anyway."""
     full = _minhash_signatures(sh, with_identity=True).persist(
         StorageLevel.MEMORY_AND_DISK
