@@ -944,7 +944,7 @@ def grouped_ewm_mean_columns(sdf, keys: list, cols: dict, alpha: float):
     )
 
 
-def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
+def _attach_positions_lazy(sdf, fresh: bool, pos_name: str, force_two_level=None):
     """Collect-free twin of ``indexing._attach_positions`` (round-8 job-count
     reduction): the per-pid count table (≤ num_partitions rows) stays IN the
     plan, and the exclusive prefix (partition start offsets) comes from a
@@ -952,12 +952,19 @@ def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
     window, no driver-blocking collect. Returns (sdf + position column,
     offsets DataFrame with (pid, start, cnt)).
 
-    The exclusive prefix is TWO-LEVEL (pids bucketed by pid >> 10): the
-    intra-bucket self-join is equi-keyed on the bucket with a residual
-    pid-comparison, and the cross-bucket prefix joins the ≤P/1024-row bucket
-    totals — O(P·1024 + (P/1024)²) pairs, so an 800k-split 100 TB scan costs
-    ~8·10⁸ cheap comparisons across the cluster instead of the naive
-    single-level join's 6·10¹¹."""
+    The exclusive prefix is ADAPTIVE on the partition count (a planning-only
+    ``getNumPartitions`` probe — no job):
+
+    - P ≤ 1024: a single broadcast non-equi self-join over the P-row count
+      table (≤ ~1M cheap comparisons; minimal plan stages — A/B-measured
+      ~0.4s faster per query than the two-level form at local[32] scale,
+      where scheduler latency per extra stage dominates).
+    - P > 1024: TWO-LEVEL (pids bucketed by pid >> 10): the intra-bucket
+      self-join is equi-keyed on the bucket with a residual pid-comparison,
+      and the cross-bucket prefix joins the ≤P/1024-row bucket totals —
+      O(P·1024 + (P/1024)²) pairs, so an 800k-split 100 TB scan costs
+      ~8·10⁸ cheap comparisons across the cluster instead of the naive
+      single-level join's 6·10¹¹. No driver collect on either path."""
     from legate_pandas_spark.frontend.frame import ROW_ORDER
 
     pid = F.shiftright(F.col(ROW_ORDER), _PID_BITS)
@@ -966,42 +973,61 @@ def _attach_positions_lazy(sdf, fresh: bool, pos_name: str):
     else:
         w = Window.partitionBy(pid).orderBy(F.asc(ROW_ORDER))
         local = F.row_number().over(w) - 1
+    if force_two_level is not None:  # test hook: pin the branch
+        small_p = not force_two_level
+    else:
+        try:
+            small_p = sdf.rdd.getNumPartitions() <= 1024
+        except Exception:
+            small_p = False  # probe failed: the two-level form is safe at any P
     uniq = next(_seq)
     P, C, O = f"__lp_{uniq}__", f"__lc_{uniq}__", f"__lo_{uniq}__"
-    B = f"__lbk_{uniq}__"
     cnt = sdf.groupBy(pid.alias(P)).agg(F.count(F.lit(1)).alias(C))
-    cnt = cnt.withColumn(B, F.shiftright(F.col(P), 10))
-    # intra-bucket exclusive prefix: equi-join on the bucket, residual pid<
-    rc = cnt.select(
-        F.col(B).alias("__lb_b__"),
-        F.col(P).alias("__lb_p__"),
-        F.col(C).alias("__lbn__"),
-    )
-    intra = (
-        cnt.join(
-            F.broadcast(rc),
-            (F.col("__lb_b__") == F.col(B)) & (F.col("__lb_p__") < F.col(P)),
-            "left",
+    if small_p:
+        rc = cnt.select(F.col(P).alias("__lb_p__"), F.col(C).alias("__lbn__"))
+        off = (
+            cnt.join(F.broadcast(rc), F.col("__lb_p__") < F.col(P), "left")
+            .groupBy(P, C)
+            .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias(O))
         )
-        .groupBy(P, C, B)
-        .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias("__lintra__"))
-    )
-    # cross-bucket exclusive prefix over the bucket totals
-    btot = cnt.groupBy(B).agg(F.sum(C).alias("__lbt__"))
-    rbt = btot.select(F.col(B).alias("__lp_b__"), F.col("__lbt__").alias("__lptn__"))
-    boff = (
-        btot.join(F.broadcast(rbt), F.col("__lp_b__") < F.col(B), "left")
-        .groupBy(B)
-        .agg(F.coalesce(F.sum("__lptn__"), F.lit(0)).alias("__lboff__"))
-    )
-    off = (
-        intra.join(F.broadcast(boff), B, "left")
-        .select(
-            P,
-            C,
-            (F.col("__lintra__") + F.coalesce(F.col("__lboff__"), F.lit(0))).alias(O),
+    else:
+        B = f"__lbk_{uniq}__"
+        cnt = cnt.withColumn(B, F.shiftright(F.col(P), 10))
+        # intra-bucket exclusive prefix: equi-join on the bucket, residual pid<
+        rc = cnt.select(
+            F.col(B).alias("__lb_b__"),
+            F.col(P).alias("__lb_p__"),
+            F.col(C).alias("__lbn__"),
         )
-    )
+        intra = (
+            cnt.join(
+                F.broadcast(rc),
+                (F.col("__lb_b__") == F.col(B)) & (F.col("__lb_p__") < F.col(P)),
+                "left",
+            )
+            .groupBy(P, C, B)
+            .agg(F.coalesce(F.sum("__lbn__"), F.lit(0)).alias("__lintra__"))
+        )
+        # cross-bucket exclusive prefix over the bucket totals
+        btot = cnt.groupBy(B).agg(F.sum(C).alias("__lbt__"))
+        rbt = btot.select(
+            F.col(B).alias("__lp_b__"), F.col("__lbt__").alias("__lptn__")
+        )
+        boff = (
+            btot.join(F.broadcast(rbt), F.col("__lp_b__") < F.col(B), "left")
+            .groupBy(B)
+            .agg(F.coalesce(F.sum("__lptn__"), F.lit(0)).alias("__lboff__"))
+        )
+        off = (
+            intra.join(F.broadcast(boff), B, "left")
+            .select(
+                P,
+                C,
+                (
+                    F.col("__lintra__") + F.coalesce(F.col("__lboff__"), F.lit(0))
+                ).alias(O),
+            )
+        )
     with_pos = (
         sdf.withColumn(P, pid)
         .join(F.broadcast(off.select(P, O)), P, "left")
