@@ -169,6 +169,7 @@ class DataFrame:
         if isinstance(key, str):
             s = Series(self, F.col(key), key)
             s._cat = self._cat_meta.get(key)
+            s._strict_cols = frozenset({key})  # provenance: plain column ref
             return s
         if isinstance(key, list):
             keep = [c for c in self._index if c not in key]
@@ -180,8 +181,12 @@ class DataFrame:
             return out
         if isinstance(key, Series):
             out = self._replace(self._sdf.filter(key._col))
-            # row filtering cannot introduce nulls
-            out._nonnull_cols = frozenset(self._nonnull_cols)
+            # row filtering cannot introduce nulls; and the surviving rows
+            # had the mask TRUE, so the mask's null-rejection proof applies
+            # (df[df.k > 0] proves k non-null -> merge plain-equality path)
+            out._nonnull_cols = frozenset(self._nonnull_cols) | (
+                (key._nonnull_if_true | key._strict_cols) & set(self.columns)
+            )
             return out
         raise TypeError(f"unsupported key type: {type(key)!r}")
 
@@ -307,10 +312,19 @@ class DataFrame:
 
     # ------------------------------------------------------------ row selection
     def query(self, expr: str, **env) -> "DataFrame":
-        from legate_pandas_spark.frontend.query import translate_query_expr
+        from legate_pandas_spark.frontend.query import (
+            query_proof_columns,
+            translate_query_expr,
+        )
 
         env = _caller_env(env, depth=2)
-        return self._replace(self._sdf.filter(translate_query_expr(expr, env or None)))
+        out = self._replace(self._sdf.filter(translate_query_expr(expr, env or None)))
+        # surviving rows passed a null-dropping WHERE: comparison operands
+        # are proven non-null (merge plain-equality fast path)
+        out._nonnull_cols = frozenset(self._nonnull_cols) | (
+            query_proof_columns(expr) & set(self.columns)
+        )
+        return out
 
     def head(self, n: int = 5) -> "DataFrame":
         return self._replace(self._sdf.limit(n))

@@ -52,19 +52,25 @@ def _emit(node: ast.AST, env: dict | None) -> str:
             return f"(NOT {_emit(node.operand, env)})"
         raise QueryTranslationError(f"unsupported unary op: {ast.dump(node)}")
     if isinstance(node, ast.Compare):
+        # Each comparison atom compiles TOTAL (never null) so and/or/not are
+        # plain two-valued Python logic, exactly like pandas/numexpr on NaN:
+        # NaN == x / < / > ... evaluate False, NaN != x and NaN not-in [...]
+        # evaluate True. Bare SQL three-valued logic would instead DROP null
+        # rows under `not (k == 1)` and `k != 1`, which pandas keeps.
         left = _emit(node.left, env)
         parts = []
         for op, comparator in zip(node.ops, node.comparators):
             right = _emit(comparator, env)
             if isinstance(op, ast.In):
-                parts.append(f"{left} IN ({right.strip('()')})")
+                parts.append(f"coalesce({left} IN ({right.strip('()')}), FALSE)")
             elif isinstance(op, ast.NotIn):
-                parts.append(f"{left} NOT IN ({right.strip('()')})")
+                parts.append(f"coalesce({left} NOT IN ({right.strip('()')}), TRUE)")
             else:
                 cls = type(op)
                 if cls not in _CMPOP:
                     raise QueryTranslationError(f"unsupported comparison: {cls.__name__}")
-                parts.append(f"{left} {_CMPOP[cls]} {right}")
+                default = "TRUE" if cls is ast.NotEq else "FALSE"
+                parts.append(f"coalesce({left} {_CMPOP[cls]} {right}, {default})")
             left = right
         return "(" + " AND ".join(parts) + ")"
     if isinstance(node, ast.BinOp):
@@ -116,6 +122,66 @@ def _lit(v) -> str:
     if isinstance(v, (list, tuple)):
         return "(" + ", ".join(_lit(x) for x in v) + ")"
     raise QueryTranslationError(f"unsupported literal type: {type(v).__name__}")
+
+
+def _null_forcing_cols(node: ast.AST) -> set:
+    """Columns whose null forces this VALUE expression to evaluate null
+    (null-propagating arithmetic / casts / the whitelisted calls). Mirrors
+    Series._strict_cols for the query grammar."""
+    if isinstance(node, ast.Name):
+        if node.id.startswith("__at__"):
+            return set()  # @env literal, not a column
+        return {node.id}
+    if isinstance(node, ast.BinOp):
+        return _null_forcing_cols(node.left) | _null_forcing_cols(node.right)
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        return _null_forcing_cols(node.operand)
+    if isinstance(node, ast.Call):
+        out: set = set()
+        for a in node.args:
+            out |= _null_forcing_cols(a)
+        return out
+    return set()
+
+
+def _proof_cols(node: ast.AST) -> set:
+    """Columns proven non-null on rows the translated predicate KEEPS.
+
+    Comparison atoms compile null-rejecting for ==/</<=/>/>=/in (a null
+    operand evaluates FALSE), so an atom that held proves its operands'
+    null-forcing columns non-null; conjunction unions proofs, disjunction
+    intersects. != / not-in evaluate TRUE on null operands (pandas NaN
+    semantics) and NOT can flip a null-driven FALSE to TRUE, so none of
+    those prove anything. Feeds frame._nonnull_cols -> the merge
+    plain-equality fast path."""
+    if isinstance(node, ast.BoolOp):
+        sets = [_proof_cols(v) for v in node.values]
+        if isinstance(node.op, ast.And):
+            return set().union(*sets)
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+    if isinstance(node, ast.Compare):
+        out: set = set()
+        left = node.left
+        for op, comparator in zip(node.ops, node.comparators):
+            if not isinstance(op, (ast.NotEq, ast.NotIn)):
+                out |= _null_forcing_cols(left)
+                out |= _null_forcing_cols(comparator)
+            left = comparator
+        return out
+    return set()
+
+
+def query_proof_columns(expr: str) -> frozenset:
+    """Public entry: non-null proof column set for a pandas query expression
+    (empty set on any parse problem — proofs are an optimization only)."""
+    try:
+        tree = ast.parse(expr.replace("@", "__at__"), mode="eval")
+        return frozenset(_proof_cols(tree.body))
+    except Exception:
+        return frozenset()
 
 
 def translate_query_expr(expr: str, env: dict | None = None) -> str:

@@ -43,6 +43,18 @@ class Series:
         self._col = col
         self.name = name
         self._cat = None  # CatMeta when this column carries a categorical dtype
+        # --- non-null provenance (frame._nonnull_cols producers) ----------
+        # _strict_cols: source columns c with (c null => this expr null);
+        # contrapositive: expr non-null => c non-null. Plain column refs and
+        # null-propagating arithmetic carry it.
+        # _nonnull_if_true: for boolean exprs — columns proven non-null on
+        # rows where the expr is TRUE (null-compare-false comparisons, isin,
+        # between, notna, and &/|/~ compositions). A boolean-mask filter
+        # consumes (_nonnull_if_true | _strict_cols) into the output frame's
+        # _nonnull_cols, so df[df.k > 0].merge(...) compiles the plain-
+        # equality fast path (exchange reuse — see frame._nonnull_cols).
+        self._strict_cols: frozenset = frozenset()
+        self._nonnull_if_true: frozenset = frozenset()
 
     # -- plumbing ----------------------------------------------------------
     def _other_col(self, other):
@@ -55,8 +67,26 @@ class Series:
             return other._col
         return F.lit(other)
 
-    def _wrap(self, col: Column, name: str | None = None) -> "Series":
-        return Series(self._frame, col, name or self.name)
+    def _wrap(
+        self, col: Column, name: str | None = None, *, strict=None, proof=None
+    ) -> "Series":
+        out = Series(self._frame, col, name or self.name)
+        if strict is not None:
+            out._strict_cols = frozenset(strict)
+        if proof is not None:
+            out._nonnull_if_true = frozenset(proof)
+        return out
+
+    @staticmethod
+    def _strict_of(other) -> frozenset:
+        return other._strict_cols if isinstance(other, Series) else frozenset()
+
+    @staticmethod
+    def _proof_of(other) -> frozenset:
+        """Columns proven non-null when `other` (a mask operand) is true."""
+        if isinstance(other, Series):
+            return other._nonnull_if_true | other._strict_cols
+        return frozenset()
 
     def spark_col(self) -> Column:
         return self._col
@@ -74,18 +104,30 @@ class Series:
 
     # -- arithmetic (pandas promotion rules) -------------------------------
     def __add__(self, other):
-        return self._wrap(self._col + self._other_col(other))
+        return self._wrap(
+            self._col + self._other_col(other),
+            strict=self._strict_cols | self._strict_of(other),
+        )
 
     __radd__ = __add__
 
     def __sub__(self, other):
-        return self._wrap(self._col - self._other_col(other))
+        return self._wrap(
+            self._col - self._other_col(other),
+            strict=self._strict_cols | self._strict_of(other),
+        )
 
     def __rsub__(self, other):
-        return self._wrap(self._other_col(other) - self._col)
+        return self._wrap(
+            self._other_col(other) - self._col,
+            strict=self._strict_cols | self._strict_of(other),
+        )
 
     def __mul__(self, other):
-        return self._wrap(self._col * self._other_col(other))
+        return self._wrap(
+            self._col * self._other_col(other),
+            strict=self._strict_cols | self._strict_of(other),
+        )
 
     __rmul__ = __mul__
 
@@ -108,10 +150,10 @@ class Series:
         return self._wrap(F.pow(self._col, self._other_col(other)))
 
     def __neg__(self):
-        return self._wrap(-self._col)
+        return self._wrap(-self._col, strict=self._strict_cols)
 
     def __abs__(self):
-        return self._wrap(F.abs(self._col))
+        return self._wrap(F.abs(self._col), strict=self._strict_cols)
 
     def abs(self):
         return self.__abs__()
@@ -124,29 +166,55 @@ class Series:
 
     # -- comparisons: null-compare-false, non-nullable result --------------
     def __eq__(self, other):  # type: ignore[override]
-        return self._wrap(null_compare_false(self._col == self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col == self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     def __ne__(self, other):  # type: ignore[override]
-        return self._wrap(null_compare_false(self._col != self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col != self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     def __lt__(self, other):
-        return self._wrap(null_compare_false(self._col < self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col < self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     def __le__(self, other):
-        return self._wrap(null_compare_false(self._col <= self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col <= self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     def __gt__(self, other):
-        return self._wrap(null_compare_false(self._col > self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col > self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     def __ge__(self, other):
-        return self._wrap(null_compare_false(self._col >= self._other_col(other)))
+        return self._wrap(
+            null_compare_false(self._col >= self._other_col(other)),
+            proof=self._strict_cols | self._strict_of(other),
+        )
 
     # -- boolean / bitwise --------------------------------------------------
     def __and__(self, other):
-        return self._wrap(self._col & self._other_col(other))
+        # conjunction true => both operands true => both proofs apply
+        return self._wrap(
+            self._col & self._other_col(other),
+            proof=self._proof_of(self) | self._proof_of(other),
+        )
 
     def __or__(self, other):
-        return self._wrap(self._col | self._other_col(other))
+        # disjunction true => at least one true => only the shared proof holds
+        return self._wrap(
+            self._col | self._other_col(other),
+            proof=self._proof_of(self) & self._proof_of(other),
+        )
 
     def __xor__(self, other):
         return self._wrap(
@@ -154,7 +222,12 @@ class Series:
         )
 
     def __invert__(self):
-        return self._wrap(~self._col)
+        # ~x true => x false (non-null) => x's strict sources are non-null;
+        # x's own _nonnull_if_true does NOT survive negation (it held only
+        # on the true rows, e.g. null-compare-false comparisons)
+        return self._wrap(
+            ~self._col, strict=self._strict_cols, proof=self._strict_cols
+        )
 
     # -- pandas method-form binops (fill_value supported) -------------------
     def add(self, other, fill_value=None):
@@ -289,7 +362,9 @@ class Series:
     isnull = isna
 
     def notna(self):
-        return self._wrap(self._col.isNotNull(), name=self.name)
+        return self._wrap(
+            self._col.isNotNull(), name=self.name, proof=self._strict_cols
+        )
 
     notnull = notna
 
@@ -306,10 +381,18 @@ class Series:
         return out
 
     def isin(self, values):
-        return self._wrap(null_compare_false(self._col.isin(list(values))))
+        # a null value never matches (SQL IN with null -> null -> false),
+        # so mask true proves the source non-null even if values has a None
+        return self._wrap(
+            null_compare_false(self._col.isin(list(values))),
+            proof=self._strict_cols,
+        )
 
     def between(self, left, right):
-        return self._wrap(null_compare_false(self._col.between(left, right)))
+        return self._wrap(
+            null_compare_false(self._col.between(left, right)),
+            proof=self._strict_cols,
+        )
 
     def where(self, cond, other=None):
         """Keep values where cond is True, else replace with other (pandas)."""
