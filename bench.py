@@ -106,6 +106,8 @@ HEADLINE = [
     "boilerplate_ngram_ratio",
     "temperature_mixture_sample",
     "split_token_distribution_shift",
+    # round 8: DSIR data selection
+    "dsir_importance_resample",
 ]
 
 

@@ -1525,3 +1525,186 @@ def split_token_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
     )
+
+
+_DSIR_B = 2048  # hashed n-gram feature buckets
+_DSIR_K = 100  # resampled selection size
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || '_' || toks[i + 1]))) AS g
+      FROM docs
+    ),
+    cells AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 6))::BIGINT % {_DSIR_B} AS b,
+             count(*) AS cnt
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    rawc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr FROM cells GROUP BY b),
+    tgtc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS ct FROM cells
+             WHERE lang = 'en' GROUP BY b),
+    tots AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS r_tot,
+             CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS t_tot
+      FROM cells
+    ),
+    lam AS (
+      SELECT rawc.b,
+             CAST(round(1000000.0 * ln(
+               ((COALESCE(ct, 0) + 1) * (r_tot + {_DSIR_B})) * 1.0
+               / ((cr + 1) * (t_tot + {_DSIR_B})))) AS BIGINT) AS lam
+      FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tots
+    ),
+    docw AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(sum(c.cnt * l.lam), 0) AS BIGINT) AS logw_micro
+      FROM docs d
+      LEFT JOIN cells c ON d.doc_id = c.doc_id
+      LEFT JOIN lam l ON c.b = l.b
+      GROUP BY d.doc_id
+    ),
+    gum AS (
+      SELECT doc_id,
+             CAST(round(-1000000.0 * ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0))) AS BIGINT) AS g
+      FROM documents
+    )
+    SELECT m.doc_id, m.source, m.lang, w.logw_micro,
+           CAST(w.logw_micro + g.g AS BIGINT) AS score_micro
+    FROM docw w
+    JOIN gum g ON w.doc_id = g.doc_id
+    JOIN documents m ON w.doc_id = m.doc_id
+    ORDER BY score_micro DESC, m.doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    a hashed-n-gram bag-of-words importance weight log(p_target/p_raw) and
+    Gumbel-top-k resample. Target domain here: lang='en' documents; raw:
+    the whole corpus.
+
+    Cross-engine exactness by construction: the per-feature logit is scaled
+    to an INTEGER (round(1e6*ln(...)) of a ratio of integer counts), so the
+    per-document weighted sum is exact integer arithmetic — no float
+    summation-order drift anywhere. The Gumbel key is integer-scaled too,
+    derived from a deterministic md5 uniform (never 0 or 1: (h+0.5)/2^32).
+
+    100 TB shape: one text scan feeds the n-gram explode -> per-(doc,bucket)
+    count aggregate (map-side combine; persisted — it is consumed by the
+    bucket model, the totals, and the per-doc scores); the feature model is
+    a B=2048-row broadcast; scoring is one groupBy(doc_id); selection is a
+    TakeOrderedAndProject top-K. No driver collect, no unbounded state.
+
+    Extension surface (the reference has no corpus tooling — SURVEY §2.8).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size(F.col("toks")) - 1),
+            F.slice(F.col("toks"), 2, F.size(F.col("toks")) - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 6), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    cells = (
+        feats.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    rawc = cells.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tgtc = (
+        cells.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    tots = cells.agg(
+        F.sum("cnt").alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "t_tot"
+        ),
+    )
+    lam = (
+        rawc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("r_tot") + _DSIR_B))
+                    * 1.0
+                    / ((F.col("cr") + 1) * (F.col("t_tot") + _DSIR_B))
+                )
+            )
+            .cast("bigint")
+            .alias("lam"),
+        )
+    )
+    docw = (
+        docs.select("doc_id")
+        .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
+        .join(F.broadcast(lam), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("lam")), F.lit(0))
+            .cast("bigint")
+            .alias("logw_micro")
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gum = docs.select(
+        "doc_id",
+        F.round(F.lit(-1000000.0) * F.log(-F.log(u))).cast("bigint").alias("g"),
+    )
+    return (
+        docw.join(gum, "doc_id")
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "logw_micro",
+            (F.col("logw_micro") + F.col("g")).cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
