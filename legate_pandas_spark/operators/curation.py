@@ -1531,6 +1531,111 @@ _DSIR_B = 2048  # hashed n-gram feature buckets
 _DSIR_K = 100  # resampled selection size
 
 
+def _dsir_tokens_expr(text_col):
+    """Lowercased alnum tokens of a text column (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def _dsir_features_expr(toks_col):
+    """Unigrams + '_'-joined bigrams of an already-bound token array."""
+    bigrams = F.when(
+        F.size(toks_col) >= 2,
+        F.zip_with(
+            F.slice(toks_col, 1, F.size(toks_col) - 1),
+            F.slice(toks_col, 2, F.size(toks_col) - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks_col, bigrams)
+
+
+def _dsir_bucket_expr(g_col):
+    """Deterministic md5 feature bucket in [0, _DSIR_B) — same arithmetic as
+    the DuckDB oracle's ('0x' || substr(md5(g),1,6))::BIGINT % B."""
+    return F.conv(F.substring(F.md5(g_col), 1, 6), 16, 10).cast("bigint") % _DSIR_B
+
+
+def _dsir_gumbel_expr(doc_id_col):
+    """Integer-scaled deterministic Gumbel key: u = (md5-hex8 + 0.5)/2^32 is
+    strictly inside (0,1), g = round(-1e6 * ln(-ln(u)))."""
+    u = (
+        F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return F.round(F.lit(-1000000.0) * F.log(-F.log(u))).cast("bigint")
+
+
+def _dsir_parts(docs):
+    """(cells, lam, tots) for a documents frame: per-(doc,lang,bucket) counts
+    (persisted — three consumers), the B-row integer-logit model, and the
+    corpus totals aggregate."""
+    feats = docs.select(
+        "doc_id", "lang", _dsir_tokens_expr(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(_dsir_features_expr(F.col("toks"))).alias("g"),
+    )
+    cells = (
+        feats.select("doc_id", "lang", _dsir_bucket_expr(F.col("g")).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    rawc = cells.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tgtc = (
+        cells.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("cnt").alias("ct"))
+    )
+    tots = cells.agg(
+        F.sum("cnt").alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("t_tot"),
+    )
+    lam = (
+        rawc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("r_tot") + _DSIR_B)
+                    )
+                    * 1.0
+                    / ((F.col("cr") + 1) * (F.col("t_tot") + _DSIR_B))
+                )
+            )
+            .cast("bigint")
+            .alias("lam"),
+        )
+    )
+    return cells, lam, tots
+
+
+def dsir_train_model(spark: SparkSession, sf_dir: str):
+    """Collect the trained DSIR feature model for use as plan constants in
+    the streaming scorer (streaming/documents.dsir_score_stream): returns
+    ({bucket: lam_micro}, default_lam_micro) where the default applies to
+    buckets unseen in training — the smoothed logit ln((R+B)/(T+B)) both
+    counts at zero. B=2048 rows + 2 scalars: a model-sized collect, the same
+    batch->stream handoff as the PQ codebook."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    _cells, lam, tots = _dsir_parts(docs)
+    model = {int(r["b"]): int(r["lam"]) for r in lam.collect()}
+    t = tots.collect()[0]
+    default = int(
+        round(
+            1000000.0
+            * math.log((t["r_tot"] + _DSIR_B) / (t["t_tot"] + _DSIR_B))
+        )
+    )
+    return model, default
+
+
 @query(
     "dsir_importance_resample",
     oracle=f"""
@@ -1617,64 +1722,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    bigrams = F.when(
-        F.size(F.col("toks")) >= 2,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, F.size(F.col("toks")) - 1),
-            F.slice(F.col("toks"), 2, F.size(F.col("toks")) - 1),
-            lambda a, b: F.concat_ws("_", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = (
-        docs.select("doc_id", "lang", toks.alias("toks"))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
-        )
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("g")), 1, 6), 16, 10).cast("bigint")
-        % _DSIR_B
-    )
-    cells = (
-        feats.select("doc_id", "lang", bucket.alias("b"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
-    rawc = cells.groupBy("b").agg(F.sum("cnt").alias("cr"))
-    tgtc = (
-        cells.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("cnt").alias("ct"))
-    )
-    tots = cells.agg(
-        F.sum("cnt").alias("r_tot"),
-        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
-            "t_tot"
-        ),
-    )
-    lam = (
-        rawc.join(tgtc, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            F.round(
-                F.lit(1000000.0)
-                * F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("r_tot") + _DSIR_B))
-                    * 1.0
-                    / ((F.col("cr") + 1) * (F.col("t_tot") + _DSIR_B))
-                )
-            )
-            .cast("bigint")
-            .alias("lam"),
-        )
-    )
+    cells, lam, _tots = _dsir_parts(docs)
     docw = (
         docs.select("doc_id")
         .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
@@ -1686,14 +1734,8 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logw_micro")
         )
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
     gum = docs.select(
-        "doc_id",
-        F.round(F.lit(-1000000.0) * F.log(-F.log(u))).cast("bigint").alias("g"),
+        "doc_id", _dsir_gumbel_expr(F.col("doc_id")).alias("g")
     )
     return (
         docw.join(gum, "doc_id")

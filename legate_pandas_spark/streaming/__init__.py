@@ -18,4 +18,5 @@ from legate_pandas_spark.streaming.documents import (  # noqa: F401
     bloom_dedup_stream,
     incremental_dedup_stream,
     pq_encode_stream,
+    dsir_score_stream,
 )

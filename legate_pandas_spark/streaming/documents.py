@@ -271,3 +271,43 @@ def pq_encode_stream(embs: DataFrame, codebook: list) -> DataFrame:
         )
         code_cols.append(code.cast("int").alias(f"code_{m}"))
     return embs.select("vec_id", "label", *code_cols)
+
+
+def dsir_score_stream(docs: DataFrame, model: dict, default_lam: int) -> DataFrame:
+    """Streaming twin of dsir_importance_resample's SCORING stage: weigh each
+    arriving document against a DSIR feature model trained by the batch job
+    (operators/curation.dsir_train_model) — the batch->stream handoff pattern
+    shared with pq_encode_stream (model as plan constants).
+
+    The B=2048 integer logits compile into ONE literal array indexed by the
+    md5 feature bucket; per-document log-weight is a fold over the token/
+    bigram feature array (exact integer arithmetic, same values as the batch
+    scorer bit-for-bit). Completely STATELESS — no aggregation, watermark, or
+    state store; one row in -> one row out, so it runs at any scale as a map
+    stage over the ingest stream."""
+    from legate_pandas_spark.operators.curation import (
+        _DSIR_B,
+        _dsir_bucket_expr,
+        _dsir_features_expr,
+        _dsir_gumbel_expr,
+        _dsir_tokens_expr,
+    )
+
+    lam_arr = F.array(
+        *[F.lit(int(model.get(b, default_lam))) for b in range(_DSIR_B)]
+    )
+    feats = _dsir_features_expr(_dsir_tokens_expr(F.col("text")))
+    per_g = F.transform(
+        feats,
+        lambda g: F.element_at(lam_arr, (_dsir_bucket_expr(g) + 1).cast("int")),
+    )
+    logw = F.aggregate(
+        per_g, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return docs.select(
+        "doc_id",
+        logw.alias("logw_micro"),
+        (logw + _dsir_gumbel_expr(F.col("doc_id"))).cast("bigint").alias(
+            "score_micro"
+        ),
+    )

@@ -454,3 +454,63 @@ def test_pq_encode_stream_matches_batch_codes(spark, sf_dir, embeddings_dir):
             if r[f"code_{m}"] != batch_codes[(r["vec_id"], m)]:
                 mismatches.append((r["vec_id"], m, r[f"code_{m}"], batch_codes[(r["vec_id"], m)]))
     assert not mismatches, mismatches[:5]
+
+
+def test_dsir_score_stream_matches_batch_scores(spark, sf_dir, documents_dir):
+    """Streaming DSIR scorer (model as plan constants, per-row feature FOLD)
+    must produce exactly the batch scorer's integer scores (explode +
+    groupBy aggregate) for every document — including docs with no
+    features (logw 0) and unseen-bucket defaults."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators.curation import (
+        _dsir_gumbel_expr,
+        _dsir_parts,
+        dsir_train_model,
+    )
+    from legate_pandas_spark.streaming import (
+        dsir_score_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    model, default = dsir_train_model(spark, sf_dir)
+    assert model and isinstance(default, int)
+
+    # batch reference: the registered query's scoring shape, all docs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    cells, lam, _ = _dsir_parts(docs)
+    docw = (
+        docs.select("doc_id")
+        .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
+        .join(F.broadcast(lam), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("lam")), F.lit(0))
+            .cast("bigint")
+            .alias("logw_micro")
+        )
+    )
+    batch = {
+        r["doc_id"]: (
+            r["logw_micro"],
+            r["logw_micro"] + r["g"],
+        )
+        for r in docw.join(
+            docs.select("doc_id", _dsir_gumbel_expr(F.col("doc_id")).alias("g")),
+            "doc_id",
+        ).collect()
+    }
+
+    scored = dsir_score_stream(stream_documents(spark, documents_dir), model, default)
+    run_available_now(scored, "dsir_scores", output_mode="append")
+    got = spark.table("dsir_scores").collect()
+    assert len(got) == len(batch)
+    mismatches = [
+        (r["doc_id"], r["logw_micro"], batch[r["doc_id"]])
+        for r in got
+        if (r["logw_micro"], r["score_micro"]) != batch[r["doc_id"]]
+    ]
+    assert not mismatches, mismatches[:5]
