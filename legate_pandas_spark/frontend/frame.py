@@ -1899,6 +1899,96 @@ class DataFrame:
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
 
+    def isetitem(self, loc, value) -> None:
+        """Positional column write (pandas isetitem)."""
+        locs = loc if isinstance(loc, (list, tuple)) else [loc]
+        cols = self.columns
+        for i, l in enumerate(locs):
+            v = value[i] if isinstance(loc, (list, tuple)) else value
+            self[cols[l]] = v
+
+    def infer_objects(self, copy: bool | None = None) -> "DataFrame":
+        """No-op: Spark columns are already typed (pandas object-dtype
+        inference has nothing to infer here)."""
+        return self.copy()
+
+    def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
+        """Column-wise combine (pandas): func receives the two aligned column
+        SERIES and returns the merged column. Columns are pasted side by side
+        with the concat(axis=1) alignment machinery, so func runs on Series
+        of ONE frame and compiles to pure Catalyst expressions — func must be
+        written against the Series API (e.g. lambda a, b: a.where(a > b, b)),
+        not arbitrary numpy. A column missing on one side contributes nulls
+        (fill_value substitutes before func, pandas contract)."""
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        def _with_pos_index(f: "DataFrame") -> "DataFrame":
+            # concat(axis=1) pastes on the stored index; index-less frames
+            # align POSITIONALLY via a materialized position index
+            if f._index:
+                return f
+            fresh = ROW_ORDER not in f._sdf.columns
+            with_pos, _total = _attach_positions(
+                f._ordered_sdf(), fresh, pos_name="__cbidx__"
+            )
+            return DataFrame(with_pos, ("__cbidx__",))
+
+        synthetic = not self._index
+        out_cols = sorted(set(self.columns) | set(other.columns))
+        left = _with_pos_index(
+            self.rename(columns={c: f"_cmbl_{c}" for c in self.columns})
+        )
+        right = _with_pos_index(
+            other.rename(columns={c: f"_cmbr_{c}" for c in other.columns})
+        )
+        both = concat([left, right], axis=1)
+        null_s = Series(both, F.lit(None).cast("double"), None)
+        pieces = {}
+        for c in out_cols:
+            a = both[f"_cmbl_{c}"] if c in self.columns else null_s
+            b = both[f"_cmbr_{c}"] if c in other.columns else null_s
+            if fill_value is not None:
+                a, b = a.fillna(fill_value), b.fillna(fill_value)
+            pieces[c] = func(a, b)
+        keep = [
+            c
+            for c in both._sdf.columns
+            if c.startswith("__") and c.endswith("__")
+        ]
+        index = both._index
+        if synthetic:  # drop the positional paste index: result is range-indexed
+            keep = [c for c in keep if c != "__cbidx__"]
+            index = ()
+        sdf = both._sdf.select(
+            *keep, *[pieces[c]._col.alias(c) for c in out_cols]
+        )
+        return DataFrame(sdf, index)
+
+    def asfreq(self, freq: str) -> "DataFrame":
+        """Reindex the datetime index onto a fixed-frequency grid (pandas
+        asfreq): grid points with no source row get nulls; off-grid source
+        rows drop. The grid is a sequence() explode of the min/max index
+        aggregate (two scalars broadcast) left-joined back — no driver-side
+        date loop, so a 10-year-by-minute spine is one narrow job."""
+        if not self._index:
+            raise ValueError("asfreq requires a stored datetime index (set_index first)")
+        idx = self._index[0]
+        interval = _freq_to_interval(freq)
+        bounds = self._sdf.agg(
+            F.min(idx).alias("__mn__"), F.max(idx).alias("__mx__")
+        )
+        grid = bounds.select(
+            F.explode(
+                F.expr(f"sequence(__mn__, __mx__, interval {interval})")
+            ).alias(idx)
+        )
+        data = self._sdf.select(
+            *[F.col(c) for c in self._sdf.columns if not (c.startswith("__") and c.endswith("__"))]
+        )
+        out = grid.join(data, idx, "left").orderBy(idx)
+        out = out.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+        return DataFrame(out, self._index)
+
     def update(self, other: "DataFrame") -> None:
         """Overwrite cells from `other`'s non-null cells (pandas update),
         aligned by lineage or stored index — same alignment contract as

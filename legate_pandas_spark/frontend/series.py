@@ -1391,6 +1391,183 @@ class Series:
         out = self.to_frame(name).reset_index(drop=drop)
         return out[name] if drop else out
 
+    def _labeled_frame(self, name: str):
+        """One-column frame with the index STORED as a column — materializes
+        the virtual RangeIndex as global positions when no index is stored
+        (label == position on a fresh default index, the pandas contract).
+        Positions come from the partition-offset arithmetic, not a global
+        window (reference FIND_BOUNDS, core/table.py:629-772)."""
+        from legate_pandas_spark.frontend.frame import ROW_ORDER, DataFrame
+        from legate_pandas_spark.frontend.indexing import _attach_positions
+
+        f = self.to_frame(name)
+        if f._index:
+            return f
+        fresh = ROW_ORDER not in f._sdf.columns
+        with_pos, _total = _attach_positions(
+            f._ordered_sdf(), fresh, pos_name="__sidx__"
+        )
+        return DataFrame(with_pos, ("__sidx__",))
+
+    def get(self, key, default=None):
+        """Value at index label `key`, or `default` when absent (pandas get).
+        Duplicate labels return the label-filtered Series, like pandas."""
+        name = self.name or "0"
+        f = self._labeled_frame(name)
+        idx = f._index[0]
+        rows = f._sdf.filter(F.col(idx) == F.lit(key)).limit(2).collect()
+        if not rows:
+            return default
+        if len(rows) == 1:
+            return rows[0][name]
+        return f.loc[key][name]
+
+    def xs(self, key):
+        sentinel = object()
+        v = self.get(key, default=sentinel)
+        if v is sentinel:
+            raise KeyError(key)
+        return v
+
+    def drop(self, labels, errors: str = "raise"):
+        """Drop rows by index label (pandas Series.drop). On the default
+        RangeIndex, labels are positions and the surviving ORIGINAL labels
+        become the stored index (pandas keeps [0, 2] after dropping 1)."""
+        name = self.name or "0"
+        f = self._labeled_frame(name)
+        idx = f._index[0]
+        labs = (
+            list(labels)
+            if isinstance(labels, (list, tuple, set, frozenset))
+            else [labels]
+        )
+        if errors == "raise":
+            found = {
+                r[0]
+                for r in f._sdf.filter(F.col(idx).isin(labs))
+                .select(idx)
+                .distinct()
+                .collect()
+            }
+            missing = [l for l in labs if l not in found]
+            if missing:
+                raise KeyError(f"{missing} not found in axis")
+        return f.drop(index=labs)[name]
+
+    def __len__(self) -> int:
+        return self._frame._sdf.count()
+
+    def __bool__(self) -> bool:
+        # pandas: truth value of a Series is ambiguous — and silently running
+        # a count() job for `if series:` would be worse
+        raise ValueError(
+            "The truth value of a Series is ambiguous. Use a.empty, a.bool(), "
+            "a.item(), a.any() or a.all()."
+        )
+
+    def squeeze(self):
+        rows = self._frame._sdf.select(self._col).limit(2).collect()
+        return rows[0][0] if len(rows) == 1 else self
+
+    def add_prefix(self, prefix: str) -> "Series":
+        """Prefix every index label (labels become strings, pandas)."""
+        return self._relabel_index(lambda c: F.concat(F.lit(str(prefix)), c))
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return self._relabel_index(lambda c: F.concat(c, F.lit(str(suffix))))
+
+    def _relabel_index(self, fn) -> "Series":
+        name = self.name or "0"
+        f = self._labeled_frame(name)
+        idx = f._index[0]
+        out = f._replace(
+            f._sdf.withColumn(idx, fn(F.col(idx).cast("string"))), f._index
+        )
+        return out[name]
+
+    def __divmod__(self, other):
+        return self // other, self % other
+
+    def __rdivmod__(self, other):
+        o = self._other_col(other)
+        return self._wrap(floordiv(o, self._col)), self._wrap(
+            floormod(o, self._col)
+        )
+
+    def divmod(self, other):
+        return self.__divmod__(other)
+
+    def rdivmod(self, other):
+        return self.__rdivmod__(other)
+
+    @property
+    def nbytes(self) -> int:
+        return 8 * len(self)
+
+    def memory_usage(self, index: bool = True, deep: bool = False) -> int:
+        """pandas parity for the shallow form: 8 bytes per element; the
+        default RangeIndex costs pandas' 132-byte constant, a stored index
+        8 bytes per label."""
+        n = len(self)
+        total = 8 * n
+        if index:
+            total += 8 * n if self._frame._index else 132
+        return total
+
+    def searchsorted(self, value, side: str = "left"):
+        """Insertion positions keeping order (pandas, defined on sorted
+        values): one conditional-count aggregate per probe value — counts
+        ship to the driver, rows never do."""
+        import numpy as np
+
+        if side not in ("left", "right"):
+            raise ValueError(f"invalid side: {side!r}")
+        seq = isinstance(value, (list, tuple, np.ndarray))
+        vals = list(value) if seq else [value]
+        if not vals:
+            return np.array([], dtype="int64")
+        aggs = [
+            F.sum(
+                F.when(
+                    (self._col < F.lit(v))
+                    if side == "left"
+                    else (self._col <= F.lit(v)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, v in enumerate(vals)
+        ]
+        row = self._frame._sdf.agg(*aggs).collect()[0]
+        out = np.array([int(row[i] or 0) for i in range(len(vals))], dtype="int64")
+        return out if seq else int(out[0])
+
+    def asof(self, where):
+        """Last non-null value at or before index label `where` (pandas asof,
+        scalar form; array `where` → use lps.merge_asof, the distributed
+        as-of join)."""
+        if isinstance(where, (list, tuple)):
+            raise NotImplementedError(
+                "Series.asof with an array: use lps.merge_asof (distributed as-of join)"
+            )
+        name = self.name or "0"
+        f = self._labeled_frame(name)
+        idx = f._index[0]
+        rows = (
+            f._sdf.filter((F.col(idx) <= F.lit(where)) & F.col(name).isNotNull())
+            .orderBy(F.desc(idx))
+            .limit(1)
+            .collect()
+        )
+        return rows[0][name] if rows else float("nan")
+
+    def at_time(self, time) -> "Series":
+        name = self.name or "0"
+        return self.to_frame(name).at_time(time)[name]
+
+    def between_time(self, start, end) -> "Series":
+        name = self.name or "0"
+        return self.to_frame(name).between_time(start, end)[name]
+
     # pandas method-form aliases
     def multiply(self, other, fill_value=None):
         return self.mul(other, fill_value=fill_value)
@@ -1503,15 +1680,26 @@ class Series:
 
         sdf = self._frame._sdf
         name = self.name or "0"
+        # restore the stored index like DataFrame.to_pandas (a value column
+        # sharing an index column's name is aliased apart first)
+        idx_cols = [c for c in self._frame._index if c in sdf.columns]
+        val = f"__sval_{name}__" if name in idx_cols else name
+        sel = [self._col.alias(val)] + [F.col(c) for c in idx_cols]
         if ROW_ORDER in sdf.columns:
             # evaluate the expression FIRST, then restore caller row order —
             # sorting before a windowed select would be undone by the window's
             # own shuffle (same contract as DataFrame.to_pandas)
-            proj = sdf.select(self._col.alias(name), F.col(ROW_ORDER))
-            pdf = proj.orderBy(F.asc(ROW_ORDER)).select(name).toPandas()
+            proj = sdf.select(*sel, F.col(ROW_ORDER))
+            pdf = proj.orderBy(F.asc(ROW_ORDER)).select(val, *idx_cols).toPandas()
         else:
-            pdf = sdf.select(self._col.alias(name)).toPandas()
+            pdf = sdf.select(*sel).toPandas()
+        if idx_cols:
+            pdf = pdf.set_index(idx_cols if len(idx_cols) > 1 else idx_cols[0])
+            if idx_cols == ["__sidx__"]:
+                pdf.index.name = None  # materialized default-index positions
         s = pdf[pdf.columns[0]]
+        if val != name:
+            s = s.rename(name)
         if self._cat is not None:
             if self._cat.categories is not None:
                 s = s.astype(

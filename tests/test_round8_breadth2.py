@@ -1,0 +1,198 @@
+"""Round-8 final breadth batch — differential vs pandas:
+Series get/xs/drop/squeeze/add_prefix/add_suffix/divmod/rdivmod/nbytes/
+memory_usage/searchsorted/asof/at_time/between_time/len,
+DataFrame isetitem/infer_objects/combine/asfreq."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from legate_pandas_spark.frontend.frame import from_pandas
+
+
+@pytest.fixture()
+def sdf(spark):
+    pdf = pd.DataFrame({"v": [10.0, None, 30.0, 40.0]})
+    return pdf["v"], from_pandas(pdf, spark=spark)["v"]
+
+
+def test_series_get_xs(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})
+    s = from_pandas(pdf, spark=spark).set_index("k")["v"]
+    ps = pdf.set_index("k")["v"]
+    assert s.get("b") == ps.get("b") == 2.0
+    assert s.get("zz", -1.0) == ps.get("zz", -1.0) == -1.0
+    assert s.get("zz") is None and ps.get("zz") is None
+    assert s.xs("c") == ps.xs("c") == 3.0
+    with pytest.raises(KeyError):
+        s.xs("zz")
+    # default RangeIndex: labels are positions
+    s2 = from_pandas(pdf, spark=spark)["v"]
+    assert s2.get(1) == pdf["v"].get(1) == 2.0
+    assert s2.get(99, 0.0) == pdf["v"].get(99, 0.0) == 0.0
+
+
+def test_series_drop(spark):
+    pdf = pd.DataFrame({"v": [10.0, 20.0, 30.0]})
+    s = from_pandas(pdf, spark=spark)["v"]
+    exp = pdf["v"].drop(1)
+    got = s.drop(1).to_pandas()
+    assert got.tolist() == exp.tolist()
+    assert [int(i) for i in got.index] == list(exp.index)  # labels [0, 2] kept
+    with pytest.raises(KeyError):
+        s.drop(99)
+    # stored string index
+    pdf2 = pd.DataFrame({"k": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})
+    s2 = from_pandas(pdf2, spark=spark).set_index("k")["v"]
+    exp2 = pdf2.set_index("k")["v"].drop(["a", "c"])
+    got2 = s2.drop(["a", "c"]).to_pandas()
+    assert got2.tolist() == exp2.tolist()
+    assert list(got2.index) == list(exp2.index)
+
+
+def test_series_squeeze_len_bool(spark):
+    pdf = pd.DataFrame({"v": [7.0]})
+    s = from_pandas(pdf, spark=spark)["v"]
+    assert s.squeeze() == pdf["v"].squeeze() == 7.0
+    pdf3 = pd.DataFrame({"v": [1.0, 2.0]})
+    s3 = from_pandas(pdf3, spark=spark)["v"]
+    assert len(s3) == len(pdf3["v"]) == 2
+    assert s3.squeeze().to_pandas().tolist() == [1.0, 2.0]
+    with pytest.raises(ValueError):
+        bool(s3)
+
+
+def test_series_add_prefix_suffix(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0]})
+    s = from_pandas(pdf, spark=spark)["v"]
+    exp = pdf["v"].add_prefix("p_")
+    got = s.add_prefix("p_").to_pandas()
+    assert got.tolist() == exp.tolist()
+    assert list(got.index) == list(exp.index)  # ['p_0', 'p_1']
+    exp2 = pdf["v"].add_suffix("_s")
+    got2 = s.add_suffix("_s").to_pandas()
+    assert list(got2.index) == list(exp2.index)
+
+
+def test_series_divmod(spark):
+    pdf = pd.DataFrame({"a": [7.0, -7.0, 9.0], "b": [3.0, 3.0, -2.0]})
+    df = from_pandas(pdf, spark=spark)
+    q, r = divmod(df["a"], df["b"])
+    eq, er = divmod(pdf["a"], pdf["b"])
+    assert q.to_pandas().tolist() == eq.tolist()
+    assert r.to_pandas().tolist() == er.tolist()
+    q2, r2 = df["a"].rdivmod(10.0)
+    eq2, er2 = pdf["a"].rdivmod(10.0)
+    assert q2.to_pandas().tolist() == eq2.tolist()
+    assert r2.to_pandas().tolist() == er2.tolist()
+
+
+def test_series_nbytes_memory_usage(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+    s = from_pandas(pdf, spark=spark)["v"]
+    assert s.nbytes == pdf["v"].nbytes == 24
+    assert s.memory_usage() == pdf["v"].memory_usage() == 156
+    assert s.memory_usage(index=False) == pdf["v"].memory_usage(index=False) == 24
+    pdf2 = pd.DataFrame({"k": ["x", "y"], "v": [1.0, 2.0]}).set_index("k")
+    s2 = from_pandas(pdf2.reset_index(), spark=spark).set_index("k")["v"]
+    assert s2.memory_usage() == pdf2["v"].memory_usage() == 32
+
+
+def test_series_searchsorted(spark):
+    vals = [1.0, 3.0, 3.0, 5.0, 9.0]
+    pdf = pd.DataFrame({"v": vals})
+    s = from_pandas(pdf, spark=spark)["v"]
+    for probe in [0.0, 3.0, 6.0, 10.0]:
+        for side in ["left", "right"]:
+            assert s.searchsorted(probe, side=side) == int(
+                pdf["v"].searchsorted(probe, side=side)
+            ), (probe, side)
+    got = s.searchsorted([2.0, 3.0], side="left")
+    exp = pdf["v"].searchsorted([2.0, 3.0], side="left")
+    assert got.tolist() == list(exp)
+
+
+def test_series_asof(spark):
+    pdf = pd.DataFrame({"k": [1, 3, 5, 7], "v": [10.0, None, 30.0, None]})
+    ps = pdf.set_index("k")["v"]
+    s = from_pandas(pdf, spark=spark).set_index("k")["v"]
+    for w in [0, 1, 4, 6, 8]:
+        e, g = ps.asof(w), s.asof(w)
+        if pd.isna(e):
+            assert pd.isna(g), w
+        else:
+            assert g == e, w
+
+
+def test_series_at_time_between_time(spark):
+    ts = pd.date_range("2024-01-01", periods=8, freq="3h")
+    pdf = pd.DataFrame({"t": ts, "v": np.arange(8.0)})
+    ps = pdf.set_index("t")["v"]
+    s = from_pandas(pdf, spark=spark).set_index("t")["v"]
+    assert s.at_time("06:00").to_pandas().tolist() == ps.at_time("06:00").tolist()
+    assert (
+        s.between_time("03:00", "09:00").to_pandas().tolist()
+        == ps.between_time("03:00", "09:00").tolist()
+    )
+
+
+def test_frame_isetitem_infer_objects(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    df = from_pandas(pdf, spark=spark)
+    df.isetitem(1, 9.0)
+    pdf.isetitem(1, 9.0)
+    assert df.to_pandas()["b"].tolist() == pdf["b"].tolist()
+    out = df.infer_objects()
+    assert out.to_pandas()["a"].tolist() == pdf.infer_objects()["a"].tolist()
+
+
+def test_frame_combine(spark):
+    pdf1 = pd.DataFrame({"a": [1.0, 8.0], "b": [5.0, 2.0]})
+    pdf2 = pd.DataFrame({"a": [3.0, 4.0], "b": [1.0, 9.0]})
+    take_bigger = lambda s1, s2: s1.where(s1 > s2, s2)  # noqa: E731
+    exp = pdf1.combine(pdf2, lambda s1, s2: s1.where(s1 > s2, s2))
+    got = (
+        from_pandas(pdf1, spark=spark)
+        .combine(from_pandas(pdf2, spark=spark), take_bigger)
+        .to_pandas()
+    )
+    for c in exp.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # fill_value + a one-sided column
+    pdf3 = pd.DataFrame({"a": [1.0, None], "c": [7.0, 8.0]})
+    exp2 = pdf1.combine(pdf3, lambda s1, s2: s1.where(s1 > s2, s2), fill_value=0.0)
+    got2 = (
+        from_pandas(pdf1, spark=spark)
+        .combine(from_pandas(pdf3, spark=spark), take_bigger, fill_value=0.0)
+        .to_pandas()
+    )
+    assert sorted(got2.columns) == sorted(exp2.columns)
+    for c in exp2.columns:
+        ge, ee = got2[c], exp2[c]
+        for g, e in zip(ge, ee):
+            if pd.isna(e):
+                assert pd.isna(g), c
+            else:
+                assert g == e, c
+
+
+def test_frame_asfreq(spark):
+    ts = [
+        pd.Timestamp("2024-01-01 00:00"),
+        pd.Timestamp("2024-01-01 02:00"),
+        pd.Timestamp("2024-01-01 03:30"),  # off-grid: drops at 1h grid
+        pd.Timestamp("2024-01-01 05:00"),
+    ]
+    pdf = pd.DataFrame({"t": ts, "v": [1.0, 2.0, 3.0, 4.0]})
+    exp = pdf.set_index("t").asfreq("1h")
+    got = (
+        from_pandas(pdf, spark=spark)
+        .set_index("t")
+        .asfreq("1h")
+        .to_pandas()
+    )
+    assert [pd.Timestamp(x) for x in got.index] == list(exp.index)
+    for g, e in zip(got["v"], exp["v"]):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
