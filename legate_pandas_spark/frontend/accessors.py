@@ -36,6 +36,11 @@ class StringMethods:
     def _wrap(self, col, name=None):
         return self._s._wrap(col, name)
 
+    def _wrap_pred(self, col, name=None):
+        # null-compare-false string predicates: mask TRUE proves the source
+        # column non-null (feeds frame._nonnull_cols via boolean-mask filters)
+        return self._s._wrap(col, name, proof=self._s._strict_cols)
+
     def lower(self):
         return self._wrap(F.lower(self._s._col))
 
@@ -65,14 +70,14 @@ class StringMethods:
         """Plain-substring containment by default (reference CPU path,
         core/column.py:1040-1060); regex=True uses Java regex."""
         if regex:
-            return self._wrap(null_compare_false(self._s._col.rlike(pat)))
-        return self._wrap(null_compare_false(self._s._col.contains(pat)))
+            return self._wrap_pred(null_compare_false(self._s._col.rlike(pat)))
+        return self._wrap_pred(null_compare_false(self._s._col.contains(pat)))
 
     def startswith(self, pat: str):
-        return self._wrap(null_compare_false(self._s._col.startswith(pat)))
+        return self._wrap_pred(null_compare_false(self._s._col.startswith(pat)))
 
     def endswith(self, pat: str):
-        return self._wrap(null_compare_false(self._s._col.endswith(pat)))
+        return self._wrap_pred(null_compare_false(self._s._col.endswith(pat)))
 
     def len(self):
         return self._wrap(F.length(self._s._col).cast("long"))
@@ -103,19 +108,19 @@ class StringMethods:
     # the JVM's Unicode-aware case mapping.
     def isdigit(self):
         c = self._s._col
-        return self._wrap(
+        return self._wrap_pred(
             null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{Nd}+$"))
         )
 
     def isalpha(self):
         c = self._s._col
-        return self._wrap(
+        return self._wrap_pred(
             null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{L}+$"))
         )
 
     def isupper(self):
         c = self._s._col
-        return self._wrap(
+        return self._wrap_pred(
             null_compare_false(
                 c.rlike(r"[\p{Lu}\p{Ll}\p{Lt}]") & (F.upper(c) == c)
             )
@@ -123,7 +128,7 @@ class StringMethods:
 
     def islower(self):
         c = self._s._col
-        return self._wrap(
+        return self._wrap_pred(
             null_compare_false(
                 c.rlike(r"[\p{Lu}\p{Ll}\p{Lt}]") & (F.lower(c) == c)
             )
@@ -261,12 +266,16 @@ class StringMethods:
     def match(self, pat: str):
         """True if the regex matches at the START of the string (pandas
         str.match = re.match): anchored rlike, null→null like pandas."""
-        return self._wrap(self._s._col.rlike(f"^(?:{pat})"))
+        return self._s._wrap(
+            self._s._col.rlike(f"^(?:{pat})"), strict=self._s._strict_cols
+        )
 
     def fullmatch(self, pat: str):
         """True if the regex matches the ENTIRE string (pandas str.fullmatch
         = re.fullmatch)."""
-        return self._wrap(self._s._col.rlike(f"^(?:{pat})$"))
+        return self._s._wrap(
+            self._s._col.rlike(f"^(?:{pat})$"), strict=self._s._strict_cols
+        )
 
     def ljust(self, width: int, fillchar: str = " "):
         """Left-justify = pad on the RIGHT (pandas str.ljust). rpad truncates

@@ -1734,18 +1734,17 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logw_micro")
         )
     )
-    gum = docs.select(
-        "doc_id", _dsir_gumbel_expr(F.col("doc_id")).alias("g")
-    )
+    # the Gumbel key is a pure expression of doc_id — compute it inline on
+    # the scored rows instead of joining a separate documents scan
+    g = _dsir_gumbel_expr(F.col("doc_id"))
     return (
-        docw.join(gum, "doc_id")
-        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        docw.join(docs.select("doc_id", "source", "lang"), "doc_id")
         .select(
             "doc_id",
             "source",
             "lang",
             "logw_micro",
-            (F.col("logw_micro") + F.col("g")).cast("bigint").alias("score_micro"),
+            (F.col("logw_micro") + g).cast("bigint").alias("score_micro"),
         )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(_DSIR_K)

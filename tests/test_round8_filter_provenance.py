@@ -276,3 +276,22 @@ def test_fuzz_query_nan_keeping_exprs_match_pandas(spark, lk, expr):
     fl = from_pandas(lpdf, spark=spark).query(expr)
     assert "k" not in fl._nonnull_cols
     _match(fl.to_pandas(), exp)
+
+
+def test_str_predicate_masks_prove(spark):
+    pdf = pd.DataFrame({"s": ["apple", None, "banana", "apricot"], "k": [1.0, 2.0, 3.0, 4.0]})
+    df = from_pandas(pdf, spark=spark)
+    for mask in [
+        df["s"].str.contains("ap"),
+        df["s"].str.startswith("a"),
+        df["s"].str.endswith("a"),
+        df["s"].str.isalpha(),
+        df["s"].str.match("a.*"),
+        ~df["s"].str.match("a.*"),  # null->null predicate: negation proves too
+    ]:
+        out = df[mask]
+        assert "s" in out._nonnull_cols, mask._col
+        assert not out.to_pandas()["s"].isna().any()
+    # ~contains (null->false form) proves NOTHING: nulls survive the negation
+    neg = df[~df["s"].str.contains("ap")]
+    assert "s" not in neg._nonnull_cols
