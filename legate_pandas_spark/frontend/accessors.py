@@ -689,8 +689,10 @@ class DatetimeMethods:
 
     def _wrap(self, col):
         # reference EXTRACT_FIELD returns int16 (SURVEY §2.8); we use int32 —
-        # Spark's native extraction width
-        return self._s._wrap(col)
+        # Spark's native extraction width. Every dt extractor is
+        # null-propagating, so strictness carries: a filter on
+        # df.ts.dt.year == y proves ts non-null (frame._nonnull_cols).
+        return self._s._wrap(col, strict=self._s._strict_cols)
 
     @property
     def year(self):

@@ -295,3 +295,18 @@ def test_str_predicate_masks_prove(spark):
     # ~contains (null->false form) proves NOTHING: nulls survive the negation
     neg = df[~df["s"].str.contains("ap")]
     assert "s" not in neg._nonnull_cols
+
+
+def test_dt_extractor_masks_prove(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp("2024-01-15"), pd.NaT, pd.Timestamp("2025-06-01")],
+            "k": [1.0, 2.0, 3.0],
+        }
+    )
+    df = from_pandas(pdf, spark=spark)
+    out = df[df["ts"].dt.year == 2024]
+    assert "ts" in out._nonnull_cols
+    assert not out.to_pandas()["ts"].isna().any()
+    out2 = df[df["ts"].dt.month >= 1]
+    assert "ts" in out2._nonnull_cols
