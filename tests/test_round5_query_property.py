@@ -103,3 +103,38 @@ def test_floored_modulo_all_sign_combos(spark):
             assert g is None or pd.isna(g)
         else:
             assert float(g) == float(w)
+
+
+_PDF_NAN = pd.DataFrame(
+    {
+        "a": [-7.0, None, -1.0, 0.0, None, 2.0, 5.0, 9.0, 12.0, -12.0],
+        "b": [3.0, -4.0, None, 2.0, -9.0, 0.0, 1.0, None, 6.0, 8.0],
+        "c": [0.0, 1.0, -2.0, None, 3.0, -8.0, None, 4.0, -6.0, 2.0],
+    }
+)
+_LDF_NAN = None
+
+
+def _ldf_nan(spark):
+    global _LDF_NAN
+    if _LDF_NAN is None:
+        _LDF_NAN = lps.from_pandas(_PDF_NAN, spark=spark)
+    return _LDF_NAN
+
+
+@settings(max_examples=60, deadline=None)
+@given(predicate())
+def test_query_translator_matches_pandas_with_nans(spark, expr):
+    """Round-8: the same grammar over NaN-bearing float data — locks the
+    pandas-exact total comparison atoms (null->FALSE; != -> TRUE; not/and/or
+    two-valued). Bare three-valued SQL dropped NaN rows under `not (k == 1)`
+    and `k != 1`; this suite would have caught it."""
+    expr = _anchor(expr)
+    want = _PDF_NAN.query(expr)
+    got = _ldf_nan(spark).query(expr).to_pandas()
+    cols = ["a", "b", "c"]
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(-9e99 if pd.isna(v) else round(float(v), 9) for v in row)
+        for row in df[cols].values.tolist()
+    )
+    assert canon(got) == canon(want), expr
