@@ -856,3 +856,118 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("qid", "vec_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_IVF_CENTROIDS}
+    ),
+    ranked AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   c.cid
+               ) AS rn
+        FROM e, cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (
+        SELECT q.query_id, x.vec_id
+        FROM queries q JOIN e x ON x.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY round(list_dot_product(q.qv, x.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 4) DESC,
+                 x.vec_id
+        ) <= 5
+    ),
+    nprobes(nprobe) AS (VALUES (1), (2)),
+    probes AS (
+        SELECT r.vec_id AS query_id, r.cid AS qcid, n.nprobe
+        FROM ranked r, nprobes n
+        WHERE r.vec_id < 8 AND r.rn <= n.nprobe
+    ),
+    approx AS (
+        SELECT p.query_id, p.nprobe, a.vec_id
+        FROM probes p JOIN assign a ON a.cid = p.qcid
+        WHERE a.vec_id <> p.query_id
+        QUALIFY row_number() OVER (
+          PARTITION BY p.query_id, p.nprobe
+          ORDER BY round((SELECT list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)))
+                 FROM e q, e x WHERE q.vec_id = p.query_id AND x.vec_id = a.vec_id), 4) DESC,
+                 a.vec_id
+        ) <= 5
+    ),
+    hits AS (
+        SELECT ap.query_id, ap.nprobe, count(ex.vec_id) AS n_hit
+        FROM approx ap
+        LEFT JOIN exact ex
+          ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        GROUP BY ap.query_id, ap.nprobe
+    )
+    SELECT q.query_id, n.nprobe,
+           round(COALESCE(h.n_hit, 0) / 5.0, 4) AS recall_at_5
+    FROM queries q CROSS JOIN nprobes n
+    LEFT JOIN hits h ON h.query_id = q.query_id AND h.nprobe = n.nprobe
+    ORDER BY q.query_id, n.nprobe
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: recall@5 of the IVF
+    search against the exact brute-force top-5, per query and per nprobe
+    (1 and 2). The eval itself follows the scale discipline: ground truth is
+    ONE broadcast-queries pass over the corpus (Q small by definition of an
+    eval set), the approximate runs reuse :func:`ivf_topk`, and recall is a
+    semi-join count — no driver-side set math. nprobe=2's recall must
+    dominate nprobe=1's, which the oracle verifies row-for-row; at 100 TB
+    this is the query you run on a sample to pick the production nprobe."""
+    from pyspark.sql.window import Window
+
+    k, nq = 5, 8
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qv"), F.col("embedding")), 4)),
+        F.asc("vec_id"),
+    )
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    parts = []
+    for nprobe in (1, 2):
+        approx = ivf_topk(spark, sf_dir, n_queries=nq, k=k, nprobe=nprobe)
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 4
+                ).alias("recall_at_5"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.orderBy("query_id", "nprobe")
