@@ -106,8 +106,9 @@ HEADLINE = [
     "boilerplate_ngram_ratio",
     "temperature_mixture_sample",
     "split_token_distribution_shift",
-    # round 8: DSIR data selection
+    # round 8: DSIR data selection + ANN recall evaluation
     "dsir_importance_resample",
+    "ann_recall_eval",
 ]
 
 

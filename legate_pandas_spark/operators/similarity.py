@@ -950,24 +950,66 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= k)
         .select("query_id", "vec_id")
     )
-    parts = []
-    for nprobe in (1, 2):
-        approx = ivf_topk(spark, sf_dir, n_queries=nq, k=k, nprobe=nprobe)
-        hits = (
-            approx.join(exact, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+    # both nprobe runs share ONE centroid-scoring pass: probes carry their
+    # centroid rank, candidates explode into the nprobe settings they serve
+    # (rank<=nprobe), and a single window ranks per (query, nprobe)
+    cent = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cscored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    cranked = cscored.withColumn("_crn", F.row_number().over(wc))
+    assign = cranked.filter(F.col("_crn") == 1).select(
+        "vec_id", "embedding", "cid"
+    )
+    probes = cranked.filter(
+        (F.col("vec_id") < nq) & (F.col("_crn") <= 2)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("pqv"),
+        F.col("cid").alias("qcid"),
+        F.col("_crn").alias("_prn"),
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "_prn",
+        F.round(cosine(F.col("pqv"), F.col("embedding")), 4).alias("cosine_sim"),
+    )
+    expanded = cand.withColumn(
+        "nprobe", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).filter(F.col("_prn") <= F.col("nprobe"))
+    wn = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    approx = (
+        expanded.withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "nprobe", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id", "nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = queries.select("query_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(1,), (2,)], "nprobe int")
         )
-        parts.append(
-            queries.select("query_id")
-            .join(hits, "query_id", "left")
-            .select(
-                "query_id",
-                F.lit(nprobe).cast("int").alias("nprobe"),
-                F.round(
-                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 4
-                ).alias("recall_at_5"),
-            )
-        )
-    out = parts[0].unionByName(parts[1])
+    )
+    out = grid.join(hits, ["query_id", "nprobe"], "left").select(
+        "query_id",
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 4).alias(
+            "recall_at_5"
+        ),
+    )
     return out.orderBy("query_id", "nprobe")
