@@ -310,3 +310,30 @@ def test_dt_extractor_masks_prove(spark):
     assert not out.to_pandas()["ts"].isna().any()
     out2 = df[df["ts"].dt.month >= 1]
     assert "ts" in out2._nonnull_cols
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lk=st.lists(st.one_of(st.sampled_from(["a", "b", "ab"]), st.none()), min_size=1, max_size=10),
+    rk=st.lists(st.one_of(st.sampled_from(["a", "b", "ab"]), st.none()), min_size=1, max_size=10),
+    how=_hows,
+)
+def test_fuzz_str_mask_filter_then_merge(spark, lk, rk, how):
+    """String-predicate mask as the proof producer: str.contains proves the
+    key non-null, the merge takes the plain-equality path; pandas matches
+    None==None keys in merge, but the filtered side has none left."""
+    lpdf = pd.DataFrame({"k": lk, "v": np.arange(len(lk), dtype="float64")})
+    rpdf = pd.DataFrame({"k": rk, "w": np.arange(len(rk), dtype="float64")})
+    exp = lpdf[lpdf.k.str.contains("a", na=False)].merge(rpdf, on="k", how=how)
+    fl = from_pandas(lpdf, spark=spark)
+    fl = fl[fl["k"].str.contains("a")]
+    assert "k" in fl._nonnull_cols
+    got = fl.merge(from_pandas(rpdf, spark=spark), on="k", how=how).to_pandas()
+    g = got.sort_values(by=sorted(got.columns), kind="mergesort").reset_index(drop=True)
+    e = exp.sort_values(by=sorted(exp.columns), kind="mergesort").reset_index(drop=True)
+    assert len(g) == len(e)
+    for c in ["v", "w"]:
+        gv = pd.to_numeric(g[c], errors="coerce")
+        ev = pd.to_numeric(e[c], errors="coerce")
+        ok = ((gv - ev).abs() < 1e-9) | (gv.isna() & ev.isna())
+        assert bool(ok.all()), (g, e)
