@@ -1900,12 +1900,20 @@ class DataFrame:
         return func(self, *args, **kwargs)
 
     def isetitem(self, loc, value) -> None:
-        """Positional column write (pandas isetitem)."""
-        locs = loc if isinstance(loc, (list, tuple)) else [loc]
+        """Positional column write (pandas isetitem). Values are scalars or
+        facade Series (per assigned column); 2-D array payloads would need a
+        driver-side upload — build Series and assign those instead."""
         cols = self.columns
-        for i, l in enumerate(locs):
-            v = value[i] if isinstance(loc, (list, tuple)) else value
-            self[cols[l]] = v
+        if isinstance(loc, (list, tuple)):
+            if not isinstance(value, (list, tuple)) or len(value) != len(loc):
+                raise TypeError(
+                    "isetitem with a position list takes a same-length list "
+                    "of scalars/Series (2-D array payloads: assign Series)"
+                )
+            for l, v in zip(loc, value):
+                self[cols[l]] = v
+            return
+        self[cols[loc]] = value
 
     def infer_objects(self, copy: bool | None = None) -> "DataFrame":
         """No-op: Spark columns are already typed (pandas object-dtype
@@ -1922,26 +1930,41 @@ class DataFrame:
         (fill_value substitutes before func, pandas contract)."""
         from legate_pandas_spark.frontend.indexing import _attach_positions
 
-        def _with_pos_index(f: "DataFrame") -> "DataFrame":
-            # concat(axis=1) pastes on the stored index; index-less frames
-            # align POSITIONALLY via a materialized position index
-            if f._index:
-                return f
-            fresh = ROW_ORDER not in f._sdf.columns
-            with_pos, _total = _attach_positions(
-                f._ordered_sdf(), fresh, pos_name="__cbidx__"
+        if bool(self._index) != bool(other._index):
+            raise NotImplementedError(
+                "combine across a labeled and a default-indexed frame: set "
+                "matching indexes first"
             )
-            return DataFrame(with_pos, ("__cbidx__",))
 
-        synthetic = not self._index
+        def _keyed(f: "DataFrame", tag: str):
+            # data columns tagged apart + ONE alignment key column
+            if f._index:
+                if len(f._index) != 1:
+                    raise NotImplementedError("combine over a MultiIndex")
+                key = F.col(f._index[0])
+            else:
+                fresh = ROW_ORDER not in f._sdf.columns
+                with_pos, _total = _attach_positions(
+                    f._ordered_sdf(), fresh, pos_name="__cbkey__"
+                )
+                return with_pos.select(
+                    "__cbkey__", *[F.col(c).alias(f"{tag}{c}") for c in f.columns]
+                )
+            return f._sdf.select(
+                key.alias("__cbkey__"),
+                *[F.col(c).alias(f"{tag}{c}") for c in f.columns],
+            )
+
         out_cols = sorted(set(self.columns) | set(other.columns))
-        left = _with_pos_index(
-            self.rename(columns={c: f"_cmbl_{c}" for c in self.columns})
+        # pandas aligns on the OUTER UNION of the two indexes (a longer/other-
+        # labeled side contributes null-padded rows), sorted
+        joined = (
+            _keyed(self, "_cmbl_")
+            .join(_keyed(other, "_cmbr_"), "__cbkey__", "outer")
+            .orderBy("__cbkey__")
+            .withColumn(ROW_ORDER, F.monotonically_increasing_id())
         )
-        right = _with_pos_index(
-            other.rename(columns={c: f"_cmbr_{c}" for c in other.columns})
-        )
-        both = concat([left, right], axis=1)
+        both = DataFrame(joined, (self._index[0],) if self._index else ())
         null_s = Series(both, F.lit(None).cast("double"), None)
         pieces = {}
         for c in out_cols:
@@ -1950,18 +1973,12 @@ class DataFrame:
             if fill_value is not None:
                 a, b = a.fillna(fill_value), b.fillna(fill_value)
             pieces[c] = func(a, b)
-        keep = [
-            c
-            for c in both._sdf.columns
-            if c.startswith("__") and c.endswith("__")
-        ]
-        index = both._index
-        if synthetic:  # drop the positional paste index: result is range-indexed
-            keep = [c for c in keep if c != "__cbidx__"]
-            index = ()
-        sdf = both._sdf.select(
-            *keep, *[pieces[c]._col.alias(c) for c in out_cols]
-        )
+        sel = [F.col(ROW_ORDER)]
+        index = ()
+        if self._index:
+            sel.append(F.col("__cbkey__").alias(self._index[0]))
+            index = (self._index[0],)
+        sdf = joined.select(*sel, *[pieces[c]._col.alias(c) for c in out_cols])
         return DataFrame(sdf, index)
 
     def asfreq(self, freq: str) -> "DataFrame":
@@ -1974,6 +1991,13 @@ class DataFrame:
             raise ValueError("asfreq requires a stored datetime index (set_index first)")
         idx = self._index[0]
         interval = _freq_to_interval(freq)
+        probe = self._sdf.agg(
+            F.count(idx).alias("n"), F.count_distinct(F.col(idx)).alias("nd")
+        ).collect()[0]
+        if probe["n"] != probe["nd"]:
+            # pandas: reindexing a duplicate axis raises — a silent join here
+            # would DUPLICATE grid rows instead
+            raise ValueError("cannot reindex on an axis with duplicate labels")
         bounds = self._sdf.agg(
             F.min(idx).alias("__mn__"), F.max(idx).alias("__mx__")
         )

@@ -963,7 +963,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("embedding"), F.col("cv")).alias("sim"),
     )
     wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    cranked = cscored.withColumn("_crn", F.row_number().over(wc))
+    # persisted: assign AND probes both consume it — without the persist the
+    # corpus x centroids scoring pass and its window run twice (ReuseExchange
+    # does not dedupe the two filtered subplans); same pattern as semdedup
+    cranked = cscored.withColumn("_crn", F.row_number().over(wc)).persist()
     assign = cranked.filter(F.col("_crn") == 1).select(
         "vec_id", "embedding", "cid"
     )

@@ -301,8 +301,12 @@ def dsir_score_stream(docs: DataFrame, model: dict, default_lam: int) -> DataFra
         feats,
         lambda g: F.element_at(lam_arr, (_dsir_bucket_expr(g) + 1).cast("int")),
     )
-    logw = F.aggregate(
-        per_g, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    # null text null-propagates through split/transform -> aggregate(NULL)
+    # is NULL; the batch scorer scores such documents 0 (no feature rows,
+    # coalesce'd sum) — match it
+    logw = F.coalesce(
+        F.aggregate(per_g, F.lit(0).cast("bigint"), lambda acc, v: acc + v),
+        F.lit(0).cast("bigint"),
     )
     return docs.select(
         "doc_id",

@@ -196,3 +196,68 @@ def test_frame_asfreq(spark):
             assert pd.isna(g)
         else:
             assert g == e
+
+
+def test_frame_combine_outer_union_alignment(spark):
+    take_bigger = lambda s1, s2: s1.where(s1 > s2, s2)  # noqa: E731
+    # unequal lengths on default indexes: pandas pads the shorter side
+    pdf1 = pd.DataFrame({"A": [1.0, 2.0]})
+    pdf2 = pd.DataFrame({"A": [3.0, 4.0, 5.0]})
+    exp = pdf1.combine(pdf2, lambda a, b: a.where(a > b, b))
+    got = (
+        from_pandas(pdf1, spark=spark)
+        .combine(from_pandas(pdf2, spark=spark), take_bigger)
+        .to_pandas()
+    )
+    assert len(got) == len(exp) == 3
+    for g, e in zip(got["A"], exp["A"]):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
+    # labeled frames: union of labels, sorted
+    p1 = pd.DataFrame({"A": [1.0, 9.0]}, index=["a", "c"])
+    p2 = pd.DataFrame({"A": [5.0, 2.0]}, index=["b", "c"])
+    exp2 = p1.combine(p2, lambda a, b: a.where(a > b, b))
+    l1 = from_pandas(p1.reset_index(names="k"), spark=spark).set_index("k")
+    l2 = from_pandas(p2.reset_index(names="k"), spark=spark).set_index("k")
+    got2 = l1.combine(l2, take_bigger).to_pandas()
+    assert list(got2.index) == list(exp2.index)
+    for g, e in zip(got2["A"], exp2["A"]):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
+    # mixed labeled/default raises
+    with pytest.raises(NotImplementedError):
+        l1.combine(from_pandas(pdf1, spark=spark), take_bigger)
+
+
+def test_frame_isetitem_rejects_arrays(spark):
+    df = from_pandas(pd.DataFrame({"a": [1.0], "b": [2.0]}), spark=spark)
+    with pytest.raises(TypeError):
+        df.isetitem([0, 1], np.array([[1, 2]]))
+    df.isetitem([0, 1], [7.0, 8.0])
+    assert df.to_pandas().iloc[0].tolist() == [7.0, 8.0]
+
+
+def test_frame_asfreq_duplicate_labels_raise(spark):
+    ts = [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-01")]
+    pdf = pd.DataFrame({"t": ts, "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="duplicate"):
+        from_pandas(pdf, spark=spark).set_index("t").asfreq("1h")
+
+
+def test_dsir_score_stream_exprs_null_text_scores_zero(spark):
+    """The stream scorer's expressions (run in batch mode here) must score a
+    null-text document 0, like the batch scorer's coalesce'd sum."""
+    from legate_pandas_spark.streaming.documents import dsir_score_stream
+
+    sdf = spark.createDataFrame(
+        [(1, "spark join merge"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_score_stream(sdf, {0: 5}, 7).collect()}
+    assert rows[2]["logw_micro"] == 0
+    assert rows[3]["logw_micro"] == 0
+    assert rows[2]["score_micro"] is not None
