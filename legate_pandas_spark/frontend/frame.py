@@ -157,6 +157,12 @@ class DataFrame:
         out._cat_meta = dict(self._cat_meta)
         return out
 
+    def _carry_proofs(self, out: "DataFrame") -> "DataFrame":
+        """Row-subset/reorder ops (limit, sort, dedup, sample, label filter)
+        cannot introduce nulls: carry the column non-null proofs through."""
+        out._nonnull_cols = frozenset(self._nonnull_cols) & set(out._sdf.columns)
+        return out
+
     def _ordered_sdf(self) -> SparkDF:
         """Attach a partition-stable row-order key if not present (virtual
         RangeIndex materialization — narrow op, no shuffle)."""
@@ -327,12 +333,14 @@ class DataFrame:
         return out
 
     def head(self, n: int = 5) -> "DataFrame":
-        return self._replace(self._sdf.limit(n))
+        return self._carry_proofs(self._replace(self._sdf.limit(n)))
 
     def tail(self, n: int = 5) -> "DataFrame":
         sdf = self._ordered_sdf()
-        return self._replace(
-            sdf.orderBy(F.desc(ROW_ORDER)).limit(n).orderBy(F.asc(ROW_ORDER))
+        return self._carry_proofs(
+            self._replace(
+                sdf.orderBy(F.desc(ROW_ORDER)).limit(n).orderBy(F.asc(ROW_ORDER))
+            )
         )
 
     def drop_duplicates(self, subset=None, keep: str | bool = "first") -> "DataFrame":
@@ -345,14 +353,14 @@ class DataFrame:
                 .filter(F.col("__cnt__") == 1)
                 .drop("__cnt__")
             )
-            return self._replace(sdf)
+            return self._carry_proofs(self._replace(sdf))
         sdf = self._ordered_sdf()
         order = F.asc(ROW_ORDER) if keep == "first" else F.desc(ROW_ORDER)
         w = Window.partitionBy(*subset).orderBy(order)
         out = sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop(
             "__rn__"
         )
-        return self._replace(out)
+        return self._carry_proofs(self._replace(out))
 
     def dropna(self, how: str = "any", thresh: int | None = None, subset=None,
                axis: int = 0) -> "DataFrame":
@@ -855,13 +863,13 @@ class DataFrame:
         out = sdf.orderBy(*cols).withColumn(
             ROW_ORDER, F.monotonically_increasing_id()
         )
-        return self._replace(out)
+        return self._carry_proofs(self._replace(out))
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         if not self._index:
             return self
         cols = [F.asc(c) if ascending else F.desc(c) for c in self._index]
-        return self._replace(self._sdf.orderBy(*cols))
+        return self._carry_proofs(self._replace(self._sdf.orderBy(*cols)))
 
     def nlargest(self, n: int, columns) -> "DataFrame":
         return self.sort_values(columns, ascending=False).head(n)
@@ -1894,7 +1902,11 @@ class DataFrame:
             cond = cond & (idx >= before)
         if after is not None:
             cond = cond & (idx <= after)
-        return self._replace(self._sdf.filter(cond))
+        out = self._carry_proofs(self._replace(self._sdf.filter(cond)))
+        if before is not None or after is not None:
+            # a bound comparison is null-rejecting: surviving rows prove idx
+            out._nonnull_cols = out._nonnull_cols | {self._index[0]}
+        return out
 
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)

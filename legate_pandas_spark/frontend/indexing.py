@@ -105,12 +105,18 @@ class LocIndexer:
                 c2 = F.col(idx) <= key.stop  # loc slices are inclusive (pandas)
                 cond = c2 if cond is None else cond & c2
             out = DataFrame(df._sdf.filter(cond) if cond is not None else df._sdf, df._index)
+            # label filters are null-rejecting comparisons: carry + prove idx
+            out._nonnull_cols = frozenset(df._nonnull_cols) | (
+                {idx} if cond is not None else frozenset()
+            )
         elif isinstance(key, (list, tuple)):  # label list → isin filter
             idx = self._index_col()
             out = DataFrame(df._sdf.filter(F.col(idx).isin(list(key))), df._index)
+            out._nonnull_cols = frozenset(df._nonnull_cols) | {idx}
         else:  # single label → rows with that index value
             idx = self._index_col()
             out = DataFrame(df._sdf.filter(F.col(idx) == key), df._index)
+            out._nonnull_cols = frozenset(df._nonnull_cols) | {idx}
         if cols is not None:
             if isinstance(cols, str):
                 return out[cols]
@@ -161,13 +167,15 @@ class ILocIndexer:
             cond = F.col("__pos__") >= start
             if stop is not None:
                 cond = cond & (F.col("__pos__") < stop)  # iloc stop exclusive
-            out = df._replace(with_pos.filter(cond).drop("__pos__"))
+            out = df._carry_proofs(df._replace(with_pos.filter(cond).drop("__pos__")))
         elif isinstance(key, int):
             if key < 0:
                 key = total + key  # total came free with the offsets aggregate
             if key < 0 or key >= total:
                 raise IndexError("single positional indexer is out-of-bounds")
-            out = df._replace(with_pos.filter(F.col("__pos__") == key).drop("__pos__"))
+            out = df._carry_proofs(
+                df._replace(with_pos.filter(F.col("__pos__") == key).drop("__pos__"))
+            )
         elif isinstance(key, (list, tuple)):
             # pandas iloc honors the REQUESTED order and repeats — an isin
             # filter would return ascending unique positions. Broadcast-join a

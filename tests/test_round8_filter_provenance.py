@@ -337,3 +337,28 @@ def test_fuzz_str_mask_filter_then_merge(spark, lk, rk, how):
         ev = pd.to_numeric(e[c], errors="coerce")
         ok = ((gv - ev).abs() < 1e-9) | (gv.isna() & ev.isna())
         assert bool(ok.all()), (g, e)
+
+
+def test_row_subset_ops_carry_proofs(spark, nulls_pdf):
+    """head/tail/sort/dedup/iloc/loc are row subsets or reorders — proofs
+    survive them (the merge fast path stays on through a pipeline tail)."""
+    df = from_pandas(nulls_pdf, spark=spark)
+    flt = df[df["k"] > 0]
+    assert "k" in flt.head(2)._nonnull_cols
+    assert "k" in flt.tail(2)._nonnull_cols
+    assert "k" in flt.sort_values("k")._nonnull_cols
+    assert "k" in flt.drop_duplicates(subset=["k"])._nonnull_cols
+    assert "k" in flt.drop_duplicates(subset=["k"], keep=False)._nonnull_cols
+    assert "k" in flt.nlargest(2, "k")._nonnull_cols
+    assert "k" in flt.iloc[0:2]._nonnull_cols
+    # loc label filters prove the index column too
+    idf = from_pandas(
+        pd.DataFrame({"i": [1, None, 3], "v": [1.0, 2.0, 3.0]}), spark=spark
+    ).set_index("i")
+    assert "i" in idf.loc[1:3]._nonnull_cols
+    assert "i" in idf.loc[[1, 3]]._nonnull_cols
+    assert "i" in idf.truncate(before=1)._nonnull_cols
+    # value-level: no nulls in proven columns
+    for out in [flt.head(2), idf.loc[1:3], idf.truncate(before=0)]:
+        for c in out._nonnull_cols:
+            assert not out.to_pandas().reset_index()[c].isna().any(), c
