@@ -926,6 +926,23 @@ class DataFrame:
         return DataFrame(self._sdf, tuple(keys))
 
     def reset_index(self, level=None, drop: bool = False) -> "DataFrame":
+        if not self._index and not drop:
+            # pandas: resetting the default RangeIndex materializes it as an
+            # 'index' column (0..n-1) — positions via the partition-offset
+            # arithmetic, not a global window
+            from legate_pandas_spark.frontend.indexing import _attach_positions
+
+            name = "index" if "index" not in self.columns else "level_0"
+            fresh = ROW_ORDER not in self._sdf.columns
+            with_pos, _total = _attach_positions(
+                self._ordered_sdf(), fresh, pos_name=name
+            )
+            helpers = [c for c in with_pos.columns if c.startswith("__") and c.endswith("__")]
+            data = [c for c in with_pos.columns if c not in helpers and c != name]
+            out = DataFrame(with_pos.select(*helpers, name, *data), ())
+            out._cat_meta = dict(self._cat_meta)
+            out._nonnull_cols = frozenset(self._nonnull_cols) | {name}
+            return out
         if level is None:
             names = list(self._index)
         else:

@@ -261,3 +261,20 @@ def test_dsir_score_stream_exprs_null_text_scores_zero(spark):
     assert rows[2]["logw_micro"] == 0
     assert rows[3]["logw_micro"] == 0
     assert rows[2]["score_micro"] is not None
+
+
+def test_reset_index_materializes_default_index(spark):
+    pdf = pd.DataFrame({"a": [10.0, 20.0, 30.0]})
+    exp = pdf.reset_index()
+    got = from_pandas(pdf, spark=spark).reset_index().to_pandas()
+    assert list(got.columns) == list(exp.columns) == ["index", "a"]
+    assert got["index"].tolist() == exp["index"].tolist() == [0, 1, 2]
+    # name collision falls back to level_0 (pandas)
+    pdf2 = pd.DataFrame({"index": [1.0], "a": [2.0]})
+    got2 = from_pandas(pdf2, spark=spark).reset_index().to_pandas()
+    assert "level_0" in got2.columns
+    # Series.reset_index(drop=False) -> DataFrame with the index column
+    s = from_pandas(pdf, spark=spark)["a"]
+    exp_s = pdf["a"].reset_index()
+    got_s = s.reset_index().to_pandas()
+    assert list(got_s.columns) == list(exp_s.columns) == ["index", "a"]
