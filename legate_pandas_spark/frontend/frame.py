@@ -2010,6 +2010,35 @@ class DataFrame:
         sdf = joined.select(*sel, *[pieces[c]._col.alias(c) for c in out_cols])
         return DataFrame(sdf, index)
 
+    def asof(self, where):
+        """pandas DataFrame.asof (scalar form): the last row at or before
+        index label `where` with no NaN in any data column — a filtered
+        TakeOrdered(1), driver-materialized like at[] (array `where`: use
+        lps.merge_asof, the distributed as-of join)."""
+        import pandas as pd
+
+        if isinstance(where, (list, tuple)):
+            raise NotImplementedError(
+                "DataFrame.asof with an array: use lps.merge_asof"
+            )
+        if not self._index:
+            raise ValueError("asof requires a stored index (set_index first)")
+        idx = self._index[0]
+        cols = self.columns
+        cond = F.col(idx) <= F.lit(where)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        rows = (
+            self._sdf.filter(cond)
+            .orderBy(F.desc(idx))
+            .limit(1)
+            .select(*cols)
+            .collect()
+        )
+        if not rows:
+            return pd.Series([float("nan")] * len(cols), index=cols)
+        return pd.Series([rows[0][c] for c in cols], index=cols)
+
     def asfreq(self, freq: str) -> "DataFrame":
         """Reindex the datetime index onto a fixed-frequency grid (pandas
         asfreq): grid points with no source row get nulls; off-grid source

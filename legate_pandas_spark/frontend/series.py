@@ -662,6 +662,48 @@ class Series:
             expr = F.when(self._col == F.lit(k), F.lit(v)).otherwise(expr)
         return self._wrap(expr)
 
+    def combine(self, other, func, fill_value=None):
+        """pandas Series.combine: elementwise ``func(x, y)`` over the aligned
+        pair (same-frame alignment contract, like every Series binop).
+        ``func`` receives Python SCALARS — this is the Arrow-batched escape
+        hatch (same machinery and sample-based output-type inference as
+        Series.map(callable)); Catalyst-expressible merges belong in
+        where/mask or DataFrame.combine instead."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        a, b = self._col, self._other_col(other)
+        # pandas fill_value substitutes only INDEX-MISALIGNED holes, never
+        # NaN values; same-frame alignment has no such holes, so it is
+        # accepted for signature parity and never applied (NaN values pass
+        # through to func exactly like pandas)
+        probe = (
+            self._frame._sdf.select(a.alias("__ca__"), b.alias("__cb__"))
+            .limit(100)
+            .toPandas()
+        )
+        sample = [func(x, y) for x, y in zip(probe["__ca__"], probe["__cb__"])]
+        numeric = not sample or pd.api.types.is_numeric_dtype(pd.Series(sample))
+        if numeric:
+
+            @pandas_udf("double")
+            def _comb(xa, xb):
+                out = pd.Series(
+                    [func(x, y) for x, y in zip(xa, xb)], index=xa.index
+                )
+                return pd.to_numeric(out, errors="coerce")
+
+        else:
+
+            @pandas_udf("string")
+            def _comb(xa, xb):
+                out = pd.Series(
+                    [func(x, y) for x, y in zip(xa, xb)], index=xa.index
+                )
+                return out.astype("object").astype("string")
+
+        return self._wrap(_comb(a, b))
+
     def replace(self, to_replace, value=None):
         """pandas Series.replace: exact-match substitution, unmatched values
         KEPT (unlike map, which nulls them). Scalar→scalar, {old: new} dict,

@@ -278,3 +278,42 @@ def test_reset_index_materializes_default_index(spark):
     exp_s = pdf["a"].reset_index()
     got_s = s.reset_index().to_pandas()
     assert list(got_s.columns) == list(exp_s.columns) == ["index", "a"]
+
+
+def test_series_combine_scalar_func(spark):
+    pdf = pd.DataFrame({"a": [1.0, 8.0, None], "b": [3.0, 2.0, 5.0]})
+    df = from_pandas(pdf, spark=spark)
+    exp = pdf["a"].combine(pdf["b"], max)
+    got = df["a"].combine(df["b"], max).to_pandas()
+    for g, e in zip(got, exp):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
+    # fill_value applies only to index-misaligned holes (none under
+    # same-frame alignment): NaN values pass through func exactly like pandas
+    exp2 = pdf["a"].combine(pdf["b"], lambda x, y: x * 10 + y, fill_value=0.0)
+    got2 = df["a"].combine(df["b"], lambda x, y: x * 10 + y, fill_value=0.0).to_pandas()
+    for g, e in zip(got2, exp2):
+        assert (pd.isna(g) and pd.isna(e)) or g == e
+    # string-returning func keeps strings
+    got3 = df["a"].combine(df["b"], lambda x, y: "hi" if (x or 0) > y else "lo").to_pandas()
+    exp3 = pdf["a"].combine(pdf["b"], lambda x, y: "hi" if (x or 0) > y else "lo")
+    # pandas passes NaN through func; (NaN or 0) is NaN -> NaN > y is False -> 'lo'
+    assert got3.tolist() == exp3.tolist()
+
+
+def test_frame_asof_scalar(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 3, 5, 7], "x": [10.0, None, 30.0, 40.0], "y": [1.0, 2.0, None, 4.0]}
+    )
+    pidx = pdf.set_index("k")
+    df = from_pandas(pdf, spark=spark).set_index("k")
+    for w in [0, 1, 4, 6, 9]:
+        e, g = pidx.asof(w), df.asof(w)
+        assert list(g.index) == list(e.index)
+        for c in e.index:
+            if pd.isna(e[c]):
+                assert pd.isna(g[c]), (w, c)
+            else:
+                assert g[c] == e[c], (w, c)
