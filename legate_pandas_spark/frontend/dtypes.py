@@ -119,10 +119,16 @@ def floordiv(left: Column, right: Column) -> Column:
 def floormod(left: Column, right: Column) -> Column:
     """Python/pandas FLOORED modulo (result sign follows the divisor) —
     Spark's ``%`` truncates toward zero, so -7 % 3 would be -1 instead of
-    pandas' 2. ``try_mod(try_mod(a, b) + b, b)`` reproduces Python for every
-    sign combination (the same identity the query translator compiles to);
-    a zero divisor yields null (documented divergence: numpy int % 0 is 0)."""
-    return F.try_mod(F.try_mod(left, right) + right, right)
+    pandas' 2. Mirrors CPython float_rem exactly: r = fmod(a, b); if r is
+    nonzero with the wrong sign, r += b. (The earlier
+    ``try_mod(try_mod(a,b)+b, b)`` identity re-modded the sum, which turns a
+    subnormal remainder into 0 where CPython returns b: 2.2e-313 % -3.0 is
+    -3.0, because r+b rounds to b and CPython does NOT normalize it away —
+    hypothesis-found edge.) A zero divisor yields null (documented
+    divergence: numpy int % 0 is 0)."""
+    base = F.try_mod(left, right)
+    wrong_sign = ((base < 0) != (right < 0)) & (base != 0)
+    return F.when(wrong_sign, base + right).otherwise(base)
 
 
 def resolve_ewm_alpha(alpha=None, com=None, span=None, halflife=None) -> float:

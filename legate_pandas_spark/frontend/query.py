@@ -81,12 +81,18 @@ def _emit(node: ast.AST, env: dict | None) -> str:
             return f"floor({_emit(node.left, env)} / {_emit(node.right, env)})"
         if cls is ast.Mod:
             # Python % is FLOORED modulo (sign of the divisor); Spark's % is
-            # truncated (sign of the dividend). ((a mod b) + b) mod b
-            # reproduces Python for every sign combination; try_mod yields
-            # null on a zero divisor (pandas NaN — same filter outcome)
-            # instead of the ANSI-mode exception
+            # truncated (sign of the dividend). Mirror CPython float_rem:
+            # r = fmod(a, b); nonzero r with the wrong sign gets b added —
+            # WITHOUT re-modding the sum (a subnormal r makes r+b round to b,
+            # which CPython keeps; a second mod would zero it). try_mod
+            # yields null on a zero divisor (pandas NaN — same filter
+            # outcome) instead of the ANSI-mode exception.
             a, b = _emit(node.left, env), _emit(node.right, env)
-            return f"try_mod(try_mod({a}, {b}) + {b}, {b})"
+            r = f"try_mod({a}, {b})"
+            return (
+                f"(CASE WHEN {r} <> 0 AND (({r} < 0) <> ({b} < 0)) "
+                f"THEN {r} + {b} ELSE {r} END)"
+            )
         if cls not in _BINOP:
             raise QueryTranslationError(f"unsupported binary op: {cls.__name__}")
         return f"({_emit(node.left, env)} {_BINOP[cls]} {_emit(node.right, env)})"
