@@ -113,7 +113,21 @@ def truediv(left: Column, right: Column) -> Column:
 
 
 def floordiv(left: Column, right: Column) -> Column:
-    return F.floor(left.cast("double") / right.cast("double")).cast("double")
+    """CPython/numpy float_divmod form, NOT floor(a/b): q is derived from the
+    fmod remainder so that q*b + r == a stays consistent with floormod.
+    The two differ on subnormal edges — CPython's -5e-324 // 2.0 is -1.0
+    (fmod gives -5e-324, wrong sign -> r += b, q -= 1) while floor(a/b)
+    underflows to -0.0 (hypothesis-found). The 0.5 guard is CPython
+    float_divmod's floor-rounding correction verbatim."""
+    a = left.cast("double")
+    b = right.cast("double")
+    base = F.try_mod(a, b)
+    adj = ((base < 0) != (b < 0)) & (base != 0)
+    div = (a - base) / b - F.when(adj, F.lit(1.0)).otherwise(F.lit(0.0))
+    fd0 = F.floor(div).cast("double")
+    return F.when(b == 0, F.floor(a / b).cast("double")).otherwise(
+        F.when(div - fd0 > 0.5, fd0 + 1).otherwise(fd0)
+    )
 
 
 def floormod(left: Column, right: Column) -> Column:

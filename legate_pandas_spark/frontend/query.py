@@ -78,7 +78,17 @@ def _emit(node: ast.AST, env: dict | None) -> str:
         if cls is ast.Pow:
             return f"power({_emit(node.left, env)}, {_emit(node.right, env)})"
         if cls is ast.FloorDiv:
-            return f"floor({_emit(node.left, env)} / {_emit(node.right, env)})"
+            # CPython derives // from the fmod remainder (divmod-consistent),
+            # not floor(a/b) — see dtypes.floordiv for the subnormal edge
+            a, b = _emit(node.left, env), _emit(node.right, env)
+            r = f"try_mod({a}, {b})"
+            adj = f"(CASE WHEN {r} <> 0 AND (({r} < 0) <> ({b} < 0)) THEN 1.0 ELSE 0.0 END)"
+            dv = f"((({a}) - {r}) / ({b}) - {adj})"
+            return (
+                f"(CASE WHEN ({b}) = 0 THEN floor(({a}) / ({b})) "
+                f"WHEN {dv} - floor({dv}) > 0.5 THEN floor({dv}) + 1 "
+                f"ELSE floor({dv}) END)"
+            )
         if cls is ast.Mod:
             # Python % is FLOORED modulo (sign of the divisor); Spark's % is
             # truncated (sign of the dividend). Mirror CPython float_rem:
