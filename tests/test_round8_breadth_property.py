@@ -113,3 +113,24 @@ def test_fuzz_asfreq(spark, mins, freq):
     assert [pd.Timestamp(x) for x in got.index] == list(exp.index)
     for g, e in zip(got["v"], exp["v"]):
         assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.one_of(st.none(), st.floats(-20, 20, allow_nan=False)), min_size=1, max_size=8),
+    b=st.lists(st.one_of(st.none(), st.floats(-20, 20, allow_nan=False)), min_size=1, max_size=8),
+)
+def test_fuzz_frame_combine_unequal_lengths(spark, a, b):
+    pdf1 = pd.DataFrame({"A": pd.array(a, dtype="float64")})
+    pdf2 = pd.DataFrame({"A": pd.array(b, dtype="float64")})
+    exp = pdf1.combine(pdf2, lambda s1, s2: s1.where(s1 > s2, s2))
+    got = (
+        from_pandas(pdf1, spark=spark)
+        .combine(
+            from_pandas(pdf2, spark=spark), lambda s1, s2: s1.where(s1 > s2, s2)
+        )
+        .to_pandas()
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got["A"], exp["A"]):
+        assert (pd.isna(g) and pd.isna(e)) or abs(g - e) < 1e-9
