@@ -452,3 +452,17 @@ def test_round6_new_queries_plan_shapes(catalog, spark, sf_dir):
     plan = plan_text(catalog["boilerplate_ngram_ratio"](spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in plan  # per-source doc counts are broadcast
     assert_no_full_single_partition(plan, "boilerplate_ngram_ratio")
+
+
+def test_round8_new_query_plan_shapes(catalog, spark, sf_dir):
+    """DSIR: the 2048-row feature model must broadcast (never shuffle the
+    corpus against it) and selection must be a TakeOrderedAndProject; the
+    ANN recall eval's joins must all be broadcast-side (queries/probes are
+    eval-set-sized) with the top-k as partitioned windows."""
+    plan = plan_text(catalog["dsir_importance_resample"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan2 = plan_text(catalog["ann_recall_eval"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
+    assert "CartesianProduct" not in plan2
