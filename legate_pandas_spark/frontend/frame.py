@@ -28,15 +28,21 @@ ROW_ORDER = "__row_order__"
 
 
 def _normalize_wall_time(time_str: str) -> str:
-    """Canonical zero-padded HH:mm:ss for at_time/between_time inputs:
+    """Canonical zero-padded HH:mm:ss.SSSSSS for at_time/between_time inputs:
     pandas accepts '9:30' but date_format output is zero-padded, so the raw
-    string would silently never match."""
+    string would silently never match. Sub-second inputs ('9:30:15.5') keep
+    their fraction at microsecond width (Spark timestamp precision) so
+    at_time matches the exact instant, not the whole second."""
     import datetime
 
+    if isinstance(time_str, datetime.time):  # pandas accepts time objects
+        t = time_str
+        return t.strftime("%H:%M:%S.") + f"{t.microsecond:06d}"
     s = str(time_str).strip()
     for fmt in ("%H:%M:%S", "%H:%M", "%H:%M:%S.%f"):
         try:
-            return datetime.datetime.strptime(s, fmt).time().strftime("%H:%M:%S")
+            t = datetime.datetime.strptime(s, fmt).time()
+            return t.strftime("%H:%M:%S.") + f"{t.microsecond:06d}"
         except ValueError:
             continue
     raise ValueError(f"Cannot convert arg {time_str!r} to a time")
@@ -803,7 +809,16 @@ class DataFrame:
             F.when(cond_exprs[c], F.col(c)).otherwise(other_exprs[c]).alias(c)
             for c in self.columns
         ]
-        return self._replace(self._sdf.select(*sel))
+        out = self._replace(self._sdf.select(*sel))
+        # provenance (round-9): kept cells preserve values, replaced cells
+        # become `other` — a NON-NULL scalar replacement can never introduce
+        # a null, so existing column proofs survive. Frame/Series others and
+        # the default None (NaN fill) can, and drop every proof.
+        if _nonnull_scalar(other):
+            out._nonnull_cols = frozenset(self._nonnull_cols) & set(
+                out._sdf.columns
+            )
+        return out
 
     def mask(self, cond, other=None, axis=None) -> "DataFrame":
         """Replace cells where cond holds (inverse of where); null cond cells
@@ -831,7 +846,12 @@ class DataFrame:
                 F.when(inv_exprs[c], F.col(c)).otherwise(other_exprs[c]).alias(c)
                 for c in self.columns
             ]
-            return self._replace(self._sdf.select(*sel))
+            out = self._replace(self._sdf.select(*sel))
+            if _nonnull_scalar(other):  # same provenance rule as where()
+                out._nonnull_cols = frozenset(self._nonnull_cols) & set(
+                    out._sdf.columns
+                )
+            return out
         else:
             raise TypeError(f"unsupported cond type: {type(cond)!r}")
         return self.where(inv, other, axis=axis)
@@ -1331,7 +1351,10 @@ class DataFrame:
         return pd.Series({c: row[c] for c in targets})
 
     def _map_numeric(self, fn) -> "DataFrame":
-        """Apply a column expression to every numeric column (projection-only)."""
+        """Apply a column expression to every numeric column (projection-only).
+        Callers (round/abs/clip) are NULL-PRESERVING — null in, null out,
+        never null from non-null — so column non-null proofs carry through
+        (round-9 provenance widening)."""
         out = []
         for c, t in self._sdf.dtypes:
             if c in self._index or (c.startswith("__") and c.endswith("__")):
@@ -1340,7 +1363,7 @@ class DataFrame:
                 out.append(fn(F.col(c)).alias(c))
             else:
                 out.append(F.col(c))
-        return self._replace(self._sdf.select(*out))
+        return self._carry_proofs(self._replace(self._sdf.select(*out)))
 
     def round(self, decimals: int = 0) -> "DataFrame":
         return self._map_numeric(lambda c: F.round(c, decimals))
@@ -2366,15 +2389,22 @@ class DataFrame:
             zipped = self._sdf.select(
                 *others, F.explode_outer(F.arrays_zip(*zcols)).alias("__z__")
             )
-            return self._replace(
+            out = self._replace(
                 zipped.select(
                     *others, *[F.col(f"__z__.{c}").alias(c) for c in cols]
                 )
             )
+            # provenance (round-9): non-exploded columns keep their values
+            # (rows only duplicate) — proofs carry; the exploded columns can
+            # gain nulls (explode_outer of empty/null arrays, zip padding)
+            out._nonnull_cols = frozenset(self._nonnull_cols) - set(cols)
+            return out
         others = [c for c in self._sdf.columns if c != column]
-        return self._replace(
+        out = self._replace(
             self._sdf.select(*others, F.explode_outer(column).alias(column))
         )
+        out._nonnull_cols = frozenset(self._nonnull_cols) - {column}
+        return out
 
     def convert_dtypes(self) -> "DataFrame":
         """pandas convert_dtypes, restricted to the inference that changes
@@ -2400,8 +2430,12 @@ class DataFrame:
                         ~F.isnan(F.col(c))
                         & (
                             (F.col(c) != F.round(F.col(c)))
-                            | ~F.col(c).between(
-                                float(-(2**63)), float(2**63 - 1)
+                            # upper bound EXCLUSIVE: float(2**63-1) rounds up
+                            # to exactly 2^63, whose bigint cast overflows —
+                            # values at/above 2^63 must keep the column float
+                            | ~(
+                                (F.col(c) >= float(-(2**63)))
+                                & (F.col(c) < float(2**63))
                             )
                         ),
                         F.lit(1),
@@ -2466,7 +2500,7 @@ class DataFrame:
         idx = F.col(self._index[0])
         t = _normalize_wall_time(time_str)
         return self._replace(
-            self._sdf.filter(F.date_format(idx, "HH:mm:ss") == t)
+            self._sdf.filter(F.date_format(idx, "HH:mm:ss.SSSSSS") == t)
         )
 
     def between_time(self, start: str, end: str, inclusive: str = "both") -> "DataFrame":
@@ -2474,7 +2508,7 @@ class DataFrame:
         between_time; same-day range only). Pure filter expression."""
         if len(self._index) != 1:
             raise ValueError("between_time requires a single (timestamp) index")
-        t = F.date_format(F.col(self._index[0]), "HH:mm:ss")
+        t = F.date_format(F.col(self._index[0]), "HH:mm:ss.SSSSSS")
         s, e = _normalize_wall_time(start), _normalize_wall_time(end)
         lo = t >= s if inclusive in ("both", "left") else t > s
         hi = t <= e if inclusive in ("both", "right") else t < e
@@ -3116,6 +3150,20 @@ class DataFrame:
 
 
 _NUMERIC_SPARK = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _nonnull_scalar(value) -> bool:
+    """True when `value` is a plain scalar that compiles to a NON-NULL
+    literal: None and float NaN (pandas-missing; F.lit(nan) is a NaN double,
+    but it REPRESENTS a missing value to the facade) don't qualify, nor do
+    Series/DataFrame others (cell-dependent)."""
+    from legate_pandas_spark.frontend.series import Series as _S
+
+    if value is None or isinstance(value, (_S, DataFrame)):
+        return False
+    if isinstance(value, float) and value != value:
+        return False
+    return isinstance(value, (int, float, str, bool))
 
 
 def _fill_applies(spark_type: str, value) -> bool:

@@ -172,9 +172,12 @@ class Series:
         )
 
     def __ne__(self, other):  # type: ignore[override]
+        # pandas: NaN != x is TRUE (the one comparison where missing values
+        # pass), matching query()'s total-atom compilation — null operands
+        # coalesce to TRUE, so no non-null proof can be emitted (a kept row
+        # may have a null operand).
         return self._wrap(
-            null_compare_false(self._col != self._other_col(other)),
-            proof=self._strict_cols | self._strict_of(other),
+            F.coalesce(self._col != self._other_col(other), F.lit(True)),
         )
 
     def __lt__(self, other):
@@ -668,7 +671,16 @@ class Series:
         ``func`` receives Python SCALARS — this is the Arrow-batched escape
         hatch (same machinery and sample-based output-type inference as
         Series.map(callable)); Catalyst-expressible merges belong in
-        where/mask or DataFrame.combine instead."""
+        where/mask or DataFrame.combine instead.
+
+        Documented divergences (round-9 ADVICE): (1) ``func`` runs TWICE over
+        the first ~100 rows — once in the driver-side output-type probe, once
+        in the UDF — so it must be side-effect-free (pandas apply-family
+        makes the same no-side-effects assumption); (2) the output dtype is
+        inferred from that sample: a numeric sample compiles a double column
+        (integer-valued funcs come back float, like pandas object→numeric
+        paths), and later rows whose results don't coerce to the inferred
+        type become null rather than upcasting the column."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 

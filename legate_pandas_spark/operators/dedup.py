@@ -338,11 +338,36 @@ def _verified_rep_pairs(sh: DataFrame, reps: DataFrame) -> DataFrame:
 # it is memoized per (session, sf_dir): the first dedup query in a session
 # pays the probe action, later ones reuse the boolean. Heavy compute is
 # never memoized across queries (see lsh_verified_pairs refresh semantics) —
-# only this scalar.
+# only this scalar. Entries carry a data snapshot token (round-9 ADVICE):
+# rewriting the corpus under sf_dir mid-session invalidates the verdict, and
+# replacement (not accumulation) bounds the memo to one entry per sf_dir.
 _PROBE_CACHE: dict = {}
 
 
-def _clone_mass_probe(gstats: DataFrame, cache_key=None) -> bool:
+def _corpus_snapshot_token(sf_dir: str) -> tuple:
+    """Snapshot token of the documents input: (name, mtime_ns, size) of every
+    file under documents.parquet. Cheap driver-side stat calls — folded into
+    the session memos so a rewritten corpus never reuses a stale clone-mass
+    verdict or pair list."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    entries = []
+    try:
+        if os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    entries.append((fn, st.st_mtime_ns, st.st_size))
+        elif os.path.exists(path):
+            st = os.stat(path)
+            entries.append((os.path.basename(path), st.st_mtime_ns, st.st_size))
+    except OSError:  # racing rewrite: treat as always-stale
+        return ("unstattable",)
+    return tuple(entries)
+
+
+def _clone_mass_probe(gstats: DataFrame, cache_key=None, token=None) -> bool:
     """EXACT duplicate-mass probe on the persisted identity-group table —
     one tiny aggregate action. Returns True when the rep indirection should
     run. The direct (unguarded) pipeline is exact on ANY corpus — identical
@@ -353,8 +378,10 @@ def _clone_mass_probe(gstats: DataFrame, cache_key=None) -> bool:
     max(16, 1% of docs) AND max_gsize ≤ 8 keeps it linear in corpus size.
     Being exact (not an approx-distinct estimate), the probe can never
     underestimate clone mass and fall into the k² blowup."""
-    if cache_key is not None and cache_key in _PROBE_CACHE:
-        return _PROBE_CACHE[cache_key]
+    if cache_key is not None:
+        hit = _PROBE_CACHE.get(cache_key)
+        if hit is not None and hit[0] == token:
+            return hit[1]
     row = gstats.agg(
         F.max("gsize").alias("mx"),
         F.count(F.lit(1)).alias("groups"),
@@ -364,7 +391,7 @@ def _clone_mass_probe(gstats: DataFrame, cache_key=None) -> bool:
     clone_mass = docs - groups
     verdict = clone_mass > max(16, 0.01 * docs) or mx > 8
     if cache_key is not None:
-        _PROBE_CACHE[cache_key] = verdict
+        _PROBE_CACHE[cache_key] = (token, verdict)
     return verdict
 
 
@@ -373,7 +400,8 @@ def _lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     full, gstats = _identity_group_stats(sh)
     mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
     probe_key = (spark.sparkContext.applicationId, sf_dir)
-    if not _clone_mass_probe(gstats, cache_key=probe_key):
+    token = _corpus_snapshot_token(sf_dir)
+    if not _clone_mass_probe(gstats, cache_key=probe_key, token=token):
         # pay-as-you-go (round-8): negligible clone mass ⇒ run the plain
         # unguarded pipeline over ALL docs — no gid stamping, no expansion
         # or within-group joins; within-group pairs surface naturally via
@@ -435,15 +463,16 @@ def lsh_verified_pairs(
     measure real work, while consumers (connected components, leakage audit)
     pick up whatever the session already computed."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    token = _corpus_snapshot_token(sf_dir)
     if not refresh:
         hit = _PAIR_STAGE_CACHE.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] == token:
+            return hit[1]
     old = _PAIR_STAGE_CACHE.pop(key, None)
     if old is not None:
-        old.unpersist()
+        old[1].unpersist()
     pairs = _lsh_pairs_guarded(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    _PAIR_STAGE_CACHE[key] = pairs
+    _PAIR_STAGE_CACHE[key] = (token, pairs)
     return pairs
 
 
@@ -607,7 +636,8 @@ def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir, persist=True)
     full, gstats = _identity_group_stats(sh)
     probe_key = (spark.sparkContext.applicationId, sf_dir)
-    if not _clone_mass_probe(gstats, cache_key=probe_key):
+    token = _corpus_snapshot_token(sf_dir)
+    if not _clone_mass_probe(gstats, cache_key=probe_key, token=token):
         return lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
     reps = gstats.select(F.col("gid").alias("doc_id"), "n", *mh_cols)
@@ -785,7 +815,9 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clone-free corpora — the unguarded plan comes back for free.
     full, gstats = _identity_group_stats(sh, incr_flags=True)
     guard_on = _clone_mass_probe(
-        gstats, cache_key=(spark.sparkContext.applicationId, sf_dir)
+        gstats,
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
+        token=_corpus_snapshot_token(sf_dir),
     )
     mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
     if guard_on:

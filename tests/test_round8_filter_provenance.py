@@ -40,8 +40,9 @@ def test_comparison_mask_proves(spark, nulls_pdf):
     df = from_pandas(nulls_pdf, spark=spark)
     assert "k" in df[df["k"] > 1]._nonnull_cols
     assert "k" in df[df["k"] == 2]._nonnull_cols
-    # facade != is null-compare-false (reference parity), so it proves too
-    assert "k" in df[df["k"] != 1]._nonnull_cols
+    # facade != follows pandas (NaN != 1 is True, rows kept) -> no proof,
+    # matching query()'s total-atom semantics (round-9 ADVICE alignment)
+    assert "k" not in df[df["k"] != 1]._nonnull_cols
     # column-vs-column comparison proves both sides
     out = df[df["k"] < df["v"]]
     assert {"k", "v"} <= out._nonnull_cols
@@ -87,7 +88,6 @@ def test_mask_proof_is_true_no_nulls_survive(spark, nulls_pdf):
     df = from_pandas(nulls_pdf, spark=spark)
     cases = [
         df[df["k"] > 1],
-        df[df["k"] != 1],
         df[~df["flag"]],
         df[(df["k"] > 0) & (df["v"] > 0)],
         df[df["k"].isin([1.0, 2.0])],
