@@ -109,6 +109,8 @@ HEADLINE = [
     # round 8: DSIR data selection + ANN recall evaluation
     "dsir_importance_resample",
     "ann_recall_eval",
+    # round 9: sampled-GT recall (production form) + composed DSIR funnel
+    "ann_recall_eval_sampled",
 ]
 
 

@@ -466,3 +466,12 @@ def test_round8_new_query_plan_shapes(catalog, spark, sf_dir):
     plan2 = plan_text(catalog["ann_recall_eval"](spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
     assert "CartesianProduct" not in plan2
+    # sampled form (round-9): same plan shape, plus the deterministic
+    # vec_id-hash sample must reach the SCAN as a pushed/early filter, not a
+    # post-join one (the whole point is cutting the corpus x Q GT pass)
+    plan3 = plan_text(
+        catalog["ann_recall_eval_sampled"](spark, sf_dir), mode="simple"
+    )
+    assert "BroadcastHashJoin" in plan3 or "BroadcastNestedLoopJoin" in plan3
+    assert "CartesianProduct" not in plan3
+    assert "2654435761" in plan3  # the Knuth-hash sample predicate is in-plan

@@ -20,7 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-COPIES = 10
+# knobs (round-9): SCALE_COPIES picks the growth factor; SCALE_ONLY_TABLES
+# (comma list) scales only those tables and passes the rest through at 1x —
+# used to build the embeddings-100x corpus where 10x is still fixed-cost
+# dominated (the sf0.1 embedding table is ~1 MB of vectors)
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+ONLY_TABLES = {
+    t for t in os.environ.get("SCALE_ONLY_TABLES", "").split(",") if t
+}
 SRC = "/root/testdata/sf0.1"
 
 QUERIES = [
@@ -69,6 +76,15 @@ QUERIES = [
     "dedup_embedding_cosine_blocked",
     "pd_global_rank_rolling",
     "ann_pq_topk",
+    # round 9: the ANN/embedding family over the JITTERED 10x embeddings
+    # (copies >= 1 carry a deterministic per-copy perturbation, so the
+    # scaled corpus holds 10x DISTINCT vectors — real ANN data growth,
+    # not degenerate exact clones)
+    "ann_cosine_topk",
+    "ann_lsh_bucket_stats",
+    "ann_recall_eval",
+    "ann_recall_eval_sampled",
+    "pagerank_two_iter",
 ]
 
 SHIFT_KEYS = {
@@ -80,14 +96,25 @@ SHIFT_KEYS = {
 }
 
 
+EMB_MARKER = ".embeddings_jittered_v2"
+
+
 def build(spark, out_dir: str) -> None:
     from legate_pandas_spark.sources.tables import TABLES, load_table
 
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
-        df = load_table(spark, SRC, name)
         path = os.path.join(out_dir, f"{name}.parquet")
-        if name in ("region", "nation", "customer", "supplier", "part"):
+        if os.path.exists(path):
+            # per-table skip; embeddings rebuild once for the jitter upgrade
+            if name != "embeddings" or os.path.exists(
+                os.path.join(out_dir, EMB_MARKER)
+            ):
+                continue
+        df = load_table(spark, SRC, name)
+        if name in ("region", "nation", "customer", "supplier", "part") or (
+            ONLY_TABLES and name not in ONLY_TABLES
+        ):
             df.write.mode("overwrite").parquet(path)
             continue
         keys = SHIFT_KEYS.get(name, [])
@@ -100,26 +127,51 @@ def build(spark, out_dir: str) -> None:
             c = df
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * base[k]))
+            if name == "embeddings" and i > 0:
+                # deterministic per-copy jitter (round-9): copies >= 1 become
+                # DISTINCT vectors (golden-angle phase mixing keyed on copy
+                # index, vec_id, and element position) so the 10x corpus
+                # grows the ANN search space for real, while copy 0 keeps the
+                # exact originals the queries/centroids (vec_id < 8) select.
+                # No RNG: rebuildable bit-identically.
+                theta = (
+                    F.col("vec_id").cast("double") * F.lit(0.7390851332)
+                    + F.lit(float(i) * 2.3999632297)
+                )
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: (
+                            x * F.cos(theta + j.cast("double") * F.lit(0.1))
+                            + F.sin(theta * (j.cast("double") + F.lit(1.0)))
+                            * F.lit(0.3)
+                        ).cast("float"),
+                    ),
+                )
             parts.append(c)
         out = parts[0]
         for c in parts[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(path)
+        if name == "embeddings":
+            with open(os.path.join(out_dir, EMB_MARKER), "w") as fh:
+                fh.write("jittered copies 1..9\n")
         print(f"built {name}: x{COPIES}", file=sys.stderr)
 
 
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale10"
+    subset = sys.argv[2:] or QUERIES  # optional query-name args
     from legate_pandas_spark.operators import QUERIES as CATALOG, load_all
     from legate_pandas_spark.session import get_spark
 
     load_all()
     spark = get_spark("scale_experiment")
-    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
-        build(spark, out_dir)
+    build(spark, out_dir)  # per-table skip inside
 
     results = {}
-    for name in QUERIES:
+    for name in subset:
         fn = CATALOG[name]
         times = {}
         for label, sf_dir in [("sf0.1", SRC), ("sf1", out_dir)]:
