@@ -111,6 +111,7 @@ HEADLINE = [
     "ann_recall_eval",
     # round 9: sampled-GT recall (production form) + composed DSIR funnel
     "ann_recall_eval_sampled",
+    "dsir_gopher_dedup_funnel",
 ]
 
 

@@ -1636,10 +1636,10 @@ def dsir_train_model(spark: SparkSession, sf_dir: str):
     return model, default
 
 
-@query(
-    "dsir_importance_resample",
-    oracle=f"""
-    WITH docs AS (
+# the DSIR WITH-chain (feature cells -> bucket model -> per-doc weights ->
+# Gumbel keys), shared by dsir_importance_resample and the round-9 composed
+# funnel (dsir_gopher_dedup_funnel)
+_SQL_DSIR_CTES = f"""docs AS (
       SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
@@ -1688,7 +1688,13 @@ def dsir_train_model(spark: SparkSession, sf_dir: str):
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
                / 4294967296.0))) AS BIGINT) AS g
       FROM documents
-    )
+    )"""
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH {_SQL_DSIR_CTES}
     SELECT m.doc_id, m.source, m.lang, w.logw_micro,
            CAST(w.logw_micro + g.g AS BIGINT) AS score_micro
     FROM docw w
@@ -1748,4 +1754,126 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(_DSIR_K)
+    )
+
+
+def _dsir_selected_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR top-K selection as a doc_id frame (shared scoring path:
+    same persisted cell table, broadcast model, TakeOrderedAndProject)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cells, lam, _tots = _dsir_parts(docs)
+    docw = (
+        docs.select("doc_id")
+        .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
+        .join(F.broadcast(lam), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("lam")), F.lit(0))
+            .cast("bigint")
+            .alias("logw_micro")
+        )
+    )
+    score = (F.col("logw_micro") + _dsir_gumbel_expr(F.col("doc_id"))).cast(
+        "bigint"
+    )
+    return (
+        docw.select("doc_id", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .select("doc_id")
+    )
+
+
+def _funnel_oracle() -> str:
+    from legate_pandas_spark.operators.textops import SQL_GOPHER_OK
+
+    return f"""
+    WITH {_SQL_DSIR_CTES},
+    sel AS (
+      SELECT m.doc_id, m.source, m.text
+      FROM docw w
+      JOIN gum g ON w.doc_id = g.doc_id
+      JOIN documents m ON w.doc_id = m.doc_id
+      ORDER BY w.logw_micro + g.g DESC, m.doc_id
+      LIMIT {_DSIR_K}
+    ),
+    gm AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             string_split(text, chr(10)) AS lines
+      FROM sel
+    ),
+    gr AS (
+      SELECT doc_id, source, md5(text) AS h,
+             ({SQL_GOPHER_OK}) AS ok
+      FROM gm
+    ),
+    ded AS (
+      SELECT doc_id, source, ok,
+             (ok AND doc_id = min(CASE WHEN ok THEN doc_id END)
+                        OVER (PARTITION BY h)) AS keep
+      FROM gr
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+    FROM ded
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("dsir_gopher_dedup_funnel", oracle=_funnel_oracle())
+def dsir_gopher_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data funnel (round-9, VERDICT r8 Next #3):
+    DSIR top-K selection -> Gopher quality rules -> exact keep-first dedup,
+    reported as per-source attrition (n_selected / n_pass_gopher /
+    n_after_dedup).
+
+    Composition discipline: the DSIR stage reuses the SAME persisted
+    per-(doc,bucket) cell table and broadcast bucket model as
+    dsir_importance_resample (one text scan feeds model + scores); the
+    selected-id frame is eval-set-sized (K=_DSIR_K) so the join back to the
+    documents text is a BROADCAST join; the Gopher rules are pure per-row
+    expressions on those K rows; dedup is one window over md5(text) among
+    the K-row set, with the canonical chosen only among rule-passing rows
+    (min(CASE WHEN ok THEN doc_id END)) so the dedup stage composes with the
+    filter without a second pass. Plan-audited: exactly one
+    TakeOrderedAndProject, no CartesianProduct, broadcast joins only after
+    selection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sel = _dsir_selected_ids(spark, sf_dir)
+    picked = docs.join(F.broadcast(sel), "doc_id")
+    from legate_pandas_spark.operators.textops import gopher_pass_all_expr
+
+    flagged = picked.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        gopher_pass_all_expr(F.col("text")).alias("ok"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h")
+    canon_ok = F.min(F.when(F.col("ok"), F.col("doc_id"))).over(w)
+    ded = flagged.select(
+        "source",
+        "ok",
+        (F.col("ok") & (F.col("doc_id") == canon_ok)).alias("keep"),
+    )
+    return (
+        ded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass_gopher"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after_dedup"),
+        )
+        .orderBy("source")
     )

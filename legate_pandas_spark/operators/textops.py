@@ -707,23 +707,12 @@ _SQL_GOPHER = """
 """
 
 
-@query("gopher_quality_rules", oracle=_SQL_GOPHER)
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher corpus-filter rule set (Rae et al., "Scaling Language
-    Models: Methods, Analysis & Insights from Training Gopher", 2021,
-    appendix A1.1), per-language pass counts: word count in [50, 100k], mean
-    word length in [3, 10], symbol-to-word ratio (# / ellipsis) < 0.1,
-    bullet-started lines < 90%, ellipsis-ended lines < 30%, words with an
-    alphabetic character > 80%.
-
-    Every rule is a pure per-row Catalyst expression over the token/line
-    arrays (zero shuffle until the final per-language count aggregate), so
-    this runs at corpus scale as one linear pass — the same discipline as
-    text_quality_score; the funnel form (per-rule attrition) mirrors
-    quality_filter_funnel's staged report."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    lines = F.split(F.col("text"), "\n")
+def gopher_metric_exprs(text):
+    """The six Gopher rule metrics as per-row Catalyst expressions over a
+    text column (rounded exactly like the oracle). Shared by
+    gopher_quality_rules and the composed DSIR funnel (curation.py)."""
+    words = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
     n_words = F.size(words)
     n_lines = F.size(lines)
     mean_wl = F.round(
@@ -734,7 +723,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     symbol_ratio = F.round(
-        F.size(F.regexp_extract_all("text", F.lit(r"(#|\.\.\.)"))).cast("double")
+        F.size(F.regexp_extract_all(text, F.lit(r"(#|\.\.\.)"))).cast("double")
         / n_words,
         4,
     )
@@ -755,14 +744,70 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_words,
         4,
     )
+    return {
+        "nw": n_words,
+        "mwl": mean_wl,
+        "sr": symbol_ratio,
+        "bf": bullet_frac,
+        "ef": ellipsis_frac,
+        "af": alpha_frac,
+    }
+
+
+def gopher_pass_all_expr(text):
+    """Conjunction of all six Gopher rules as ONE per-row expression."""
+    m = gopher_metric_exprs(text)
+    return (
+        m["nw"].between(50, 100000)
+        & m["mwl"].between(3, 10)
+        & (m["sr"] < 0.1)
+        & (m["bf"] < 0.9)
+        & (m["ef"] < 0.3)
+        & (m["af"] > 0.8)
+    )
+
+
+# the same conjunction as DuckDB SQL, parameterized on the source relation —
+# byte-for-byte the rule expressions of _SQL_GOPHER
+SQL_GOPHER_OK = """
+      (len(words) BETWEEN 50 AND 100000)
+      AND (round(list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE)))
+                 / len(words), 4) BETWEEN 3 AND 10)
+      AND (round(CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE)
+                 / len(words), 4) < 0.1)
+      AND (round(CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+                      AS DOUBLE) / len(lines), 4) < 0.9)
+      AND (round(CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                      AS DOUBLE) / len(lines), 4) < 0.3)
+      AND (round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(words), 4) > 0.8)
+"""
+
+
+@query("gopher_quality_rules", oracle=_SQL_GOPHER)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    appendix A1.1), per-language pass counts: word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio (# / ellipsis) < 0.1,
+    bullet-started lines < 90%, ellipsis-ended lines < 30%, words with an
+    alphabetic character > 80%.
+
+    Every rule is a pure per-row Catalyst expression over the token/line
+    arrays (zero shuffle until the final per-language count aggregate), so
+    this runs at corpus scale as one linear pass — the same discipline as
+    text_quality_score; the funnel form (per-rule attrition) mirrors
+    quality_filter_funnel's staged report."""
+    docs = load_table(spark, sf_dir, "documents")
+    me = gopher_metric_exprs(F.col("text"))
     m = docs.select(
         "lang",
-        n_words.alias("nw"),
-        mean_wl.alias("mwl"),
-        symbol_ratio.alias("sr"),
-        bullet_frac.alias("bf"),
-        ellipsis_frac.alias("ef"),
-        alpha_frac.alias("af"),
+        me["nw"].alias("nw"),
+        me["mwl"].alias("mwl"),
+        me["sr"].alias("sr"),
+        me["bf"].alias("bf"),
+        me["ef"].alias("ef"),
+        me["af"].alias("af"),
     )
     ok_wc = F.col("nw").between(50, 100000)
     ok_mwl = F.col("mwl").between(3, 10)

@@ -475,3 +475,15 @@ def test_round8_new_query_plan_shapes(catalog, spark, sf_dir):
     assert "BroadcastHashJoin" in plan3 or "BroadcastNestedLoopJoin" in plan3
     assert "CartesianProduct" not in plan3
     assert "2654435761" in plan3  # the Knuth-hash sample predicate is in-plan
+
+
+def test_round9_composed_funnel_plan(catalog, spark, sf_dir):
+    """dsir_gopher_dedup_funnel: ONE TakeOrderedAndProject (the DSIR
+    selection — gopher/dedup must not re-rank), the join back to document
+    text broadcasts the K selected ids, and no cartesian anywhere."""
+    plan = plan_text(
+        catalog["dsir_gopher_dedup_funnel"](spark, sf_dir), mode="simple"
+    )
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
