@@ -35,6 +35,8 @@ from legate_pandas_spark.frontend import (  # noqa: F401
     read_orc,
     read_parquet,
     from_pandas,
+    wide_to_long,
+    json_normalize,
 )
 
 __version__ = "0.1.0"

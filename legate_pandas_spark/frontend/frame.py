@@ -27,6 +27,13 @@ from legate_pandas_spark.frontend.series import Series
 ROW_ORDER = "__row_order__"
 
 
+def _qcol(name: str):
+    """Column reference that treats the name LITERALLY: backtick-quote names
+    containing dots so Spark doesn't resolve them as struct field access
+    (pandas allows '.' in column names — json_normalize produces them)."""
+    return F.col(f"`{name}`") if "." in str(name) else F.col(name)
+
+
 def _normalize_wall_time(time_str: str) -> str:
     """Canonical zero-padded HH:mm:ss.SSSSSS for at_time/between_time inputs:
     pandas accepts '9:30' but date_format output is zero-padded, so the raw
@@ -179,7 +186,7 @@ class DataFrame:
     # ------------------------------------------------------------ projection
     def __getitem__(self, key):
         if isinstance(key, str):
-            s = Series(self, F.col(key), key)
+            s = Series(self, _qcol(key), key)
             s._cat = self._cat_meta.get(key)
             s._strict_cols = frozenset({key})  # provenance: plain column ref
             return s
@@ -3033,7 +3040,7 @@ class DataFrame:
             # restore caller row order across any shuffle (driver-side
             # materialization is already the scale boundary of to_pandas)
             sdf = sdf.orderBy(F.asc(ROW_ORDER))
-        pdf = sdf.select(*cols).toPandas()
+        pdf = sdf.select(*[_qcol(c) for c in cols]).toPandas()
         for c, cat in self._cat_meta.items():
             if c in pdf.columns:
                 if cat.categories is not None:

@@ -35,13 +35,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                   AS sum_qty,
-           round(sum(l_extendedprice), 4)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_price,
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -54,21 +62,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: groupby reductions sum/mean/count (frontend/groupby.py:88-270,
     core/groupby.py:201-242) — here a single partial+final HashAggregate; the filter
     is pushed to the parquet scan.
-    """
+
+    Numeric discipline (round-9, found by the first sf0.1 full gate): the
+    measure sums run in DECIMAL — the 2dp/4dp/6dp quantities are exact
+    decimals, so both engines sum the identical exact values in any order
+    (a double sum of 600k items at 4.5e9 magnitude sits AT its 6dp rounding
+    ulp, and summation order drifted the last digit between engines). The
+    averages divide the exact decimal sum (as double) by the count and round
+    via floor(x*1e4+0.5)/1e4 — pure IEEE ops, bit-identical cross-engine,
+    immune to the engines' differing round() tie behavior."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    t = F.col("l_tax").cast("decimal(4,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = p * (one - d)          # exact decimal(18,4)
+    charge = disc_price * (one + t)     # exact decimal(24,6)
+    cnt = F.count(F.lit(1))
+
+    def det_round4(x):  # deterministic cross-engine 4dp rounding
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(q).cast("double").alias("sum_qty"),
+            F.sum(p).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            det_round4(F.sum(q).cast("double") / cnt).alias("avg_qty"),
+            det_round4(F.sum(p).cast("double") / cnt).alias("avg_price"),
+            det_round4(F.sum(d).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -785,7 +812,8 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(power(1 + l_discount, 2), 6)  AS pow2,
            round(-l_quantity, 4)               AS neg_qty,
            round(abs(l_quantity - 25), 4)      AS abs_dev,
-           round(CAST(l_orderkey AS DOUBLE) / CAST(l_partkey + 1 AS DOUBLE), 6) AS int_div
+           floor(CAST(l_orderkey AS DOUBLE) / CAST(l_partkey + 1 AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS int_div
     FROM lineitem
     """,
 )
@@ -805,8 +833,19 @@ def arith_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("pow2"),
         F.round(-q, 4).alias("neg_qty"),
         F.round(F.abs(q - 25), 4).alias("abs_dev"),
-        F.round(
-            F.col("l_orderkey").cast("double") / (F.col("l_partkey") + 1).cast("double"), 6
+        # deterministic 6dp rounding (round-9, first sf0.1 gate finding):
+        # integer/integer quotients can be exactly dyadic and land ON a 6dp
+        # half boundary (2.0109375), where Spark's BigDecimal HALF_UP and
+        # DuckDB's scaled-multiply round() disagree — floor(x*1e6+0.5)/1e6 is
+        # pure IEEE arithmetic, bit-identical on both engines
+        (
+            F.floor(
+                F.col("l_orderkey").cast("double")
+                / (F.col("l_partkey") + 1).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
         ).alias("int_div"),
     )
 
