@@ -744,9 +744,11 @@ class DataFrame:
         return self._dispatch_binop(other, lambda a, b: null_compare_false(a == b), "eq")
 
     def __ne__(self, other):  # type: ignore[override]
-        from legate_pandas_spark.frontend.dtypes import null_compare_false
-
-        return self._dispatch_binop(other, lambda a, b: null_compare_false(a != b), "ne")
+        # pandas: NaN != x is TRUE (round-9, aligned with Series.__ne__ and
+        # query()'s total atoms) — null operands coalesce to TRUE
+        return self._dispatch_binop(
+            other, lambda a, b: F.coalesce(a != b, F.lit(True)), "ne"
+        )
 
     def __lt__(self, other):
         from legate_pandas_spark.frontend.dtypes import null_compare_false

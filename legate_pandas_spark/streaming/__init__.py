@@ -19,4 +19,5 @@ from legate_pandas_spark.streaming.documents import (  # noqa: F401
     incremental_dedup_stream,
     pq_encode_stream,
     dsir_score_stream,
+    gopher_filter_stream,
 )

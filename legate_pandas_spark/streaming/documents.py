@@ -315,3 +315,29 @@ def dsir_score_stream(docs: DataFrame, model: dict, default_lam: int) -> DataFra
             "score_micro"
         ),
     )
+
+
+def gopher_filter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the Gopher corpus-filter stage (round-9): tag each
+    arriving document with the six-rule pass verdict using the EXACT batch
+    expressions (operators/textops.gopher_metric_exprs), so the ingest loop
+    can route documents before they ever land in the corpus store. Completely
+    STATELESS — pure per-row expressions, one row in -> one row out; the
+    per-language attrition aggregate stays in the nightly batch job
+    (gopher_quality_rules), the same ingest/batch split as
+    incremental_dedup_stream."""
+    from legate_pandas_spark.operators.textops import (
+        gopher_metric_exprs,
+        gopher_pass_all_expr,
+    )
+
+    me = gopher_metric_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        me["nw"].cast("bigint").alias("n_words"),
+        me["mwl"].alias("mean_word_len"),
+        me["af"].alias("alpha_word_frac"),
+        gopher_pass_all_expr(F.col("text")).alias("pass_gopher"),
+    )

@@ -41,16 +41,14 @@ def test_series_method_forms_fill_value(frames, op):
 
 @pytest.mark.parametrize("op", ["eq", "ne", "lt", "le", "gt", "ge"])
 def test_series_comparison_method_forms(frames, op):
-    # engine contract (reference null-compare-false, core/runtime.py:142):
-    # null operands compare False for EVERY comparison — including ne, where
-    # pandas returns True for NaN. Compare on the non-null rows; pin the
-    # null row to False.
+    # engine contract (round-9): comparisons match pandas on nulls too —
+    # NaN compares False for eq/lt/le/gt/ge and TRUE for ne (pandas float
+    # semantics; the round-8 query() total-atom compilation, now shared by
+    # the mask/method forms). Fully differential.
     pdf, ldf = frames
     got = getattr(ldf["a"], op)(3.0).to_pandas().astype(bool)
     want = getattr(pdf["a"], op)(3.0)
-    nn = pdf["a"].notna()
-    assert got[nn.values].tolist() == want[nn].tolist()
-    assert not got[~nn.values].any()
+    assert got.tolist() == want.tolist()
 
 
 @pytest.mark.parametrize("op", ["radd", "rsub", "rmul", "rdiv", "rmod", "rpow"])
@@ -66,12 +64,10 @@ def test_frame_comparison_method_forms(frames):
     for op in ("eq", "ne", "lt", "le", "gt", "ge"):
         got = getattr(ldf, op)(3.0).to_pandas().reset_index(drop=True)
         want = getattr(pdf, op)(3.0)
-        # null-compare-false engine contract: nulls are False everywhere
-        # (pandas ne gives True on NaN); compare per-cell on non-null inputs
+        # round-9: frame comparisons match pandas on nulls too (NaN ne True,
+        # everything else False) — fully differential per cell
         for c in ("a", "b"):
-            nn = pdf[c].notna()
-            assert got[c][nn.values].tolist() == want[c][nn].tolist(), (op, c)
-            assert not got[c][~nn.values].any(), (op, c)
+            assert got[c].tolist() == want[c].tolist(), (op, c)
 
 
 def test_floored_modulo_operator(spark):

@@ -514,3 +514,38 @@ def test_dsir_score_stream_matches_batch_scores(spark, sf_dir, documents_dir):
         if (r["logw_micro"], r["score_micro"]) != batch[r["doc_id"]]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_gopher_filter_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Streaming Gopher filter must tag every document with exactly the
+    batch rules' verdict (shared expressions — parity is column-for-column,
+    incl. the pass_all conjunction)."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators.textops import gopher_pass_all_expr
+    from legate_pandas_spark.streaming import (
+        gopher_filter_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    batch = {
+        r["doc_id"]: r["ok"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", gopher_pass_all_expr(F.col("text")).alias("ok"))
+        .collect()
+    }
+    tagged = gopher_filter_stream(stream_documents(spark, documents_dir))
+    run_available_now(tagged, "gopher_tags", output_mode="append")
+    got = spark.table("gopher_tags").collect()
+    assert len(got) == len(batch)
+    mism = [
+        (r["doc_id"], r["pass_gopher"], batch[r["doc_id"]])
+        for r in got
+        if bool(r["pass_gopher"]) != bool(batch[r["doc_id"]])
+    ]
+    assert not mism, mism[:5]
+    # both verdicts occur in the corpus (non-degenerate test)
+    assert any(r["pass_gopher"] for r in got) and not all(
+        r["pass_gopher"] for r in got
+    )
