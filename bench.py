@@ -110,8 +110,10 @@ HEADLINE = [
     "dsir_importance_resample",
     "ann_recall_eval",
     # round 9: sampled-GT recall (production form) + composed DSIR funnel
+    # + the multi-table LSH scale path for blocked cosine dedup
     "ann_recall_eval_sampled",
     "dsir_gopher_dedup_funnel",
+    "dedup_cosine_blocked_lsh_approx",
 ]
 
 

@@ -132,9 +132,11 @@ def _hyperplane(j: int) -> list[int]:
     return [((i * 31 + j * 17) % 13) - 6 for i in range(DIM)]
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(offset: int = 0) -> str:
+    """8-plane bucket signature starting at hyperplane `offset` (multi-table
+    LSH uses offsets 0, 8, 16, 24 — four independent tables)."""
     bits = []
-    for j in range(N_HYPERPLANES):
+    for j in range(offset, offset + N_HYPERPLANES):
         plane = ", ".join(f"{w}.0" for w in _hyperplane(j))
         bits.append(
             f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN '1' ELSE '0' END)"
@@ -1057,6 +1059,156 @@ def _recall_eval(
         ),
     )
     return out.orderBy("query_id", "nprobe")
+
+
+_LSH_TABLES = 4  # multi-table LSH: 4 independent 8-plane tables (OR'd)
+
+
+@query(
+    "dedup_cosine_blocked_lsh_approx",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, label, v,
+               {_bucket_sql(0)} AS b0,
+               {_bucket_sql(8)} AS b1,
+               {_bucket_sql(16)} AS b2,
+               {_bucket_sql(24)} AS b3
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine_sim
+        FROM bucketed a
+        JOIN bucketed b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT label, vec_a, vec_b, cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY label ORDER BY cosine_sim DESC, vec_a, vec_b
+    ) <= 5
+    """,
+)
+def dedup_cosine_blocked_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE twin of dedup_embedding_cosine_blocked (round-9): the
+    exact query's top-5-pairs-per-label is inherently O(block²) once vectors
+    are distinct (measured 15.2x at the jittered 10x corpus — SCALE.md);
+    this is its production scale path. Multi-table hyperplane LSH: four
+    independent 8-plane tables (deterministic integer hyperplanes, shared
+    generator with ann_lsh_bucket_stats); a pair is a candidate when it
+    collides in ANY table within its label block, then exact cosine + top-5
+    per label. Pair volume drops from O(block²) to ~L/2^k of it (4/256 here,
+    ~60x fewer mid/low-cosine pairs), while near-duplicate recall follows
+    1 - (1 - (1-θ/π)^8)^4 — ≈0.75 at cosine 0.9, →1 as cosine→1, and
+    IDENTICAL vectors (the exact-clone dedup mass) collide in every table by
+    construction: their pairs are found with probability 1. Mid-cosine pairs
+    (0.4-0.6 — the synthetic corpus's global top-5) are NOT near-duplicates
+    and are deliberately outside the LSH design envelope.
+
+    Spark plan: the OR-of-tables candidate set compiles as posexplode of the
+    4 bucket signatures + ONE equi-join on (label, table, bucket) + a
+    pair-level dedupe aggregate — fully shuffle-partitioned, no nested-loop
+    join (the oracle's OR-join form is correctness-equivalent but only the
+    explode form scales). Deterministic end to end, so the DuckDB oracle is
+    value-hash exact — recall vs the exact twin is a corpus property, not
+    engine noise."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    tables = []
+    for t in range(_LSH_TABLES):
+        bits = []
+        for j in range(t * N_HYPERPLANES, (t + 1) * N_HYPERPLANES):
+            plane = F.array(*[F.lit(float(w)) for w in _hyperplane(j)])
+            bits.append(
+                F.when(_dot(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        tables.append(F.concat(*bits))
+    # the 32 hyperplane sign tests (2048 fused mults per vector) feed BOTH
+    # join sides — persist the per-vector signature row once (semdedup's
+    # persist discipline); the explode after it is free
+    sig = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        F.array(*tables).alias("_bkts"),
+    ).persist()
+    bucketed = sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "nrm",
+        F.posexplode(F.col("_bkts")).alias("t", "bucket"),
+    )
+    a = bucketed.select(
+        F.col("label").alias("_lbl"),
+        F.col("t").alias("_t"),
+        F.col("bucket").alias("_bkt"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        "label",
+        "t",
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    hits = a.join(
+        b,
+        (F.col("_lbl") == F.col("label"))
+        & (F.col("_t") == F.col("t"))
+        & (F.col("_bkt") == F.col("bucket"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select(
+        "label",
+        "t",
+        "bucket",
+        "vec_a",
+        "vec_b",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias(
+            "cs"
+        ),
+    )
+    # EARLY CUT: any pair in the label's global top-5 is within its own
+    # (table, bucket)'s top-5 (everything ranked above it there is also in
+    # the union above it) — and this window is clustered exactly like the
+    # join output (label, t, bucket), so the full candidate volume is ranked
+    # IN PLACE, never reshuffled; only ≤ 5·tables·buckets rows per label
+    # survive into the dedupe + final ranking.
+    wb = Window.partitionBy("label", "t", "bucket").orderBy(
+        F.desc("cs"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    cut = hits.withColumn("_bn", F.row_number().over(wb)).filter(
+        F.col("_bn") <= 5
+    )
+    # a pair colliding in several tables appears once per table: dedupe by
+    # pair; min over bit-identical cosines (F.first is nondeterministic)
+    pairs = cut.groupBy("label", "vec_a", "vec_b").agg(
+        F.min("cs").alias("cosine_sim")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("label", "vec_a", "vec_b", "cosine_sim")
+    )
 
 
 @query("ann_recall_eval", oracle=_recall_eval_oracle(""))

@@ -40,3 +40,48 @@ def test_recall_eval_sampled_properties(spark, sf_dir):
     assert got["recall_at_5"].between(0, 1).all()
     wide = got.pivot(index="query_id", columns="nprobe", values="recall_at_5")
     assert (wide[2] >= wide[1]).all()
+
+
+def test_lsh_approx_twin_finds_planted_clones(spark, tmp_path):
+    """Multi-table LSH blocked-cosine twin: identical vectors collide in
+    EVERY table (probability-1 guarantee), so planted clone pairs must
+    surface at the top; output shape matches the exact twin."""
+    import numpy as np
+    import pandas as pd
+
+    from legate_pandas_spark.operators.similarity import (
+        dedup_cosine_blocked_lsh_approx,
+        dedup_embedding_cosine_blocked,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for lbl in range(3):
+        base = rng.randn(64).astype("float32")
+        for _ in range(3):  # 3 identical clones per label
+            rows.append((vid, lbl, base.tolist()))
+            vid += 1
+        for _ in range(5):  # noise vectors
+            rows.append((vid, lbl, rng.randn(64).astype("float32").tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pdf.to_parquet(str(d / "embeddings.parquet"), index=False)
+
+    approx = dedup_cosine_blocked_lsh_approx(spark, str(d)).collect()
+    exact = dedup_embedding_cosine_blocked(spark, str(d)).collect()
+    # every planted clone pair (cosine 1.0) appears in the approx result
+    clones = {
+        (r["label"], r["vec_a"], r["vec_b"])
+        for r in exact
+        if r["cosine_sim"] >= 0.9999
+    }
+    assert len(clones) == 9  # 3 labels x C(3,2)
+    got = {(r["label"], r["vec_a"], r["vec_b"]) for r in approx}
+    assert clones <= got
+    # and they rank at the top of each label's list
+    for r in approx:
+        if (r["label"], r["vec_a"], r["vec_b"]) in clones:
+            assert r["cosine_sim"] >= 0.9999

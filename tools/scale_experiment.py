@@ -85,6 +85,7 @@ QUERIES = [
     "ann_recall_eval",
     "ann_recall_eval_sampled",
     "pagerank_two_iter",
+    "dedup_cosine_blocked_lsh_approx",
 ]
 
 SHIFT_KEYS = {
