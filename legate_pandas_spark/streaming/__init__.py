@@ -20,4 +20,5 @@ from legate_pandas_spark.streaming.documents import (  # noqa: F401
     pq_encode_stream,
     dsir_score_stream,
     gopher_filter_stream,
+    dsir_model_counts_stream,
 )

@@ -341,3 +341,40 @@ def gopher_filter_stream(docs: DataFrame) -> DataFrame:
         me["af"].alias("alpha_word_frac"),
         gopher_pass_all_expr(F.col("text")).alias("pass_gopher"),
     )
+
+
+def dsir_model_counts_stream(docs: DataFrame) -> DataFrame:
+    """ONLINE refresh of the DSIR feature model (round-9): a streaming
+    aggregate of per-bucket feature counts — raw corpus count and target
+    (lang='en') count per md5 bucket — from which the batch logit formula
+    (dsir_train_model) derives the model at any trigger. State is BOUNDED BY
+    DESIGN at B=2048 rows (the bucket space), so this runs in update/complete
+    mode with no watermark and never grows: the streaming-legal way to keep
+    an importance-resampling model fresh as the corpus ingests, instead of
+    re-training from a full batch scan.
+
+    Uses the EXACT batch tokenizer/feature/bucket expressions
+    (operators/curation), so counts drained over the same files equal the
+    batch rawc/tgtc tables row-for-row (parity-pinned)."""
+    from legate_pandas_spark.operators.curation import (
+        _dsir_bucket_expr,
+        _dsir_features_expr,
+        _dsir_tokens_expr,
+    )
+
+    feats = docs.select(
+        "lang",
+        F.explode(_dsir_features_expr(_dsir_tokens_expr(F.col("text")))).alias(
+            "g"
+        ),
+    )
+    return (
+        feats.select("lang", _dsir_bucket_expr(F.col("g")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        )
+    )

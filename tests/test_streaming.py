@@ -549,3 +549,63 @@ def test_gopher_filter_stream_matches_batch(spark, sf_dir, documents_dir):
     assert any(r["pass_gopher"] for r in got) and not all(
         r["pass_gopher"] for r in got
     )
+
+
+def test_dsir_model_counts_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Streaming DSIR model counts (bounded 2048-bucket state) drained over
+    the corpus must equal the batch training tables row-for-row, and the
+    logits derived from them must equal dsir_train_model's exactly."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators.curation import (
+        _DSIR_B,
+        _dsir_parts,
+        dsir_train_model,
+    )
+    from legate_pandas_spark.streaming import (
+        dsir_model_counts_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    counts = dsir_model_counts_stream(stream_documents(spark, documents_dir))
+    run_available_now(counts, "dsir_counts", output_mode="complete")
+    got = {r["b"]: (r["cr"], r["ct"]) for r in spark.table("dsir_counts").collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    cells, _lam, tots = _dsir_parts(docs)
+    want = {
+        r["b"]: (r["cr"], r["ct"] or 0)
+        for r in cells.groupBy("b")
+        .agg(
+            F.sum("cnt").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+                "ct"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+    # deriving the model from the streamed counts reproduces dsir_train_model
+    t = tots.collect()[0]
+    r_tot, t_tot = t["r_tot"], t["t_tot"]
+    assert r_tot == sum(cr for cr, _ in got.values())
+    assert t_tot == sum(ct for _, ct in got.values())
+    derived = {
+        b: int(
+            round(
+                1000000.0
+                * math.log(
+                    ((ct + 1) * (r_tot + _DSIR_B))
+                    / ((cr + 1) * (t_tot + _DSIR_B))
+                )
+            )
+        )
+        for b, (cr, ct) in got.items()
+    }
+    model, _default = dsir_train_model(spark, sf_dir)
+    assert derived == model
