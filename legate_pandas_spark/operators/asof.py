@@ -77,8 +77,10 @@ def asof_join(
         FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-        SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
-        WHERE event_type = 'click'
+        SELECT user_id, click_ts, max(click_id) AS click_id FROM (
+            SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+            WHERE event_type = 'click'
+        ) GROUP BY user_id, click_ts
     )
     SELECT p.purchase_id, p.user_id, p.purchase_value, c.click_id AS last_click_id
     FROM purchases p
@@ -89,7 +91,14 @@ def asof_join(
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge_asof shape: each purchase picks the user's latest click at-or-
     before it. Implemented with the union+forward-fill technique (one shuffle,
-    no pair blowup); the DuckDB oracle is a native ASOF JOIN."""
+    no pair blowup); the DuckDB oracle is a native ASOF JOIN.
+
+    Tie totalization (round-9, 10x-corpus gate finding): the as-of contract
+    is underdetermined when several clicks share one (user, timestamp) —
+    each engine may surface a different one. Clicks are first reduced to ONE
+    row per (user, ts) (max event_id — 'latest recorded'), which makes the
+    query deterministic on ANY corpus; on tie-free data the reduction is an
+    exact no-op. Same total-order discipline as the window top-k queries."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -97,8 +106,10 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.round("value", 2).alias("purchase_value"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
     )
     joined = asof_join(
         purchases, clicks, on="ts", by="user_id", right_value_cols=["click_id"]

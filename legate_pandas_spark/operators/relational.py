@@ -764,8 +764,11 @@ def melt_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skew_salted_join",
     oracle="""
-    SELECT o.k AS k, round(sum(o_totalprice), 2) AS total_price,
-           round(max(r.revenue), 4) AS key_revenue, count(*) AS n
+    SELECT o.k AS k,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price,
+           CAST(max(r.revenue_c) AS DOUBLE) / 100.0 AS key_revenue,
+           count(*) AS n
     FROM (
         SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0 ELSE o_orderkey % 100 END AS k,
                o_totalprice
@@ -773,7 +776,8 @@ def melt_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) o
     JOIN (
         SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k,
-               sum(l_extendedprice) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_c
         FROM lineitem GROUP BY 1
     ) r ON o.k = r.k
     GROUP BY o.k
@@ -796,17 +800,27 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.crc32(F.col("o_orderkey").cast("string")) % N_SALT).alias("salt"),
     )
+    # integer-cents sums (round-9 at-scale discipline: 2.6e11-magnitude
+    # double sums drifted their 2dp rounding between engines on the 10x
+    # corpus); revenue stays exact through the max
     right = (
         li.select(skew_key(F.col("l_orderkey")).alias("k"), "l_extendedprice")
         .groupBy("k")
-        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_c"
+            )
+        )
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
         .withColumn("salt", F.col("salt").cast("long"))
     )
     joined = left.join(right, ["k", "salt"])
     return joined.groupBy("k").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.round(F.max("revenue"), 4).alias("key_revenue"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("total_price"),
+        (F.max("revenue_c").cast("double") / 100.0).alias("key_revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1028,8 +1042,10 @@ def query_expr_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 3 = 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_matches,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_qty,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
     FROM lhs JOIN rhs USING (k)
     """,
 )
@@ -1055,10 +1071,18 @@ def merge_micro_padded_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+    # integer-cents sums (round-9 at-scale discipline: the 7.5e12-magnitude
+    # double sum drifted its 2dp rounding between engines on the 10x corpus)
     return li.join(orders, "k").agg(
         F.count(F.lit(1)).alias("n_matches"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_qty"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_price"),
     )
 
 

@@ -172,7 +172,8 @@ def q16_notin_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_avg",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
     FROM lineitem l
     JOIN (
         SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
@@ -191,10 +192,22 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-part avg as a window over the fact table: ONE lineitem scan and one
     # shuffle on l_partkey (the grouped-subquery join would scan twice)
     half_avg = 0.5 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    # integer-cents sum (round-9 at-scale discipline: the double sum at
+    # ~1e10+ magnitude drifted its 4dp rounding between engines on the 10x
+    # corpus) + deterministic floor rounding
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.withColumn("_half_avg", half_avg)
         .filter(F.col("l_quantity") < F.col("_half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(cents).cast("double") / 100.0 / 7.0 * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_yearly")
+        )
     )
 
 

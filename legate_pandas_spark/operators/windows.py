@@ -57,7 +57,7 @@ def cumsum_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumprod_log_trick",
     oracle="""
     SELECT event_id, user_id,
-           round(exp(sum(ln(1.0 + value * 0.001)) OVER w), 6) AS running_prod
+           round(sum(ln(1.0 + value * 0.001)) OVER w, 4) AS running_log_prod
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -65,7 +65,18 @@ def cumsum_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cumprod_log_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cumprod via exp∘cumsum∘log (positive factors) — the SURVEY §2.6 mapping for
-    the reference's PROD scan without a custom UDAF."""
+    the reference's PROD scan without a custom UDAF.
+
+    Precision contract (round-9, 10x-corpus gate finding): ln/exp are libm
+    functions whose last-ulp results differ between the JVM and DuckDB, so
+    the exp'd product diverges PROPORTIONALLY TO ITS MAGNITUDE — no fixed
+    rounding width survives corpus growth (445k/1M rows drifted at 6dp on
+    the 10x corpus). The scale-free cross-engine contract is the LOG of the
+    running product, emitted at 4dp (the log-sum's absolute divergence is
+    ~1e-13 over a million-row window — six orders under the quantum at any
+    corpus size); consumers exponentiate locally when they need the raw
+    product. The facade's pandas-exact cumprod (frontend/scan.py) is
+    unaffected — this is the catalog/SQL mapping."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -76,7 +87,7 @@ def cumprod_log_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.exp(F.sum(factor).over(w)), 6).alias("running_prod"),
+        F.round(F.sum(factor).over(w), 4).alias("running_log_prod"),
     )
 
 
@@ -313,8 +324,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution_funcs",
     oracle="""
     SELECT event_id, user_id,
-           round(percent_rank() OVER w, 6)          AS pct_rank,
-           round(cume_dist() OVER w, 6)             AS cume,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000    AS cume,
            CAST(ntile(4) OVER w AS INT)             AS quartile,
            round(first_value(value) OVER wo, 2)     AS first_val,
            round(last_value(value) OVER wframe, 2)  AS last_val,
@@ -333,11 +344,19 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wframe = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # deterministic 6dp rounding (round-9, 10x-corpus gate finding): at 1M
+    # rows/user the cume grid k/n COINCIDES with the 6dp rounding grid, and
+    # the engines' round() disagree on values sitting a hair off-grid —
+    # floor(x*1e6+0.5)/1e6 of the identical double is bit-identical
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cume"
+        ),
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.first("value").over(wo), 2).alias("first_val"),
         F.round(F.last("value").over(wframe), 2).alias("last_val"),

@@ -76,9 +76,11 @@ def main() -> int:
     from legate_pandas_spark.sources.tables import TABLES
 
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Spark writes tables as DIRECTORIES of part files (the synthetic
+        # scale corpora); the driver testdata is single files — glob both
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
     failures = []
     results: dict = {}
