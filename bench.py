@@ -114,6 +114,9 @@ HEADLINE = [
     "ann_recall_eval_sampled",
     "dsir_gopher_dedup_funnel",
     "dedup_cosine_blocked_lsh_approx",
+    # round 9 (cont.): sub-document dedup + lexical retrieval
+    "segment_dedup_reassemble",
+    "bm25_bench_retrieval",
 ]
 
 

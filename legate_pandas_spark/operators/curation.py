@@ -1877,3 +1877,113 @@ def dsir_gopher_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup with document reassembly — the MassiveText /
+# RefinedWeb "line-wise deduplication" stage (Penedo et al. 2023 §3.3)
+# adapted to this corpus's line-free texts: the dedup unit is a fixed-width
+# token segment instead of a newline-delimited line.  Unlike the doc-level
+# dedup family (dedup_exact_hash etc.) the SURVIVOR here is sub-document:
+# a repeated segment is removed from every document except its first
+# occurrence, and the remaining segments are stitched back into a new text.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 8  # dedup segment width (tokens); last partial segment kept as-is
+
+
+@query(
+    "segment_dedup_reassemble",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(t) / {_SEG_W}.0) AS BIGINT))) AS i,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(t) / {_SEG_W}.0) AS BIGINT)),
+                   i -> array_to_string(t[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], ' '))) AS w
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY i) AS new_text
+        FROM (
+            SELECT doc_id, i, w,
+                   row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+            FROM segs
+        ) WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(ceil(len(tk.t) / {_SEG_W}.0) AS BIGINT) AS n_segments,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(k.new_text, '')) AS BIGINT) AS kept_chars,
+           md5(coalesce(k.new_text, '')) AS kept_md5
+    FROM toks tk LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup + reassembly: every document is cut into
+    fixed 8-token segments (position-stamped), a segment occurrence survives
+    iff it is the corpus-wide FIRST occurrence of its text (ordered by
+    (doc_id, segment index) — exact keep-first at segment granularity), and
+    each document is stitched back together from its surviving segments in
+    order.  Output is the removal report a curation pipeline consumes:
+    segment counts before/after plus the md5 of the reassembled text (the
+    cross-engine value check — both engines must rebuild byte-identical
+    strings).
+
+    Spark plan: tokenize → posexplode of the segment array (explode_outer +
+    output-null filter, the outer_explode discipline — InferFiltersFromGenerate
+    would otherwise re-evaluate the segment transform at the scan) → ONE
+    hash-shuffle window on the segment text for global keep-first → per-doc
+    aggregate that sorts the surviving (i, w) structs and joins them back
+    into the new text → left join onto the doc spine so fully-deduped
+    documents still report (0 kept, empty md5).
+
+    100 TB shape: two shuffles, both on bounded keys — segment text (the
+    keep-first window; hash-partitioned, no hot key since segments at W=8
+    are near-unique) and doc_id (the reassembly aggregate; per-group state
+    is one document's segments, doc-bounded).  At production scale the
+    keep-first key becomes xxhash64(w) with the text carried alongside,
+    an 8-byte shuffle key.  Linear end to end; never doc x doc."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    nseg = F.ceil(F.size("t") / F.lit(float(_SEG_W))).cast("bigint")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), (i * _SEG_W + 1).cast("int"), _SEG_W)
+        ),
+    )
+    spine = toks.select("doc_id", nseg.alias("n_segments"))
+    segs = (
+        toks.select("doc_id", F.posexplode_outer(seg_arr).alias("i", "w"))
+        .filter(F.col("w").isNotNull())
+    )
+    wfirst = Window.partitionBy("w").orderBy(F.asc("doc_id"), F.asc("i"))
+    firsts = segs.withColumn("_rn", F.row_number().over(wfirst)).filter(
+        F.col("_rn") == 1
+    )
+    kept = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return spine.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.length(F.coalesce(F.col("new_text"), F.lit(""))).cast("bigint").alias(
+            "kept_chars"
+        ),
+        F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("kept_md5"),
+    )

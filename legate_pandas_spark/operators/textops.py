@@ -829,3 +829,154 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(ok_af).alias("pass_alpha_words"),
         cnt(ok_wc & ok_mwl & ok_sr & ok_bf & ok_ef & ok_af).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the corpus — the ranking stage behind retrieval-based
+# decontamination and dataset search (Robertson & Zaragoza 2009; the Lucene
+# idf variant, which is what production search stacks actually compute).
+# The "queries" are the held-out benchmark slice of the corpus itself
+# (doc_id % _BM25_MOD == _BM25_REM), mirroring decontaminate_exact_substring's
+# bench-membership convention: for each benchmark doc, which corpus documents
+# does lexical retrieval surface as most similar?
+# ---------------------------------------------------------------------------
+
+_BM25_MOD = 97
+_BM25_REM = 3
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 3
+
+
+@query(
+    "bm25_bench_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), base AS (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ), tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM base WHERE doc_id % {_BM25_MOD} != {_BM25_REM}
+        GROUP BY doc_id, dl, term
+    ), qterms AS (
+        SELECT DISTINCT doc_id AS query_id, term
+        FROM base WHERE doc_id % {_BM25_MOD} = {_BM25_REM}
+    ), stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT q.query_id, f.doc_id,
+               sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * f.tf * {_BM25_K1 + 1.0}
+                   / (f.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * f.dl / s.avgdl)))
+                   AS raw
+        FROM tf f
+        JOIN qterms q USING (term)
+        JOIN df d USING (term)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, f.doc_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+        SELECT query_id, doc_id, round(raw, 4) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(raw, 4) DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 retrieval of corpus documents for each held-out benchmark
+    document (k1 = 1.2, b = 0.75, Lucene idf ``ln(1 + (N - df + .5)/(df + .5))``
+    — always positive).  Query-side term frequency is 1 (distinct query
+    terms), the standard form for document-length queries; ranking is by the
+    4dp-rounded score with a doc_id total-order tiebreak, so the rank is
+    deterministic under cross-engine summation-order ulp noise (score
+    magnitudes ~10, ulp ~1e-14, quantum 1e-4 — four orders of margin; the
+    round-9 decimal discipline does not apply to bounded log-sums).
+
+    Spark plan: one exploded token stream feeds (a) the per-(doc, term) tf
+    hash aggregate (map-side combinable) and (b) the benchmark slice's
+    distinct query terms.  Corpus stats (N, avgdl) reduce from the tf table's
+    per-doc first rows — sum in BIGINT then ONE division, bit-identical
+    across engines.  df is corpus-wide per-term.  The scoring join streams
+    the tf table against the BROADCAST query-term table (eval-set-sized),
+    picks up idf from the BROADCAST df row for the matched terms only, and
+    aggregates per (query, doc); top-3 is a per-query row_number window.
+
+    100 TB shape: tf is the only corpus-scale shuffle (keyed (doc, term) —
+    no Zipf hot key, the doc id spreads it); df restricted to query terms is
+    eval-vocab-sized; everything after the broadcast join is linear in the
+    number of (query-term, corpus-doc) postings — the same inverted-index
+    volume a search engine scans for these queries."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    base = outer_explode(
+        toks.select("doc_id", F.size("t").alias("dl"), "t"),
+        "t",
+        "term",
+        "doc_id",
+        "dl",
+    )
+    is_q = F.col("doc_id") % _BM25_MOD == _BM25_REM
+    tf = (
+        base.filter(~is_q)
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = (
+        base.filter(is_q)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    perdoc = tf.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # df only matters for terms that appear in some query, but the count must
+    # range over the WHOLE corpus posting list for those terms — restrict
+    # AFTER grouping by joining the semi-filtered tf stream
+    qvocab = qterms.select("term").distinct()
+    tfq = tf.join(F.broadcast(qvocab), "term", "left_semi")
+    df = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    weight = (
+        idf
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tfq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(weight).alias("raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("raw"), 4)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round(F.col("raw"), 4).alias("score"),
+        )
+    )

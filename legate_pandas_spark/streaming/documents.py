@@ -13,7 +13,7 @@ watermark), the standard streaming-dedup sizing. No reference analog
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -376,5 +376,124 @@ def dsir_model_counts_stream(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
             .cast("long")
             .alias("ct"),
+        )
+    )
+
+
+def build_lsh_index(docs: DataFrame) -> DataFrame:
+    """Build the static near-dup BAND INDEX a streaming detector joins
+    against: one row per (band_idx, band_key, match_id) with the full 8-slot
+    minhash signature carried alongside — the batch side of the
+    ``lsh_neardup_stream`` handoff, computed with the EXACT batch minhash
+    machinery (operators/dedup: 3-gram shingles, 2 md5 digests x 4 slices,
+    4 bands of 2). In production this is a parquet table the nightly dedup
+    job maintains, partitioned/bucketed by (band_idx, band_key) so the
+    stream-static join is an index lookup, not a scan."""
+    from legate_pandas_spark.operators import outer_explode
+    from legate_pandas_spark.operators.dedup import (
+        N_MINHASH,
+        _band_table,
+        _minhash_signatures,
+        shingles_col,
+        tokens_col,
+    )
+
+    tokenized = docs.select("doc_id", tokens_col().alias("_toks"))
+    sh = outer_explode(
+        tokenized.filter(F.size("_toks") >= 3),
+        shingles_col(F.col("_toks")),
+        "s",
+        "doc_id",
+    )
+    mh = _minhash_signatures(sh).withColumn(
+        "match_sig", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+    )
+    return _band_table(mh, carry=["match_sig"]).select(
+        F.col("doc_id").alias("match_id"), "band_idx", "band_key", "match_sig"
+    )
+
+
+def lsh_neardup_stream(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup detection against a static corpus band index — the
+    stage incremental_dedup_stream's docstring leaves to the nightly batch
+    job, made streaming-legal: each arriving document is minhashed PER ROW
+    (pure array expressions — no explode/groupBy, so the signature needs no
+    aggregation state) and its 4 LSH band keys are joined against the
+    ``build_lsh_index`` table. Stream-static equi-joins are STATELESS in
+    Structured Streaming (the static side is re-read per micro-batch), so the
+    whole stage runs without a state store or watermark at any scale.
+
+    Per-row minhash == batch minhash by construction: the batch path explodes
+    distinct shingles and takes min(substring(md5)) per slot; here the same
+    min runs over the in-row shingle array (array_min over transform), same
+    values bit-for-bit (parity-pinned). Docs with < 3 tokens have no shingles
+    in the batch path and produce no candidates here.
+
+    Output: one row per colliding (arriving doc, index doc, band) with the
+    signature-agreement Jaccard estimate (matching slots / 8). A pair
+    colliding in several bands appears once per band; exactly-once pair
+    reporting belongs to the consumer (dropDuplicatesWithinWatermark on
+    (doc_id, match_id), the corpus_dedup_stream pattern) so this stage stays
+    state-free. At 100 TB the index side is corpus-scale: persist it
+    bucketed by (band_idx, band_key) and the per-batch join prunes to the
+    arriving keys' buckets."""
+    from legate_pandas_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        shingles_col,
+        tokens_col,
+    )
+
+    toks = tokens_col(F.col("text"))
+    shingled = docs.select(
+        "doc_id", shingles_col(toks).alias("_sh")
+    ).where(F.size(toks) >= 3)
+    hashed = shingled.select(
+        "doc_id",
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))
+        ).alias("_h0"),
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("1|"), s))
+        ).alias("_h1"),
+    )
+    # NB: the slice lambda must stay UNARY — F.transform treats a binary
+    # lambda as (element, index) and would silently rebind the slot offset
+    def _slot(col: str, j: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(col), lambda x: F.substring(x, 8 * j + 1, 8))
+        )
+
+    slots = [_slot(f"_h{k}", j) for k in (0, 1) for j in range(4)]
+    sig = hashed.select("doc_id", F.array(*slots).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.element_at(F.col("sig"), 2 * b + 1),
+                F.element_at(F.col("sig"), 2 * b + 2),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "sig", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("match_sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        bands.join(index, ["band_idx", "band_key"])
+        .where(F.col("doc_id") != F.col("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            "band_idx",
+            F.round(agree / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
         )
     )

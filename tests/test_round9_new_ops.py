@@ -1,0 +1,84 @@
+"""Round-9 continuation ops: segment-level dedup + reassembly and BM25
+bench retrieval — semantic invariants and plan pins beyond the differential
+oracle row in test_oracle_parity."""
+
+import pytest
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(em)
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+def test_segment_dedup_reassembly_integrity(catalog, spark, sf_dir, duck):
+    """Documents that lost nothing must reassemble byte-identically to the
+    single-space rejoin of their own tokens, and the corpus-wide survivor
+    count must equal the number of DISTINCT segment texts (keep-first keeps
+    exactly one occurrence per distinct segment)."""
+    out = catalog["segment_dedup_reassemble"](spark, sf_dir).toPandas()
+    exp = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        )
+        SELECT doc_id, md5(array_to_string(t, ' ')) AS h,
+               CAST(ceil(len(t) / 8.0) AS BIGINT) AS n_segments
+        FROM toks
+        """
+    ).df()
+    m = out.merge(exp, on="doc_id")
+    intact = m[m.n_kept == m.n_segments_x]
+    assert len(intact) > 0
+    assert (intact.kept_md5 == intact.h).all()
+    n_distinct = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        )
+        SELECT count(DISTINCT w) FROM (
+            SELECT unnest(list_transform(
+                range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                i -> array_to_string(t[i*8+1 : i*8+8], ' '))) AS w
+            FROM toks
+        )
+        """
+    ).fetchone()[0]
+    assert int(out.n_kept.sum()) == int(n_distinct)
+    assert (out.n_kept <= out.n_segments).all()
+
+
+def test_bm25_result_invariants(catalog, spark, sf_dir):
+    """No query doc retrieves itself or another query doc; ranks are dense
+    1..3 per query; scores are non-increasing along the rank order."""
+    out = catalog["bm25_bench_retrieval"](spark, sf_dir).toPandas()
+    assert (out.doc_id % 97 != 3).all()
+    assert (out.query_id % 97 == 3).all()
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g.score.diff().dropna() <= 1e-12).all()
+
+
+def test_round9_new_ops_plan_shapes(catalog, spark, sf_dir):
+    """segment_dedup: the keep-first window hash-partitions on the segment
+    text and nothing is cartesian; bm25: the query-term / df / stats sides
+    all broadcast into the corpus tf stream."""
+    plan = plan_text(catalog["segment_dedup_reassemble"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(w" in plan
+    plan2 = plan_text(catalog["bm25_bench_retrieval"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("BroadcastHashJoin") >= 3  # semi(qvocab), qterms, df
+    assert "BroadcastNestedLoopJoin" in plan2  # the 1-row stats cross join

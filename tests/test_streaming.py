@@ -609,3 +609,65 @@ def test_dsir_model_counts_stream_matches_batch(spark, sf_dir, documents_dir):
     }
     model, _default = dsir_train_model(spark, sf_dir)
     assert derived == model
+
+
+def test_lsh_neardup_stream_matches_batch_bands(spark, sf_dir, documents_dir):
+    """Streaming near-dup detector (round-9): per-row minhash signatures must
+    equal the batch explode+groupBy signatures bit-for-bit, and streaming the
+    corpus against its own band index must reproduce exactly the batch band
+    self-collision candidate set with the same signature-agreement
+    estimates."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.streaming import (
+        build_lsh_index,
+        lsh_neardup_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    docs_batch = spark.read.parquet(documents_dir)
+    index = build_lsh_index(docs_batch).persist()
+
+    arriving = stream_documents(spark, documents_dir)
+    out = lsh_neardup_stream(arriving, index)
+    run_available_now(out, "lsh_neardup", output_mode="append")
+    got = {
+        (r["doc_id"], r["match_id"], r["band_idx"]): r["est_jaccard"]
+        for r in spark.table("lsh_neardup").collect()
+    }
+
+    # batch expectation: band-table self-join (candidate pairs, directed)
+    a = index.select(
+        F.col("match_id").alias("doc_id"),
+        "band_idx",
+        "band_key",
+        F.col("match_sig").alias("sig_a"),
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("match_sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    want = {
+        (r["doc_id"], r["match_id"], r["band_idx"]): r["est"]
+        for r in a.join(index, ["band_idx", "band_key"])
+        .where(F.col("doc_id") != F.col("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            "band_idx",
+            F.round(agree / F.lit(8.0), 4).alias("est"),
+        )
+        .collect()
+    }
+    index.unpersist()
+    assert len(want) > 0  # the corpus does carry near-dup band collisions
+    assert got == want
+    # est_jaccard of an exact clone pair is 1.0 (all 8 slots agree)
+    clones = [v for (d, m, b), v in got.items() if v == 1.0]
+    assert clones, "expected at least one full-signature collision"

@@ -86,6 +86,11 @@ QUERIES = [
     "ann_recall_eval_sampled",
     "pagerank_two_iter",
     "dedup_cosine_blocked_lsh_approx",
+    # round 9 (cont.): sub-document dedup + lexical retrieval — the 10x
+    # corpus makes every segment a 10-way clone (adversarial clone density)
+    # and grows both the BM25 query set and its candidate postings 10x
+    "segment_dedup_reassemble",
+    "bm25_bench_retrieval",
 ]
 
 SHIFT_KEYS = {
