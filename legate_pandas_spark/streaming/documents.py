@@ -497,3 +497,106 @@ def lsh_neardup_stream(docs: DataFrame, index: DataFrame) -> DataFrame:
             F.round(agree / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
         )
     )
+
+
+def build_signature_store(docs: DataFrame) -> DataFrame:
+    """Distinct full minhash signatures of the corpus — the static side of
+    ``ingest_tag_stream``'s signature-near-dup flag (one 64-hex string per
+    distinct signature; at 100 TB a parquet table the nightly dedup job
+    maintains, like build_lsh_index's band table)."""
+    from legate_pandas_spark.operators.dedup import N_MINHASH
+
+    idx = build_lsh_index(docs)
+    return (
+        idx.select(F.concat_ws("", F.col("match_sig")).alias("sig_str"))
+        .distinct()
+        .withColumn("__sig_hit__", F.lit(True))
+    )
+
+
+def ingest_tag_stream(
+    docs: DataFrame, digest_store: DataFrame, sig_store: DataFrame
+) -> DataFrame:
+    """The COMPOSED ingest tagging pass: everything a production corpus
+    ingest loop wants to know about an arriving document, in ONE stateless
+    stream stage — quality signals + Gopher rule verdict (shared batch
+    expressions), exact-dup flag against the static digest store
+    (incremental_dedup_stream's join), and a signature-near-dup flag: the
+    document's per-row minhash signature (lsh_neardup_stream's machinery,
+    collapsed to a single 64-hex string) looked up in the static signature
+    store — signature identity is the est_jaccard = 1.0 tier of the band
+    detector, and a single equi-join keeps the stage one-row-in/one-row-out
+    (band-level candidates stay in lsh_neardup_stream, whose output is
+    pair-granular). Documents with < 3 tokens have no signature (null
+    propagates through the expression chain) and flag false, matching the
+    batch path that drops them before shingling.
+
+    Stateless end to end: pure per-row expressions + two stream-static LEFT
+    joins against broadcast-hinted stores — no state store, no watermark, so
+    it runs at ingest rate at any scale; routing decisions (drop, quarantine,
+    append-to-store) belong to the sink."""
+    from legate_pandas_spark.operators.dedup import shingles_col, tokens_col
+    from legate_pandas_spark.operators.textops import (
+        gopher_metric_exprs,
+        gopher_pass_all_expr,
+    )
+
+    toks = tokens_col(F.col("text"))
+    shingled = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.when(F.size(toks) >= 3, shingles_col(toks)).alias("_sh"),
+    )
+    hashed = shingled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))
+        ).alias("_h0"),
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("1|"), s))
+        ).alias("_h1"),
+    )
+
+    def _slot(col: str, j: int) -> Column:
+        # unary lambda only — binary would be (element, index)
+        return F.array_min(
+            F.transform(F.col(col), lambda x: F.substring(x, 8 * j + 1, 8))
+        )
+
+    sig_str = F.concat(*[_slot(f"_h{k}", j) for k in (0, 1) for j in range(4)])
+    me = gopher_metric_exprs(F.col("text"))
+    tagged = hashed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("_digest"),
+        sig_str.alias("sig_str"),
+        me["nw"].cast("bigint").alias("n_words"),
+        gopher_pass_all_expr(F.col("text")).alias("pass_gopher"),
+    )
+    dhit = F.broadcast(
+        digest_store.select(
+            F.col("h").alias("_digest"), F.lit(True).alias("__d_hit__")
+        )
+    )
+    shit = F.broadcast(sig_store)
+    return (
+        tagged.join(dhit, "_digest", "left")
+        .join(shit, "sig_str", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_words",
+            "pass_gopher",
+            F.coalesce(F.col("__d_hit__"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("__sig_hit__"), F.lit(False)).alias(
+                "is_sig_neardup"
+            ),
+        )
+    )

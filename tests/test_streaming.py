@@ -671,3 +671,64 @@ def test_lsh_neardup_stream_matches_batch_bands(spark, sf_dir, documents_dir):
     # est_jaccard of an exact clone pair is 1.0 (all 8 slots agree)
     clones = [v for (d, m, b), v in got.items() if v == 1.0]
     assert clones, "expected at least one full-signature collision"
+
+
+def test_ingest_tag_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Composed ingest tagging (round-9): one stateless pass must reproduce
+    the batch-computed quality/gopher/exact-dup/signature-near-dup flags for
+    every arriving document — streaming the corpus against its own stores
+    makes every doc an exact dup and every >=3-token doc a signature
+    near-dup, and short docs must flag false on the signature tier."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators.textops import gopher_pass_all_expr
+    from legate_pandas_spark.streaming import (
+        build_lsh_index,
+        build_signature_store,
+        ingest_tag_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    docs_batch = spark.read.parquet(documents_dir)
+    # stores built from the doc_id % 3 != 0 slice — arriving docs split into
+    # store members (dup flags true) and genuinely-new docs
+    corpus = docs_batch.filter(F.col("doc_id") % 3 != 0)
+    digest_store = corpus.select(F.md5("text").alias("h")).distinct()
+    sig_store = build_signature_store(corpus).persist()
+
+    arriving = stream_documents(spark, documents_dir)
+    out = ingest_tag_stream(arriving, digest_store, sig_store)
+    run_available_now(out, "ingest_tag", output_mode="append")
+    got = {r["doc_id"]: r for r in spark.table("ingest_tag").collect()}
+    assert len(got) == docs_batch.count()
+
+    # batch twins
+    digests = {r["h"] for r in digest_store.collect()}
+    sigs = {r["sig_str"] for r in sig_store.collect()}
+    idx_all = build_lsh_index(docs_batch)
+    my_sig = {
+        r["match_id"]: "".join(r["match_sig"])
+        for r in idx_all.select("match_id", "match_sig").distinct().collect()
+    }
+    want_flags = {
+        r["doc_id"]: (r["h"] in digests, r["pg"])
+        for r in docs_batch.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            gopher_pass_all_expr(F.col("text")).alias("pg"),
+        ).collect()
+    }
+    sig_store.unpersist()
+    n_new, n_short = 0, 0
+    for d, row in got.items():
+        exact, pg = want_flags[d]
+        assert row["is_exact_dup"] == exact, d
+        assert row["pass_gopher"] == pg, d
+        if d in my_sig:
+            assert row["is_sig_neardup"] == (my_sig[d] in sigs), d
+        else:
+            n_short += 1
+            assert not row["is_sig_neardup"], d
+        n_new += int(not row["is_exact_dup"])
+    assert n_new > 0  # the %3 == 0 slice really is new to the store
