@@ -114,9 +114,11 @@ HEADLINE = [
     "ann_recall_eval_sampled",
     "dsir_gopher_dedup_funnel",
     "dedup_cosine_blocked_lsh_approx",
-    # round 9 (cont.): sub-document dedup + lexical retrieval
+    # round 9 (cont.): sub-document dedup + lexical retrieval + the
+    # composed ingest tagging pass (streaming stage code, batch-graded)
     "segment_dedup_reassemble",
     "bm25_bench_retrieval",
+    "ingest_tag_report",
 ]
 
 

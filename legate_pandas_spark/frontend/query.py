@@ -125,6 +125,129 @@ def _emit(node: ast.AST, env: dict | None) -> str:
     raise QueryTranslationError(f"unsupported syntax: {ast.dump(node)}")
 
 
+def _column_names(node: ast.AST) -> set:
+    """All bare column references in a subtree (`__at__` env vars excluded)."""
+    out: set = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name) and not n.id.startswith("__at__"):
+            out.add(n.id)
+    return out
+
+
+def _has_const_atom(node: ast.AST) -> bool:
+    """True iff some comparison atom references no column at all. pandas
+    evaluates such atoms as PYTHON SCALARS under the &/|/~ operator mapping
+    (query maps and→&, or→|, not→~), so `not (0 <= 0)` is ~True == -2 (an
+    int!), `mask or -2` is elementwise `0|-2` (truthy everywhere) and
+    `mask and -2` is `1&-2 == 0` (empty). Plain boolean SQL cannot express
+    that — these trees take the numexpr-exact integer compiler below."""
+    return any(
+        isinstance(n, ast.Compare) and not _column_names(n)
+        for n in ast.walk(node)
+    )
+
+
+def _py_const_eval(node: ast.AST, env: dict | None):
+    """Evaluate a column-free subtree exactly like pandas' scalar path:
+    and→&, or→|, not→~ under native Python semantics (bool & bool stays
+    bool; ~bool is an int)."""
+    import copy
+    import math
+
+    class _T(ast.NodeTransformer):
+        def visit_BoolOp(self, n):
+            self.generic_visit(n)
+            op = ast.BitAnd() if isinstance(n.op, ast.And) else ast.BitOr()
+            cur = n.values[0]
+            for v in n.values[1:]:
+                cur = ast.BinOp(left=cur, op=op, right=v)
+            return cur
+
+        def visit_UnaryOp(self, n):
+            self.generic_visit(n)
+            if isinstance(n.op, ast.Not):
+                return ast.UnaryOp(op=ast.Invert(), operand=n.operand)
+            return n
+
+    tree = ast.fix_missing_locations(_T().visit(copy.deepcopy(node)))
+    ns = {
+        "__builtins__": {},
+        "abs": abs,
+        "sqrt": math.sqrt,
+        "floor": math.floor,
+        "ceil": math.ceil,
+    }
+    for k, v in (env or {}).items():
+        ns[f"__at__{k}"] = v
+    return eval(  # noqa: S307 — whitelisted AST, no builtins
+        compile(ast.Expression(body=tree), "<query-const>", "eval"), ns
+    )
+
+
+def _emit_scalar_logic(node: ast.AST, env: dict | None) -> tuple:
+    """Exact compiler for trees holding constant atoms, mirroring pandas'
+    PYTHON eval engine (the one in play when numexpr is absent — also this
+    environment's): and→&, or→|, not→~, where column-free subtrees evaluate
+    as native Python scalars (`~True` is the INT -2) and a bool mask
+    combined with an int scalar collapses back to a BOOL mask elementwise —
+    `mask & c` keeps the mask iff c is odd (1 & c), empties it otherwise;
+    `mask | c` keeps the mask iff c == 0, floods all rows otherwise.
+    Returns ('int', python_scalar) or ('bool', sql_mask)."""
+    if isinstance(node, ast.BoolOp):
+        is_and = isinstance(node.op, ast.And)
+        cur = _emit_scalar_logic(node.values[0], env)
+        for v in node.values[1:]:
+            cur = _combine_scalar_logic(cur, _emit_scalar_logic(v, env), is_and)
+        return cur
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+        k, x = _emit_scalar_logic(node.operand, env)
+        if k == "int":
+            return ("int", ~x)  # Python ~: ~True == -2, ~0 == -1
+        return ("bool", f"(NOT {x})")  # pandas ~mask is logical
+    if isinstance(node, ast.Compare):
+        if not _column_names(node):
+            return ("int", _py_const_eval(node, env))
+        return ("bool", _emit(node, env))
+    # a bare constant / arithmetic scalar in boolean position
+    if not _column_names(node):
+        return ("int", _py_const_eval(node, env))
+    raise QueryTranslationError(
+        f"unsupported boolean operand in scalar-logic expression: {ast.dump(node)}"
+    )
+
+
+def _combine_scalar_logic(left: tuple, right: tuple, is_and: bool) -> tuple:
+    lk, lv = left
+    rk, rv = right
+    if lk == "int" and rk == "int":
+        # native Python: bool&bool stays bool, anything with an int is int
+        return ("int", (lv & rv) if is_and else (lv | rv))
+    if lk == "bool" and rk == "bool":
+        op = "AND" if is_and else "OR"
+        return ("bool", f"({lv} {op} {rv})")
+    # bool mask x python scalar — pandas collapses to a bool mask each step
+    m = lv if lk == "bool" else rv
+    c = lv if lk == "int" else rv
+    if isinstance(c, bool):
+        if is_and:
+            return ("bool", m) if c else ("bool", "FALSE")
+        return ("bool", "TRUE") if c else ("bool", m)
+    if not isinstance(c, int):
+        raise QueryTranslationError(
+            f"cannot combine a boolean mask with scalar {c!r}"
+        )
+    if is_and:
+        return ("bool", m) if (1 & c) else ("bool", "FALSE")
+    return ("bool", m) if c == 0 else ("bool", "TRUE")
+
+
+def _finish_scalar_logic(tagged: tuple) -> str:
+    k, x = tagged
+    if k == "int":
+        return "TRUE" if x != 0 else "FALSE"
+    return x
+
+
 def _lit(v) -> str:
     if v is None:
         return "NULL"
@@ -195,6 +318,10 @@ def query_proof_columns(expr: str) -> frozenset:
     (empty set on any parse problem — proofs are an optimization only)."""
     try:
         tree = ast.parse(expr.replace("@", "__at__"), mode="eval")
+        if _has_const_atom(tree.body):
+            # scalar-logic trees run the bitwise integer path whose row
+            # selection is not the boolean atoms' — prove nothing
+            return frozenset()
         return frozenset(_proof_cols(tree.body))
     except Exception:
         return frozenset()
@@ -212,4 +339,11 @@ def translate_query_expr(expr: str, env: dict | None = None) -> str:
         tree = ast.parse(src, mode="eval")
     except SyntaxError as exc:
         raise QueryTranslationError(f"cannot parse query expression: {expr!r}") from exc
+    if _has_const_atom(tree.body):
+        # pandas evaluates column-free atoms as Python scalars under the
+        # &/|/~ mapping — `not (0 <= 0)` is ~True == -2, and combining an
+        # int scalar with a boolean mask follows the bitwise-collapse rules
+        # in _combine_scalar_logic. Rare in real queries (the plain boolean
+        # path below keeps its clean pushdown-friendly plan); exact here.
+        return _finish_scalar_logic(_emit_scalar_logic(tree.body, env))
     return _emit(tree.body, env)

@@ -1987,3 +1987,72 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("kept_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the composed streaming ingest tagging (streaming/documents.
+# ingest_tag_stream): the SAME stage code run over a batch "arriving" slice
+# against stores built from the prior corpus — which makes the streaming
+# composition itself an oracle-paired catalog row (the driver grades it).
+# Arriving slice convention matches dedup_incremental_shard: doc_id % 4 == 0
+# is the new shard, the rest is the already-ingested corpus.
+# ---------------------------------------------------------------------------
+
+def _sql_ingest_tag() -> str:
+    from legate_pandas_spark.operators.dedup import _SQL_MINHASH
+    from legate_pandas_spark.operators.textops import SQL_GOPHER_OK
+
+    return f"""
+    WITH arr AS (
+        SELECT doc_id, lang, source, text,
+               string_split_regex(trim(text), '\\s+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    store_h AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+    ),
+    mh AS ({_SQL_MINHASH}),
+    sigs AS (
+        SELECT doc_id,
+               mh0||mh1||mh2||mh3||mh4||mh5||mh6||mh7 AS sig
+        FROM mh
+    ),
+    store_s AS (
+        SELECT DISTINCT s.sig FROM sigs s WHERE s.doc_id % 4 <> 0
+    )
+    SELECT a.doc_id, a.lang, a.source,
+           CAST(len(a.words) AS BIGINT) AS n_words,
+           ({SQL_GOPHER_OK}) AS pass_gopher,
+           (md5(a.text) IN (SELECT h FROM store_h)) AS is_exact_dup,
+           coalesce(s.sig IN (SELECT sig FROM store_s), FALSE) AS is_sig_neardup
+    FROM arr a LEFT JOIN sigs s ON a.doc_id = s.doc_id
+    """
+
+
+@query("ingest_tag_report", oracle=_sql_ingest_tag())
+def ingest_tag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest tagging pass as a batch catalog row: the EXACT
+    streaming stage (streaming/documents.ingest_tag_stream — quality +
+    Gopher verdict + exact-dup + signature-near-dup flags, stateless
+    one-row-per-doc) run over the arriving shard (doc_id % 4 == 0) against
+    digest/signature stores built from the prior corpus, so the streaming
+    composition itself is differential-gated against DuckDB, not just
+    parity-pinned in tests.
+
+    100 TB shape is the stream stage's: pure per-row expressions + two
+    broadcast joins against the stores (both corpus-DISTINCT-sized, the
+    persisted artifacts a nightly dedup job maintains); the store builds
+    here are one minhash aggregate + one digest distinct over the prior
+    corpus — the batch job that would maintain them."""
+    from legate_pandas_spark.streaming.documents import (
+        build_signature_store,
+        ingest_tag_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    digest_store = corpus.select(F.md5("text").alias("h")).distinct()
+    sig_store = build_signature_store(corpus)
+    arriving = docs.filter(F.col("doc_id") % 4 == 0)
+    return ingest_tag_stream(arriving, digest_store, sig_store)

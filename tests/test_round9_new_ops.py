@@ -82,3 +82,61 @@ def test_round9_new_ops_plan_shapes(catalog, spark, sf_dir):
     assert "CartesianProduct" not in plan2
     assert plan2.count("BroadcastHashJoin") >= 3  # semi(qvocab), qterms, df
     assert "BroadcastNestedLoopJoin" in plan2  # the 1-row stats cross join
+
+
+def test_ingest_tag_report_plan_and_semantics(catalog, spark, sf_dir):
+    """The composed tagging row: stores broadcast (two BroadcastHashJoins,
+    no cartesian), and streaming the prior corpus's own shard against it
+    flags exact dups consistently with signature dups (exact => signature
+    whenever the doc has a signature)."""
+    df = catalog["ingest_tag_report"](spark, sf_dir)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    out = df.toPandas()
+    assert len(out) > 0
+    # an exact dup with a signature is necessarily a signature dup
+    sigged = out[out.n_words >= 3]
+    bad = sigged[sigged.is_exact_dup & ~sigged.is_sig_neardup]
+    assert len(bad) == 0
+
+
+def test_query_scalar_logic_matches_pandas(spark):
+    """Regression for the round-9 grammar-fuzz finding: pandas (python
+    engine) maps and/or/not to &/|/~, so a column-free atom is a Python
+    SCALAR — `not (0 <= 0)` is ~True == -2 — and combining it with a mask
+    follows bitwise-collapse rules (`mask & -2` empties, `mask | -2`
+    floods). Pin the falsifying example and the semantic corner cases."""
+    import pandas as pd
+
+    import legate_pandas_spark as lps
+
+    pdf = pd.DataFrame(
+        {"a": [-7, -3, -1, 0, 1, 2, 5, 9, 12, -12],
+         "b": [3, -4, 7, 2, -9, 0, 1, -1, 6, 8],
+         "c": [0, 1, -2, 5, 3, -8, 13, 4, -6, 2]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark)
+    exprs = [
+        "((a < a) or (not ((0 <= 0) and (0 <= 0))))",  # the falsifier: all rows
+        "((a == a) and (not (0 <= 0)))",               # & even scalar: empty
+        "not ((a > 0) and (not (1 == 2)))",            # & odd scalar: mask, ~logical
+        "not ((a < 0) or (not (0 <= 0)))",             # | nonzero: flood, then empty
+        "((a > 0) and (0 <= 0))",                      # & scalar True: mask
+        "not ((a > 0) or (0 <= 0))",                   # | scalar True: flood
+    ]
+    for e in exprs:
+        want = sorted(map(tuple, pdf.query(e)[["a", "b", "c"]].values.tolist()))
+        got = sorted(
+            map(tuple, ldf.query(e).to_pandas()[["a", "b", "c"]].values.tolist())
+        )
+        assert got == want, e
+
+
+def test_query_scalar_logic_proves_nothing():
+    """Scalar-logic trees bypass the boolean-atom proof rules — the proof
+    set must be empty (the bitwise collapse can keep rows no atom kept)."""
+    from legate_pandas_spark.frontend.query import query_proof_columns
+
+    assert query_proof_columns("(a > 0) and (not (0 <= 0))") == frozenset()
+    assert query_proof_columns("(a > 0) and (b < 1)") == {"a", "b"}
