@@ -119,6 +119,7 @@ HEADLINE = [
     "segment_dedup_reassemble",
     "bm25_bench_retrieval",
     "ingest_tag_report",
+    "approx_distinct_orders",
 ]
 
 

@@ -296,3 +296,41 @@ def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("_p.k")).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "approx_distinct_orders",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           true AS hll_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path: HyperLogLog++ (`approx_count_distinct`,
+    rsd 0.01) — a MERGEABLE fixed-size sketch (map-side partial, O(1.04/rsd)²
+    registers per group), where exact count-distinct must shuffle every
+    distinct key. Same oracle contract as percentile_approx_stats: sketch
+    values differ across engines, so Spark verifies its own sketch against
+    the exact count (|hll − exact| ≤ 5·rsd·exact, a ≥5-sigma bound — HLL++
+    is deterministic for fixed data, so the flag is stable) and emits a
+    boolean; DuckDB asserts `true` and checks the exact counts. In
+    production only the sketch pass runs; the exact pass here IS the
+    verification contract."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_hll"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("hll_ok"),
+    )
