@@ -310,23 +310,32 @@ def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count path: HyperLogLog++ (`approx_count_distinct`,
-    rsd 0.01) — a MERGEABLE fixed-size sketch (map-side partial, O(1.04/rsd)²
+    rsd 0.02) — a MERGEABLE fixed-size sketch (map-side partial, O(1.04/rsd)²
     registers per group), where exact count-distinct must shuffle every
     distinct key. Same oracle contract as percentile_approx_stats: sketch
     values differ across engines, so Spark verifies its own sketch against
-    the exact count (|hll − exact| ≤ 5·rsd·exact, a ≥5-sigma bound — HLL++
-    is deterministic for fixed data, so the flag is stable) and emits a
-    boolean; DuckDB asserts `true` and checks the exact counts. In
-    production only the sketch pass runs; the exact pass here IS the
-    verification contract."""
+    the exact count (|hll − exact| ≤ 0.05·exact, a 2.5-sigma bound — HLL++
+    is deterministic for fixed data, so the flag is stable; verified green
+    at three SFs and the 10x corpus) and emits a boolean; DuckDB asserts
+    `true` and checks the exact counts. In production only the sketch pass
+    runs; the exact pass here IS the verification contract."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey"
     )
-    agg = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("n_exact"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_hll"),
+    # The two aggregates MUST be separate passes: a count_distinct in the
+    # same agg triggers Catalyst's distinct rewrite, whose first phase
+    # groups by (l_returnflag, l_orderkey) — and the HLL placed there
+    # allocates its 2^p-register buffer PER DISTINCT KEY (~150k buffers at
+    # sf0.1: measured Java-heap OOM / GC collapse). Separately, each pass
+    # keeps its own sane shape: HLL buffers per FLAG (a handful), exact
+    # distinct in its own expand; the join is group-cardinality-sized.
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_hll")
     )
-    return agg.select(
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact")
+    )
+    return exact.join(F.broadcast(sketch), "l_returnflag").select(
         "l_returnflag",
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (

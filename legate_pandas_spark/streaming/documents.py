@@ -504,11 +504,31 @@ def build_signature_store(docs: DataFrame) -> DataFrame:
     ``ingest_tag_stream``'s signature-near-dup flag (one 64-hex string per
     distinct signature; at 100 TB a parquet table the nightly dedup job
     maintains, like build_lsh_index's band table)."""
-    from legate_pandas_spark.operators.dedup import N_MINHASH
+    from legate_pandas_spark.operators import outer_explode
+    from legate_pandas_spark.operators.dedup import (
+        N_MINHASH,
+        _minhash_signatures,
+        shingles_col,
+        tokens_col,
+    )
 
-    idx = build_lsh_index(docs)
+    # straight off the signature aggregate — routing through the band table
+    # (build_lsh_index) would UNION 4 copies of the minhash subtree (one per
+    # band) just to distinct them away again
+    tokenized = docs.select("doc_id", tokens_col().alias("_toks"))
+    sh = outer_explode(
+        tokenized.filter(F.size("_toks") >= 3),
+        shingles_col(F.col("_toks")),
+        "s",
+        "doc_id",
+    )
+    mh = _minhash_signatures(sh)
     return (
-        idx.select(F.concat_ws("", F.col("match_sig")).alias("sig_str"))
+        mh.select(
+            F.concat(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias(
+                "sig_str"
+            )
+        )
         .distinct()
         .withColumn("__sig_hit__", F.lit(True))
     )

@@ -33,9 +33,22 @@ def arith(draw, depth=0):
 
 
 @st.composite
+def const_arith(draw, depth=0):
+    """Column-free arithmetic — scalar-logic atoms (round-9: pandas' python
+    engine evaluates these as native Python scalars under &/|/~)."""
+    if depth >= 2 or draw(st.booleans()):
+        return str(draw(st.integers(-9, 9)))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    return f"({draw(const_arith(depth=depth + 1))} {op} {draw(const_arith(depth=depth + 1))})"
+
+
+@st.composite
 def predicate(draw, depth=0):
     if depth >= 2 or draw(st.booleans()):
         cmp = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
+        # ~1 in 5 atoms is column-free, exercising the scalar-logic compiler
+        if draw(st.integers(0, 4)) == 0:
+            return f"({draw(const_arith())} {cmp} {draw(const_arith())})"
         return f"({draw(arith())} {cmp} {draw(arith())})"
     joiner = draw(st.sampled_from(["and", "or"]))
     neg = draw(st.booleans())
