@@ -140,3 +140,96 @@ def test_query_scalar_logic_proves_nothing():
 
     assert query_proof_columns("(a > 0) and (not (0 <= 0))") == frozenset()
     assert query_proof_columns("(a > 0) and (b < 1)") == {"a", "b"}
+
+
+def _segment_dedup_reference(texts):
+    """Pure-Python reference of segment_dedup_reassemble over (doc_id, text)
+    pairs: 8-token segments, corpus-wide keep-first by (doc_id, seg_idx),
+    reassemble survivors in order."""
+    import hashlib
+
+    segs = {}
+    for doc_id, text in texts:
+        toks = __import__("re").split(r"\s+", text.strip())
+        segs[doc_id] = [
+            " ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)
+        ]
+    seen = set()
+    out = {}
+    for doc_id in sorted(segs):
+        kept = []
+        for w in segs[doc_id]:
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        new_text = " ".join(kept)
+        out[doc_id] = (
+            len(segs[doc_id]),
+            len(kept),
+            len(new_text),
+            hashlib.md5(new_text.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_segment_dedup_property_fuzz(spark, tmp_path):
+    """Hypothesis-style randomized corpora (fixed seeds — hypothesis would
+    re-init Spark per example) with adversarial shapes: heavy cross-doc
+    segment cloning, shared prefixes, single-token docs, exact-duplicate
+    documents — the Spark pipeline must match the pure-Python keep-first
+    reference on every field including the reassembly md5."""
+    import random
+
+    import pandas as pd
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        texts = []
+        n_docs = rng.randint(1, 12)
+        blocks = [
+            " ".join(rng.choice(vocab) for _ in range(8)) for _ in range(4)
+        ]
+        for d in range(n_docs):
+            if rng.random() < 0.2 and texts:
+                texts.append((d, texts[rng.randrange(len(texts))][1]))
+                continue
+            parts = []
+            for _ in range(rng.randint(1, 5)):
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(blocks))  # cloned 8-token block
+                else:
+                    parts.append(
+                        " ".join(
+                            rng.choice(vocab)
+                            for _ in range(rng.randint(1, 11))
+                        )
+                    )
+            texts.append((d, " ".join(parts)))
+        sf_dir = tmp_path / f"corpus{seed}"
+        sf_dir.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in texts],
+                "text": [t for _, t in texts],
+                "lang": "en",
+                "source": "fuzz",
+                "n_chars": [len(t) for _, t in texts],
+            }
+        ).to_parquet(sf_dir / "documents.parquet", index=False)
+        got = {
+            r["doc_id"]: (
+                r["n_segments"],
+                r["n_kept"],
+                r["kept_chars"],
+                r["kept_md5"],
+            )
+            for r in QUERIES["segment_dedup_reassemble"](
+                spark, str(sf_dir)
+            ).collect()
+        }
+        want = _segment_dedup_reference(texts)
+        assert got == want, f"seed {seed}"

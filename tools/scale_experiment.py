@@ -91,6 +91,8 @@ QUERIES = [
     # and grows both the BM25 query set and its candidate postings 10x
     "segment_dedup_reassemble",
     "bm25_bench_retrieval",
+    "ingest_tag_report",
+    "approx_distinct_orders",
 ]
 
 SHIFT_KEYS = {
