@@ -2255,14 +2255,14 @@ class DataFrame:
                 raise ValueError("Cannot operate inplace if there is no assignment")
             return Series(
                 self._replace(self._sdf),
-                F.expr(translate_query_expr(lines[0], env)),
+                F.expr(translate_query_expr(lines[0], env, boolean_context=False)),
                 "eval",
             )
         out = self._replace(self._sdf)
         for m in matches:
             name, rhs = m.groups()
             out._sdf = out._sdf.withColumn(
-                name, F.expr(translate_query_expr(rhs, env))
+                name, F.expr(translate_query_expr(rhs, env, boolean_context=False))
             )
         if inplace:
             self._sdf = out._sdf

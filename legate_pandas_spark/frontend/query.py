@@ -147,12 +147,32 @@ def _has_const_atom(node: ast.AST) -> bool:
     )
 
 
+_CONST_EVAL_NODES = (
+    ast.BoolOp, ast.And, ast.Or,
+    ast.UnaryOp, ast.Not, ast.Invert, ast.USub, ast.UAdd,
+    ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod, ast.Pow,
+    ast.FloorDiv, ast.BitAnd, ast.BitOr, ast.BitXor,
+    ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.In, ast.NotIn,
+    ast.Constant, ast.List, ast.Tuple, ast.Load, ast.Name,
+)
+
+
 def _py_const_eval(node: ast.AST, env: dict | None):
     """Evaluate a column-free subtree exactly like pandas' scalar path:
     and→&, or→|, not→~ under native Python semantics (bool & bool stays
-    bool; ~bool is an int)."""
+    bool; ~bool is an int). The subtree is node-type-whitelisted first —
+    name-free call/attribute atoms (e.g. `(1).bit_length()`) are rejected
+    like pandas' parser rejects them, never eval'd."""
     import copy
-    import math
+
+    for n in ast.walk(node):
+        if not isinstance(n, _CONST_EVAL_NODES):
+            raise QueryTranslationError(
+                f"unsupported constant expression node: {type(n).__name__}"
+            )
+        if isinstance(n, ast.Name) and not n.id.startswith("__at__"):
+            raise QueryTranslationError(f"not a constant: {n.id}")
 
     class _T(ast.NodeTransformer):
         def visit_BoolOp(self, n):
@@ -170,16 +190,10 @@ def _py_const_eval(node: ast.AST, env: dict | None):
             return n
 
     tree = ast.fix_missing_locations(_T().visit(copy.deepcopy(node)))
-    ns = {
-        "__builtins__": {},
-        "abs": abs,
-        "sqrt": math.sqrt,
-        "floor": math.floor,
-        "ceil": math.ceil,
-    }
+    ns = {"__builtins__": {}}
     for k, v in (env or {}).items():
         ns[f"__at__{k}"] = v
-    return eval(  # noqa: S307 — whitelisted AST, no builtins
+    return eval(  # noqa: S307 — node-type-whitelisted AST, no builtins
         compile(ast.Expression(body=tree), "<query-const>", "eval"), ns
     )
 
@@ -199,7 +213,8 @@ def _emit_scalar_logic(node: ast.AST, env: dict | None) -> tuple:
         for v in node.values[1:]:
             cur = _combine_scalar_logic(cur, _emit_scalar_logic(v, env), is_and)
         return cur
-    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.Not, ast.Invert)):
+        # pandas maps `not` to ~, so the two spellings are one operator here
         k, x = _emit_scalar_logic(node.operand, env)
         if k == "int":
             return ("int", ~x)  # Python ~: ~True == -2, ~0 == -1
@@ -327,12 +342,18 @@ def query_proof_columns(expr: str) -> frozenset:
         return frozenset()
 
 
-def translate_query_expr(expr: str, env: dict | None = None) -> str:
-    """Translate a pandas query expression into a Spark SQL boolean expression.
+def translate_query_expr(
+    expr: str, env: dict | None = None, boolean_context: bool = True
+) -> str:
+    """Translate a pandas query expression into a Spark SQL expression.
 
     Supports the reference grammar (core/query.py:33-311): comparisons, arithmetic,
     and/or/not, `in`, chained comparisons, and ``@var`` external references
-    (resolved from ``env``).
+    (resolved from ``env``). ``boolean_context=True`` is the query()/filter
+    contract (result used as a row predicate); ``False`` is the eval() VALUE
+    contract, where a column-free expression must yield its literal value
+    (pandas: ``(1 < 2) * 5`` evaluates to 5, ``not (0 <= 0)`` to -2), never
+    a row-selection boolean.
     """
     src = expr.replace("@", "__at__")
     try:
@@ -345,5 +366,17 @@ def translate_query_expr(expr: str, env: dict | None = None) -> str:
         # int scalar with a boolean mask follows the bitwise-collapse rules
         # in _combine_scalar_logic. Rare in real queries (the plain boolean
         # path below keeps its clean pushdown-friendly plan); exact here.
+        if not boolean_context:
+            if not _column_names(tree.body):
+                # fully constant VALUE: emit the Python result as a literal
+                return _lit(_py_const_eval(tree.body, env))
+            if not isinstance(
+                tree.body, (ast.BoolOp, ast.UnaryOp, ast.Compare)
+            ):
+                # columned arithmetic with an embedded constant atom (e.g.
+                # `a + (1 < 2)`) — pandas adds the scalar; the plain SQL
+                # form below fails loudly at Spark analysis (bool in
+                # arithmetic), same as before the scalar-logic compiler
+                return _emit(tree.body, env)
         return _finish_scalar_logic(_emit_scalar_logic(tree.body, env))
     return _emit(tree.body, env)

@@ -389,10 +389,23 @@ def build_lsh_index(docs: DataFrame) -> DataFrame:
     4 bands of 2). In production this is a parquet table the nightly dedup
     job maintains, partitioned/bucketed by (band_idx, band_key) so the
     stream-static join is an index lookup, not a scan."""
+    from legate_pandas_spark.operators.dedup import N_MINHASH, _band_table
+
+    mh = _corpus_minhash(docs).withColumn(
+        "match_sig", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+    )
+    return _band_table(mh, carry=["match_sig"]).select(
+        F.col("doc_id").alias("match_id"), "band_idx", "band_key", "match_sig"
+    )
+
+
+def _corpus_minhash(docs: DataFrame) -> DataFrame:
+    """Batch minhash signature frame (doc_id, mh0..mh7): the shared
+    shingle→signature prefix of build_lsh_index and build_signature_store
+    (exactly dedup's explode/groupBy machinery — ONE definition so the two
+    stores can never drift from each other or from the batch dedup path)."""
     from legate_pandas_spark.operators import outer_explode
     from legate_pandas_spark.operators.dedup import (
-        N_MINHASH,
-        _band_table,
         _minhash_signatures,
         shingles_col,
         tokens_col,
@@ -405,12 +418,49 @@ def build_lsh_index(docs: DataFrame) -> DataFrame:
         "s",
         "doc_id",
     )
-    mh = _minhash_signatures(sh).withColumn(
-        "match_sig", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+    return _minhash_signatures(sh)
+
+
+def _row_minhash_sig(docs: DataFrame, *keep: str, guard: bool = False) -> DataFrame:
+    """Per-row minhash signature — the SAME values as the batch
+    explode/groupBy signature (parity-pinned), computed as pure array
+    expressions so a streaming stage needs no aggregation state. Returns
+    ``keep`` columns + ``sig`` (array of 8 8-hex slots). ``guard=False``
+    drops docs with < 3 tokens (the batch shingle cutoff — they produce no
+    signature); ``guard=True`` keeps them with null slots (null propagates
+    through the expression chain, so consumers concat to a null string).
+    Shared by lsh_neardup_stream and ingest_tag_stream — one definition of
+    the signature, like _corpus_minhash on the batch side."""
+    from legate_pandas_spark.operators.dedup import shingles_col, tokens_col
+
+    toks = tokens_col(F.col("text"))
+    if guard:
+        shingled = docs.select(
+            *keep, F.when(F.size(toks) >= 3, shingles_col(toks)).alias("_sh")
+        )
+    else:
+        shingled = docs.where(F.size(toks) >= 3).select(
+            *keep, shingles_col(toks).alias("_sh")
+        )
+    hashed = shingled.select(
+        *keep,
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))
+        ).alias("_h0"),
+        F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("1|"), s))
+        ).alias("_h1"),
     )
-    return _band_table(mh, carry=["match_sig"]).select(
-        F.col("doc_id").alias("match_id"), "band_idx", "band_key", "match_sig"
-    )
+
+    # NB: the slice lambda must stay UNARY — F.transform treats a binary
+    # lambda as (element, index) and would silently rebind the slot offset
+    def _slot(col: str, j: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(col), lambda x: F.substring(x, 8 * j + 1, 8))
+        )
+
+    slots = [_slot(f"_h{k}", j) for k in (0, 1) for j in range(4)]
+    return hashed.select(*keep, F.array(*slots).alias("sig"))
 
 
 def lsh_neardup_stream(docs: DataFrame, index: DataFrame) -> DataFrame:
@@ -437,35 +487,9 @@ def lsh_neardup_stream(docs: DataFrame, index: DataFrame) -> DataFrame:
     state-free. At 100 TB the index side is corpus-scale: persist it
     bucketed by (band_idx, band_key) and the per-batch join prunes to the
     arriving keys' buckets."""
-    from legate_pandas_spark.operators.dedup import (
-        N_BANDS,
-        N_MINHASH,
-        shingles_col,
-        tokens_col,
-    )
+    from legate_pandas_spark.operators.dedup import N_BANDS, N_MINHASH
 
-    toks = tokens_col(F.col("text"))
-    shingled = docs.select(
-        "doc_id", shingles_col(toks).alias("_sh")
-    ).where(F.size(toks) >= 3)
-    hashed = shingled.select(
-        "doc_id",
-        F.transform(
-            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))
-        ).alias("_h0"),
-        F.transform(
-            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("1|"), s))
-        ).alias("_h1"),
-    )
-    # NB: the slice lambda must stay UNARY — F.transform treats a binary
-    # lambda as (element, index) and would silently rebind the slot offset
-    def _slot(col: str, j: int) -> Column:
-        return F.array_min(
-            F.transform(F.col(col), lambda x: F.substring(x, 8 * j + 1, 8))
-        )
-
-    slots = [_slot(f"_h{k}", j) for k in (0, 1) for j in range(4)]
-    sig = hashed.select("doc_id", F.array(*slots).alias("sig"))
+    sig = _row_minhash_sig(docs, "doc_id")
     band_arr = F.array(
         *[
             F.concat(
@@ -475,9 +499,16 @@ def lsh_neardup_stream(docs: DataFrame, index: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
+    # posexplode_OUTER + output-null filter (the outer_explode discipline):
+    # a plain generator lets InferFiltersFromGenerate push a size/isnotnull
+    # predicate below the projections, re-evaluating the whole md5 signature
+    # chain at the scan; band_arr is always 4 non-null keys, so the outer
+    # form is semantically identical
     bands = sig.select(
-        "doc_id", "sig", F.posexplode(band_arr).alias("band_idx", "band_key")
-    )
+        "doc_id",
+        "sig",
+        F.posexplode_outer(band_arr).alias("band_idx", "band_key"),
+    ).filter(F.col("band_key").isNotNull())
     agree = F.aggregate(
         F.zip_with(
             F.col("sig"),
@@ -504,27 +535,14 @@ def build_signature_store(docs: DataFrame) -> DataFrame:
     ``ingest_tag_stream``'s signature-near-dup flag (one 64-hex string per
     distinct signature; at 100 TB a parquet table the nightly dedup job
     maintains, like build_lsh_index's band table)."""
-    from legate_pandas_spark.operators import outer_explode
-    from legate_pandas_spark.operators.dedup import (
-        N_MINHASH,
-        _minhash_signatures,
-        shingles_col,
-        tokens_col,
-    )
+    from legate_pandas_spark.operators.dedup import N_MINHASH
 
     # straight off the signature aggregate — routing through the band table
     # (build_lsh_index) would UNION 4 copies of the minhash subtree (one per
     # band) just to distinct them away again
-    tokenized = docs.select("doc_id", tokens_col().alias("_toks"))
-    sh = outer_explode(
-        tokenized.filter(F.size("_toks") >= 3),
-        shingles_col(F.col("_toks")),
-        "s",
-        "doc_id",
-    )
-    mh = _minhash_signatures(sh)
     return (
-        mh.select(
+        _corpus_minhash(docs)
+        .select(
             F.concat(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias(
                 "sig_str"
             )
@@ -555,42 +573,20 @@ def ingest_tag_stream(
     joins against broadcast-hinted stores — no state store, no watermark, so
     it runs at ingest rate at any scale; routing decisions (drop, quarantine,
     append-to-store) belong to the sink."""
-    from legate_pandas_spark.operators.dedup import shingles_col, tokens_col
+    from legate_pandas_spark.operators.dedup import N_MINHASH
     from legate_pandas_spark.operators.textops import (
         gopher_metric_exprs,
         gopher_pass_all_expr,
     )
 
-    toks = tokens_col(F.col("text"))
-    shingled = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.when(F.size(toks) >= 3, shingles_col(toks)).alias("_sh"),
+    sig = _row_minhash_sig(docs, "doc_id", "lang", "source", "text", guard=True)
+    # guarded short docs have null slots -> concat null-propagates to a null
+    # sig_str -> the left join misses -> flag false, the batch cutoff
+    sig_str = F.concat(
+        *[F.element_at(F.col("sig"), i + 1) for i in range(N_MINHASH)]
     )
-    hashed = shingled.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.transform(
-            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))
-        ).alias("_h0"),
-        F.transform(
-            F.col("_sh"), lambda s: F.md5(F.concat(F.lit("1|"), s))
-        ).alias("_h1"),
-    )
-
-    def _slot(col: str, j: int) -> Column:
-        # unary lambda only — binary would be (element, index)
-        return F.array_min(
-            F.transform(F.col(col), lambda x: F.substring(x, 8 * j + 1, 8))
-        )
-
-    sig_str = F.concat(*[_slot(f"_h{k}", j) for k in (0, 1) for j in range(4)])
     me = gopher_metric_exprs(F.col("text"))
-    tagged = hashed.select(
+    tagged = sig.select(
         "doc_id",
         "lang",
         "source",
