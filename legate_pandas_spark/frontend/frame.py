@@ -3596,6 +3596,22 @@ def from_pandas(pdf, spark=None) -> DataFrame:
         fields = ", ".join(f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items())
         out = DataFrame(spark.createDataFrame([], schema=fields))
     else:
-        out = DataFrame(spark.createDataFrame(pdf))
+        allnull_obj = [
+            c
+            for c in pdf.columns
+            if pdf[c].dtype == object and pdf[c].isna().all()
+        ]
+        if allnull_obj:
+            # Spark cannot infer a type from an all-None object column —
+            # ship the dtype-derived schema explicitly (all-None object is
+            # string, pandas' own convention for missing text)
+            from legate_pandas_spark.frontend.dtypes import to_spark_type
+
+            fields = ", ".join(
+                f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items()
+            )
+            out = DataFrame(spark.createDataFrame(pdf, schema=fields))
+        else:
+            out = DataFrame(spark.createDataFrame(pdf))
     out._cat_meta = cat_meta
     return out

@@ -322,9 +322,19 @@ def test_fuzz_str_mask_filter_then_merge(spark, lk, rk, how):
     """String-predicate mask as the proof producer: str.contains proves the
     key non-null, the merge takes the plain-equality path; pandas matches
     None==None keys in merge, but the filtered side has none left."""
+    from hypothesis import assume
+
     lpdf = pd.DataFrame({"k": lk, "v": np.arange(len(lk), dtype="float64")})
     rpdf = pd.DataFrame({"k": rk, "w": np.arange(len(rk), dtype="float64")})
-    exp = lpdf[lpdf.k.str.contains("a", na=False)].merge(rpdf, on="k", how=how)
+    try:
+        exp = lpdf[lpdf.k.str.contains("a", na=False)].merge(
+            rpdf, on="k", how=how
+        )
+    except ValueError:
+        # pandas 2.2.2 itself crashes on outer merges with duplicated left
+        # keys and an all-None right key ("Shape of passed values ...") —
+        # no reference result exists for the differential, reject the draw
+        assume(False)
     fl = from_pandas(lpdf, spark=spark)
     fl = fl[fl["k"].str.contains("a")]
     assert "k" in fl._nonnull_cols

@@ -275,3 +275,31 @@ def test_query_scalar_logic_review_regressions(spark):
 
     with _pytest.raises(QueryTranslationError):
         translate_query_expr("(a > 0) and ((1).bit_length() <= 0)")
+
+
+def test_from_pandas_allnull_object_column(spark):
+    """An all-None object column defeats Spark's schema inference — the
+    facade ships the dtype-derived schema explicitly (string, pandas' own
+    convention). Found via the merge fuzz: pandas 2.2.2 itself crashes on
+    the outer merge this enables (duplicate left keys + all-None right
+    key), while the facade returns the semantically correct 3-row result."""
+    import pandas as pd
+
+    from legate_pandas_spark import from_pandas
+
+    rpdf = pd.DataFrame({"k": [None, None], "w": [1.0, 2.0]})
+    ldf = from_pandas(rpdf, spark=spark)
+    out = ldf.to_pandas()
+    assert list(out.columns) == ["k", "w"]
+    assert out["k"].isna().all()
+    assert [str(f.dataType) for f in ldf._sdf.schema.fields][0] == "StringType()"
+    # the pandas-crashing shape: our engine still answers correctly
+    lpdf = pd.DataFrame({"k": ["a", "a"], "v": [0.0, 1.0]})
+    m = (
+        from_pandas(lpdf, spark=spark)
+        .merge(from_pandas(pd.DataFrame({"k": [None], "w": [0.0]}), spark=spark),
+               on="k", how="outer")
+        .to_pandas()
+    )
+    assert len(m) == 3  # 2 unmatched-left + 1 unmatched-right
+    assert m["k"].isna().sum() == 1
