@@ -2373,11 +2373,18 @@ class DataFrame:
                 return self.explode(cols[0])
             # pandas' mylen (probed on pandas 2.2.2): null scalars AND empty
             # lists count as length 1, so null-vs-[x] and []-vs-[x] explode
-            # fine while null-vs-[x,y] raises. Mirror that exactly.
+            # fine while null-vs-[x,y] raises. Mirror that exactly. A NON-
+            # array column in the explode list (e.g. an all-None column that
+            # from_pandas typed string) is a scalar per row — pandas counts
+            # scalars as length 1 and keeps them as-is.
+            dtypes0 = dict(self._sdf.dtypes)
+            is_arr = {c: dtypes0[c].startswith("array<") for c in cols}
             sizes = [
                 F.when(
                     F.col(c).isNull() | (F.size(c) == 0), F.lit(1)
                 ).otherwise(F.size(c))
+                if is_arr[c]
+                else F.lit(1)
                 for c in cols
             ]
             mismatch = None
@@ -2393,6 +2400,8 @@ class DataFrame:
             dtypes = dict(self._sdf.dtypes)
             zcols = [
                 F.coalesce(F.col(c), F.array().cast(dtypes[c])).alias(c)
+                if is_arr[c]
+                else F.array(F.col(c)).alias(c)  # scalar: one-element zip
                 for c in cols
             ]
             zipped = self._sdf.select(
@@ -3596,22 +3605,30 @@ def from_pandas(pdf, spark=None) -> DataFrame:
         fields = ", ".join(f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items())
         out = DataFrame(spark.createDataFrame([], schema=fields))
     else:
+        # An all-None object column defeats Spark's schema inference: the
+        # non-Arrow path raises CANNOT_DETERMINE_TYPE and the Arrow path
+        # yields an unjoinable NullType column. Ship those columns as all-NaN
+        # doubles (inference-safe on both paths), then cast back to string —
+        # pandas' own convention for missing text. Object columns with any
+        # real value (lists, mixed) keep Spark's inference.
         allnull_obj = [
             c
             for c in pdf.columns
             if pdf[c].dtype == object and pdf[c].isna().all()
         ]
         if allnull_obj:
-            # Spark cannot infer a type from an all-None object column —
-            # ship the dtype-derived schema explicitly (all-None object is
-            # string, pandas' own convention for missing text)
-            from legate_pandas_spark.frontend.dtypes import to_spark_type
-
-            fields = ", ".join(
-                f"`{c}` {to_spark_type(t)}" for c, t in pdf.dtypes.items()
+            pdf = pdf.copy()
+            for c in allnull_obj:
+                pdf[c] = pdf[c].astype("float64")
+        sdf = spark.createDataFrame(pdf)
+        if allnull_obj:
+            fixed = set(allnull_obj)
+            sdf = sdf.select(
+                *[
+                    F.col(c).cast("string").alias(c) if c in fixed else F.col(c)
+                    for c in sdf.columns
+                ]
             )
-            out = DataFrame(spark.createDataFrame(pdf, schema=fields))
-        else:
-            out = DataFrame(spark.createDataFrame(pdf))
+        out = DataFrame(sdf)
     out._cat_meta = cat_meta
     return out
