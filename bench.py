@@ -120,6 +120,8 @@ HEADLINE = [
     "bm25_bench_retrieval",
     "ingest_tag_report",
     "approx_distinct_orders",
+    # round 9 (cont. 2): CCNet-style hashed-bigram LM quality filter
+    "perplexity_lm_filter",
 ]
 
 

@@ -616,3 +616,68 @@ def ingest_tag_stream(
             ),
         )
     )
+
+
+def perplexity_score_stream(docs: DataFrame, cp: list, cc: list) -> DataFrame:
+    """Streaming twin of perplexity_lm_filter's SCORING stage: score each
+    arriving document under the hashed-bigram LM trained by the batch job
+    (operators/curation.perplexity_train_model) — CCNet's "score at crawl
+    time" deployment. The two dense count arrays (8192 pair + 2048 context
+    buckets) compile into TWO array literals; the per-document score is a
+    fold over the bigram index range computing the same
+    round(1e6·ln((cp+1)/(cc+V))) integer logit as the batch scorer, so the
+    sums agree bit-for-bit (exact integer arithmetic both sides).
+
+    Completely STATELESS — no aggregation, watermark, or state store; one
+    row in -> one row out. The corpus-relative keep decision (doc average
+    vs corpus average) stays in the nightly batch job by design: a stream
+    cannot know the corpus average, so the stream emits the raw integer
+    score for the router to threshold against the last batch model's
+    published average."""
+    from legate_pandas_spark.operators.curation import (
+        _PPL_BC,
+        _PPL_BP,
+        _ppl_bucket,
+        _dsir_tokens_expr,
+    )
+
+    cp_arr = F.lit([int(x) for x in cp])
+    cc_arr = F.lit([int(x) for x in cc])
+    toks = _dsir_tokens_expr(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
+
+    def lam(pw):
+        cpv = F.element_at(
+            cp_arr,
+            (_ppl_bucket(F.concat_ws("_", pw["p"], pw["w"]), _PPL_BP) + 1).cast(
+                "int"
+            ),
+        )
+        ccv = F.element_at(
+            cc_arr, (_ppl_bucket(pw["p"], _PPL_BC) + 1).cast("int")
+        )
+        return F.round(
+            F.lit(1000000.0)
+            * F.log((cpv + 1) * F.lit(1.0) / (ccv + F.lit(_PPL_BP)))
+        ).cast("bigint")
+
+    per_pair = F.transform(pairs, lam)
+    # null text null-propagates -> aggregate(NULL) is NULL; the batch scorer
+    # scores such documents (0, 0) — match it
+    logprob = F.coalesce(
+        F.aggregate(per_pair, F.lit(0).cast("bigint"), lambda acc, v: acc + v),
+        F.lit(0).cast("bigint"),
+    )
+    n_big = F.coalesce(F.size(pairs).cast("bigint"), F.lit(0).cast("bigint"))
+    return docs.select(
+        "doc_id",
+        n_big.alias("n_bigrams"),
+        logprob.alias("logprob_micro"),
+    )

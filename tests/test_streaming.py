@@ -732,3 +732,31 @@ def test_ingest_tag_stream_matches_batch(spark, sf_dir, documents_dir):
             assert not row["is_sig_neardup"], d
         n_new += int(not row["is_exact_dup"])
     assert n_new > 0  # the %3 == 0 slice really is new to the store
+
+
+def test_perplexity_score_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Streaming CCNet perplexity scorer (model as two dense literal count
+    arrays, per-row bigram fold) must produce exactly the batch query's
+    integer (n_bigrams, logprob_micro) for every document when run as a
+    real stream."""
+    from legate_pandas_spark.operators import QUERIES, load_all
+    from legate_pandas_spark.operators.curation import perplexity_train_model
+    from legate_pandas_spark.streaming import run_available_now, stream_documents
+    from legate_pandas_spark.streaming.documents import perplexity_score_stream
+
+    load_all()
+    cp, cc = perplexity_train_model(spark, sf_dir)
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in QUERIES["perplexity_lm_filter"](spark, sf_dir).collect()
+    }
+    scored = perplexity_score_stream(stream_documents(spark, documents_dir), cp, cc)
+    run_available_now(scored, "ppl_scores", output_mode="append")
+    got = spark.table("ppl_scores").collect()
+    assert len(got) == len(batch)
+    mismatches = [
+        (r["doc_id"], r["n_bigrams"], r["logprob_micro"], batch[r["doc_id"]])
+        for r in got
+        if (r["n_bigrams"], r["logprob_micro"]) != batch[r["doc_id"]]
+    ]
+    assert not mismatches, mismatches[:5]
