@@ -95,3 +95,109 @@ def test_perplexity_stream_parity(catalog, spark, sf_dir):
     assert len(m) == len(exp)
     assert (m.n_bigrams_s == m.n_bigrams_b).all()
     assert (m.logprob_micro_s == m.logprob_micro_b).all()
+
+
+def _ppl_reference(rows):
+    """Pure-Python reference of perplexity_lm_filter over
+    (doc_id, text, lang) rows: md5 buckets, add-one integer logits,
+    corpus-relative keep via exact integer cross-multiplication."""
+    import hashlib
+    import math
+    import re
+
+    BP, BC = 8192, 2048
+
+    def bucket(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16) % m
+
+    def toks(text):
+        if text is None:
+            return []
+        return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    cp = [0] * BP
+    cc = [0] * BC
+    for _, text, lang in rows:
+        if lang != "en":
+            continue
+        t = toks(text)
+        for a, b in zip(t, t[1:]):
+            cp[bucket(a + "_" + b, BP)] += 1
+            cc[bucket(a, BC)] += 1
+    scores = {}
+    for doc_id, text, _ in rows:
+        t = toks(text)
+        lp = 0
+        nb = 0
+        for a, b in zip(t, t[1:]):
+            nb += 1
+            lp += half_away(
+                1e6
+                * math.log((cp[bucket(a + "_" + b, BP)] + 1) / (cc[bucket(a, BC)] + BP))
+            )
+        scores[doc_id] = (nb, lp)
+    sum_n = sum(nb for nb, _ in scores.values())
+    sum_lp = sum(lp for _, lp in scores.values())
+    return {
+        d: (nb, lp, math.floor(lp / nb) if nb else 0, lp * sum_n > sum_lp * nb)
+        for d, (nb, lp) in scores.items()
+    }
+
+
+def test_perplexity_property_fuzz(spark, tmp_path):
+    """Randomized corpora (fixed seeds) with adversarial shapes: empty and
+    single-token documents, null text, unicode/punctuation-only tokens,
+    non-en-only corpora (empty model — every logit is the unseen default),
+    and hash-collision-dense tiny vocabularies. The Spark pipeline must
+    match the pure-Python reference on every field including the exact
+    integer keep flag."""
+    import random
+
+    import pandas as pd
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    vocab = ["aa", "bb", "cc", "d9", "é!", "x"]
+    langs_pool = [["en", "de"], ["de", "fr"], ["en"], ["en", "zh", "es"]]
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        langs = langs_pool[seed % len(langs_pool)]
+        rows = []
+        for d in range(rng.randint(1, 14)):
+            r = rng.random()
+            if r < 0.1:
+                text = None
+            elif r < 0.2:
+                text = ""
+            elif r < 0.3:
+                text = rng.choice(vocab)
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(2, 40))
+                )
+            rows.append((d, text, rng.choice(langs)))
+        sf_dir = tmp_path / f"ppl{seed}"
+        sf_dir.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _, _ in rows],
+                "text": [t for _, t, _ in rows],
+                "lang": [l for _, _, l in rows],
+                "source": "fuzz",
+                "n_chars": [len(t or "") for _, t, _ in rows],
+            }
+        ).to_parquet(sf_dir / "documents.parquet", index=False)
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["logprob_micro"],
+                r["avg_logprob_micro"],
+                bool(r["keep"]),
+            )
+            for r in QUERIES["perplexity_lm_filter"](spark, str(sf_dir)).collect()
+        }
+        assert got == _ppl_reference(rows), f"seed {seed}"
