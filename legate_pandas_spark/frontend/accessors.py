@@ -695,46 +695,97 @@ class DatetimeMethods:
         return self._s._wrap(col, strict=self._s._strict_cols)
 
     @property
+    def _c(self):
+        """Wall-clock column: tz-aware series store UTC instants plus a zone
+        marker (the pandas internal representation), so local field
+        extraction shifts into the carried zone first. from_utc_timestamp is
+        null-propagating, so strictness provenance carries unchanged."""
+        col = self._s._col
+        tz = getattr(self._s, "_tz", None)
+        return F.from_utc_timestamp(col, tz) if tz else col
+
+    @property
+    def tz(self):
+        return getattr(self._s, "_tz", None)
+
+    def tz_localize(self, tz):
+        """Naive -> tz-aware: wall times are reinterpreted in ``tz`` and
+        stored as UTC instants plus a zone marker; ``tz=None`` removes
+        awareness keeping the LOCAL wall time (pandas dt.tz_localize).
+        DIVERGENCE (documented): DST-nonexistent / ambiguous wall times
+        resolve by the JVM zone rules (shift forward / earlier offset)
+        instead of pandas' default AmbiguousTimeError raise."""
+        cur = self.tz
+        if tz is None:
+            if cur is None:
+                return self._s._wrap(self._s._col, strict=self._s._strict_cols)
+            return self._s._wrap(
+                F.from_utc_timestamp(self._s._col, cur),
+                strict=self._s._strict_cols,
+            )
+        if cur is not None:
+            raise TypeError("Already tz-aware, use tz_convert to convert.")
+        out = self._s._wrap(
+            F.to_utc_timestamp(self._s._col, str(tz)),
+            strict=self._s._strict_cols,
+        )
+        out._tz = str(tz)
+        return out
+
+    def tz_convert(self, tz):
+        """Aware -> aware in another zone (the instant is preserved — the
+        stored UTC value doesn't change, only the zone marker); ``tz=None``
+        converts to UTC then removes awareness (pandas dt.tz_convert)."""
+        if self.tz is None:
+            raise TypeError(
+                "Cannot convert tz-naive timestamps, use tz_localize to localize"
+            )
+        out = self._s._wrap(self._s._col, strict=self._s._strict_cols)
+        if tz is not None:
+            out._tz = str(tz)
+        return out
+
+    @property
     def year(self):
-        return self._wrap(F.year(self._s._col))
+        return self._wrap(F.year(self._c))
 
     @property
     def month(self):
-        return self._wrap(F.month(self._s._col))
+        return self._wrap(F.month(self._c))
 
     @property
     def day(self):
-        return self._wrap(F.dayofmonth(self._s._col))
+        return self._wrap(F.dayofmonth(self._c))
 
     @property
     def hour(self):
-        return self._wrap(F.hour(self._s._col))
+        return self._wrap(F.hour(self._c))
 
     @property
     def minute(self):
-        return self._wrap(F.minute(self._s._col))
+        return self._wrap(F.minute(self._c))
 
     @property
     def second(self):
-        return self._wrap(F.second(self._s._col))
+        return self._wrap(F.second(self._c))
 
     @property
     def weekday(self):
         """Monday=0 (pandas) — Spark dayofweek is Sunday=1 (SURVEY §2.8)."""
-        return self._wrap(((F.dayofweek(self._s._col) + 5) % 7).cast("int"))
+        return self._wrap(((F.dayofweek(self._c) + 5) % 7).cast("int"))
 
     dayofweek = weekday
 
     @property
     def date(self):
-        return self._wrap(F.to_date(self._s._col))
+        return self._wrap(F.to_date(self._c))
 
     def floor(self, freq: str):
         """Truncate to hour/day/etc. (pandas dt.floor)."""
         from legate_pandas_spark.frontend.frame import _freq_to_interval
 
         unit = _freq_to_interval(freq).split()[1].rstrip("s")
-        return self._s._wrap(F.date_trunc(unit, self._s._col))
+        return self._restamp(F.date_trunc(unit, self._c))
 
     def strftime(self, fmt: str):
         """Format timestamps as strings; translates the common strftime
@@ -743,35 +794,47 @@ class DatetimeMethods:
             fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
             .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
         )
-        return self._s._wrap(F.date_format(self._s._col, spark_fmt))
+        return self._s._wrap(F.date_format(self._c, spark_fmt))
 
     def month_name(self):
         """Full month name (pandas dt.month_name) — date_format 'MMMM'."""
-        return self._s._wrap(F.date_format(self._s._col, "MMMM"))
+        return self._s._wrap(F.date_format(self._c, "MMMM"))
 
     def normalize(self):
-        """Midnight-truncated timestamps (pandas dt.normalize)."""
-        return self._s._wrap(F.date_trunc("day", self._s._col))
+        """Midnight-truncated timestamps (pandas dt.normalize) — in LOCAL
+        wall time for tz-aware series, like pandas."""
+        return self._restamp(F.date_trunc("day", self._c))
+
+    def _restamp(self, local_col):
+        """Wrap a LOCAL-wall-time result back into the series' storage
+        convention: tz-aware series re-store as UTC instants and keep the
+        zone marker; naive series store the wall time directly."""
+        tz = self.tz
+        if tz is None:
+            return self._s._wrap(local_col)
+        out = self._s._wrap(F.to_utc_timestamp(local_col, tz))
+        out._tz = tz
+        return out
 
     def day_name(self):
-        return self._s._wrap(F.date_format(self._s._col, "EEEE"))
+        return self._s._wrap(F.date_format(self._c, "EEEE"))
 
     @property
     def quarter(self):
-        return self._wrap(F.quarter(self._s._col))
+        return self._wrap(F.quarter(self._c))
 
     @property
     def dayofyear(self):
-        return self._wrap(F.dayofyear(self._s._col))
+        return self._wrap(F.dayofyear(self._c))
 
     @property
     def is_month_start(self):
-        return self._wrap(F.dayofmonth(self._s._col) == 1)
+        return self._wrap(F.dayofmonth(self._c) == 1)
 
     @property
     def is_month_end(self):
-        return self._wrap(F.last_day(self._s._col) == F.to_date(self._s._col))
+        return self._wrap(F.last_day(self._c) == F.to_date(self._c))
 
     @property
     def days_in_month(self):
-        return self._wrap(F.dayofmonth(F.last_day(self._s._col)))
+        return self._wrap(F.dayofmonth(F.last_day(self._c)))

@@ -226,6 +226,12 @@ class DataFrame:
             self._nonnull_cols = self._nonnull_cols - set(name)
             return
         if isinstance(value, Series):
+            if getattr(value, "_tz", None):
+                raise NotImplementedError(
+                    "assigning a tz-aware series into a frame: frames carry "
+                    "no zone metadata — store naive wall time via "
+                    "dt.tz_localize(None) or naive UTC via dt.tz_convert(None)"
+                )
             self._sdf = self._sdf.withColumn(name, value._col)
             if value._cat is not None:
                 self._cat_meta[name] = value._cat

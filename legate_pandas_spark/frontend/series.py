@@ -55,6 +55,9 @@ class Series:
         # equality fast path (exchange reuse — see frame._nonnull_cols).
         self._strict_cols: frozenset = frozenset()
         self._nonnull_if_true: frozenset = frozenset()
+        # IANA zone name when this column is tz-aware (dt.tz_localize):
+        # values are stored as UTC instants, the pandas internal form.
+        self._tz: str | None = None
 
     # -- plumbing ----------------------------------------------------------
     def _other_col(self, other):
@@ -1761,6 +1764,13 @@ class Series:
                 )
             else:
                 s = s.astype("category")
+        if self._tz is not None:
+            # toPandas renders timestamps as naive wall times in the SESSION
+            # zone; re-anchor there, then shift to the carried zone
+            sess = self._frame._sdf.sparkSession.conf.get(
+                "spark.sql.session.timeZone"
+            )
+            s = s.dt.tz_localize(sess).dt.tz_convert(self._tz)
         return s
 
 
