@@ -2179,9 +2179,10 @@ def perplexity_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus average is a 1-row broadcast. No driver collect, no unbounded
     state. (A first cut pre-aggregated per-(doc, bp, bc) cells like DSIR —
     but bigram cells don't compress (cnt≈1), so that shuffled and persisted
-    the whole exploded corpus; measured 2.55s→1.1s at sf0.1 dropping it
-    and persisting the doc-count scores table instead, 0.86s at the 10×
-    corpus — model-partial fixed costs dominate, not data.)
+    the whole exploded corpus; dropped, and the doc-count scores table is
+    persisted instead since the totals and the output both consume it.
+    Cold-cache best-of-2: 2.44s at sf0.1, 0.91× at the 10× corpus, 2.65×
+    at 100× documents — sub-linear, model-partial fixed costs dominate.)
 
     Extension surface (the reference has no corpus tooling — SURVEY §2.8).
     """
