@@ -1048,6 +1048,31 @@ class DataFrame:
         order[i], order[j] = order[j], order[i]
         return DataFrame(self._sdf, tuple(self._index[k] for k in order))
 
+    def reorder_levels(self, order) -> "DataFrame":
+        """Rearrange index levels by position or name (pandas
+        reorder_levels) — metadata only, the plan is untouched."""
+        if len(self._index) < 2:
+            raise TypeError("Can only reorder levels on a hierarchical axis.")
+        names = list(self._index)
+        assert len(order) == len(names), (
+            f"Length of order must be same as number of levels ({len(names)}), "
+            f"got {len(order)}"
+        )
+        idx = [
+            names.index(o)
+            if isinstance(o, str)
+            else (o if o >= 0 else len(names) + o)
+            for o in order
+        ]
+        if len(set(idx)) != len(idx):
+            # pandas duplicates the level; our index levels are physical
+            # columns, so a repeat would alias one column twice
+            raise NotImplementedError(
+                "reorder_levels with repeated levels: use reset_index + "
+                "set_index to duplicate a level explicitly"
+            )
+        return DataFrame(self._sdf, tuple(names[k] for k in idx))
+
     def rename_axis(self, name) -> "DataFrame":
         """Rename the (single) stored index level (pandas rename_axis)."""
         if len(self._index) != 1:

@@ -127,3 +127,27 @@ def test_tz_aware_setitem_guarded(frames):
     ldf2["utc"] = aware.dt.tz_convert(None)
     out = ldf2.to_pandas()
     assert {"wall", "utc"} <= set(out.columns)
+
+
+def test_reorder_levels_matches_pandas(spark):
+    """reorder_levels (positions and names) vs real pandas; error modes:
+    flat index TypeError, wrong-length AssertionError, duplicate-level
+    targeted guard."""
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 1], "b": ["x", "y", "x"], "c": [7, 8, 9], "v": [1.0, 2.0, 3.0]}
+    )
+    ldf = lps.from_pandas(pdf, spark=spark).set_index(["a", "b", "c"])
+    exp = pdf.set_index(["a", "b", "c"])
+    for order in ([2, 0, 1], ["b", "c", "a"], [-1, -3, -2]):
+        got = ldf.reorder_levels(order).to_pandas()
+        want = exp.reorder_levels(order)
+        assert got.index.names == want.index.names
+        assert sorted(got.index.tolist()) == sorted(want.index.tolist())
+        assert sorted(got["v"].tolist()) == sorted(want["v"].tolist())
+    flat = lps.from_pandas(pdf, spark=spark)
+    with pytest.raises(TypeError, match="hierarchical"):
+        flat.reorder_levels([0])
+    with pytest.raises(AssertionError, match="same as number of levels"):
+        ldf.reorder_levels([0, 1])
+    with pytest.raises(NotImplementedError, match="repeated"):
+        ldf.reorder_levels([0, 0, 1])
