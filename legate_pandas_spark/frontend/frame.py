@@ -1431,12 +1431,16 @@ class DataFrame:
         computed in ONE aggregate pass (pandas result shape; an action)."""
         import pandas as pd
 
-        from legate_pandas_spark.frontend.groupby import _AGG_FNS
+        from legate_pandas_spark.frontend.groupby import _AGG_FNS, _with_identity
 
         exprs, keys = [], []
         for col, ops in spec.items():
             for op in [ops] if isinstance(ops, str) else ops:
-                exprs.append(_AGG_FNS[op](F.col(col)).alias(f"{col}\x00{op}"))
+                exprs.append(
+                    _with_identity(op, _AGG_FNS[op](F.col(col))).alias(
+                        f"{col}\x00{op}"
+                    )
+                )
                 keys.append((col, op))
         row = self._sdf.agg(*exprs).collect()[0]
         all_ops = list(dict.fromkeys(op for _, op in keys))
@@ -1798,7 +1802,10 @@ class DataFrame:
         return pd.Series({n: row[n] for n in names})
 
     def sum(self, numeric_only: bool = True):
-        return self._reduce_frame(F.sum, numeric_only)
+        # pandas sums all-NaN columns to 0 (skipna, min_count=0)
+        return self._reduce_frame(
+            lambda c: F.coalesce(F.sum(c), F.lit(0)), numeric_only
+        )
 
     def mean(self, numeric_only: bool = True):
         return self._reduce_frame(F.avg, numeric_only)
@@ -1826,13 +1833,22 @@ class DataFrame:
         )
 
     def prod(self):
-        return self._reduce_frame(F.product)
+        # pandas prods all-NaN columns to 1 (skipna, min_count=0)
+        return self._reduce_frame(lambda c: F.coalesce(F.product(c), F.lit(1.0)))
 
     def any(self):
-        return self._reduce_frame(lambda c: F.max(c.cast("boolean").cast("int")) == 1, False)
+        # empty-after-skipna identity: False (pandas)
+        return self._reduce_frame(
+            lambda c: F.coalesce(F.max(c.cast("boolean").cast("int")) == 1, F.lit(False)),
+            False,
+        )
 
     def all(self):
-        return self._reduce_frame(lambda c: F.min(c.cast("boolean").cast("int")) == 1, False)
+        # empty-after-skipna identity: True (pandas)
+        return self._reduce_frame(
+            lambda c: F.coalesce(F.min(c.cast("boolean").cast("int")) == 1, F.lit(True)),
+            False,
+        )
 
     def nunique(self):
         return self._reduce_frame(F.countDistinct, numeric_only=False)

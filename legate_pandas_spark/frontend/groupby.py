@@ -36,6 +36,24 @@ _AGG_FNS = {
     "last": F.last,
 }
 
+# pandas reduces with skipna and IDENTITY results for empty-after-skipna
+# groups (sum(min_count=0) -> 0, prod -> 1, any -> False, all -> True);
+# Spark's aggregates return NULL on all-null input. Applied AROUND the full
+# aggregate/window expression (coalesce can't wrap an aggregate before
+# .over()); min/max/mean/var/std stay null (pandas NaN).
+_AGG_EMPTY_IDENTITY = {
+    "sum": 0,
+    "prod": 1.0,
+    "product": 1.0,
+    "any": False,
+    "all": True,
+}
+
+
+def _with_identity(op, expr):
+    iv = _AGG_EMPTY_IDENTITY.get(op) if isinstance(op, str) else None
+    return F.coalesce(expr, F.lit(iv)) if iv is not None else expr
+
 _NUMERIC_ONLY = {"sum", "mean", "avg", "var", "std", "prod", "product"}
 
 
@@ -90,17 +108,17 @@ class GroupBy:
         if named and spec is None:
             exprs = []
             for out_name, (col, op) in named.items():
-                exprs.append(_AGG_FNS[op](F.col(col)).alias(out_name))
+                exprs.append(_with_identity(op, _AGG_FNS[op](F.col(col))).alias(out_name))
             return self._finish(self._df._sdf.groupBy(*self._keys).agg(*exprs))
         if isinstance(spec, str):
             return self._apply_named(spec)
         exprs = []
         for col, ops in spec.items():
             if isinstance(ops, str):
-                exprs.append(_AGG_FNS[ops](F.col(col)).alias(col))
+                exprs.append(_with_identity(ops, _AGG_FNS[ops](F.col(col))).alias(col))
             else:
                 for op in ops:
-                    exprs.append(_AGG_FNS[op](F.col(col)).alias(f"{col}_{op}"))
+                    exprs.append(_with_identity(op, _AGG_FNS[op](F.col(col))).alias(f"{col}_{op}"))
         out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
         return self._finish(out)
 
@@ -114,7 +132,7 @@ class GroupBy:
                 continue
             if op in _NUMERIC_ONLY and not is_numeric_spark_type(dtypes[c]):
                 continue
-            exprs.append(_AGG_FNS[op](F.col(c)).alias(c))
+            exprs.append(_with_identity(op, _AGG_FNS[op](F.col(c))).alias(c))
         if op == "size":
             exprs = [F.count(F.lit(1)).alias("size")]
         if not exprs:
@@ -484,7 +502,7 @@ class GroupBy:
             elif op in _NUMERIC_ONLY and not is_numeric_spark_type(dtypes[c]):
                 continue
             else:
-                expr = fn(F.col(c)).over(w)
+                expr = _with_identity(op, fn(F.col(c)).over(w))
                 if notnull is not None:
                     expr = F.when(notnull, expr)
                 sel.append(expr.alias(c))
@@ -712,7 +730,7 @@ class SeriesGroupBy:
         # and positional ops restore it
         gb._src._sdf = gb._src._ordered_sdf()
         w = Window.partitionBy(*gb._keys)
-        expr = fn(F.col(self._col)).over(w)
+        expr = _with_identity(op, fn(F.col(self._col)).over(w))
         notnull = None
         for k in gb._keys:
             c = F.col(k).isNotNull()
@@ -1147,7 +1165,7 @@ class PivotedGroupBy:
         pivoted = (
             self._gb._df._sdf.groupBy(*self._gb._keys)
             .pivot(self._column, self._values)
-            .agg(_AGG_FNS[op](F.col(col)))
+            .agg(_with_identity(op, _AGG_FNS[op](F.col(col))).alias(col))
         )
         return DataFrame(pivoted, tuple(self._gb._keys) if self._gb._as_index else ())
 

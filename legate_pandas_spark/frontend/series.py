@@ -923,7 +923,8 @@ class Series:
         return self._frame._sdf.select(agg_col.alias("v")).collect()[0][0]
 
     def sum(self):
-        return self._reduce(F.sum(self._col))
+        # pandas sum() of an empty/all-NaN series is 0 (skipna, min_count=0)
+        return self._reduce(F.coalesce(F.sum(self._col), F.lit(0)))
 
     def mean(self):
         return self._reduce(F.avg(self._col))
@@ -944,7 +945,8 @@ class Series:
         return self._reduce(F.stddev_samp(self._col) if ddof == 1 else F.stddev_pop(self._col))
 
     def prod(self):
-        return self._reduce(F.product(self._col))
+        # pandas prod() of an empty/all-NaN series is 1 (skipna, min_count=0)
+        return self._reduce(F.coalesce(F.product(self._col), F.lit(1.0)))
 
     def product(self):
         return self.prod()
@@ -992,7 +994,13 @@ class Series:
         return bool(self._reduce(F.max(self._col.cast("boolean").cast("int"))))
 
     def all(self):
-        return bool(self._reduce(F.min(self._col.cast("boolean").cast("int"))))
+        # empty-after-skipna identity: True (pandas; any()'s False identity
+        # already falls out of bool(None))
+        return bool(
+            self._reduce(
+                F.coalesce(F.min(self._col.cast("boolean").cast("int")), F.lit(1))
+            )
+        )
 
     def nunique(self):
         return self._reduce(F.countDistinct(self._col))
@@ -1185,11 +1193,13 @@ class Series:
         """Multiple reductions in ONE aggregate pass (pandas Series.agg)."""
         import pandas as pd
 
-        from legate_pandas_spark.frontend.groupby import _AGG_FNS
+        from legate_pandas_spark.frontend.groupby import _AGG_FNS, _with_identity
 
         if isinstance(ops, str):
             ops = [ops]
-        exprs = [_AGG_FNS[op](self._col).alias(op) for op in ops]
+        exprs = [
+            _with_identity(op, _AGG_FNS[op](self._col)).alias(op) for op in ops
+        ]
         row = self._frame._sdf.agg(*exprs).collect()[0]
         out = pd.Series({op: row[op] for op in ops})
         return out if len(ops) > 1 else out.iloc[0]
