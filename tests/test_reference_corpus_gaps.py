@@ -62,7 +62,9 @@ def test_filter_to_empty_then_ops(spark):
     empty = l[l["a"] > 100]
     assert len(empty) == 0
     assert len(empty.sort_values("a").head(3)) == 0
-    assert empty["a"].sum() is None  # Spark sum of empty = NULL (pandas: 0) — documented
+    # round-9: empty-after-skipna identity — sum of an empty series is 0
+    # like pandas (was NULL, the old documented divergence, now closed)
+    assert empty["a"].sum() == 0
 
 
 def test_binary_unaligned_raises(spark):
