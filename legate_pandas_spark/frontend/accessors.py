@@ -682,6 +682,116 @@ class CategoricalMethods:
         ).drop(val)
         return self._s._wrap(F.coalesce(F.col(code), F.lit(-1)).cast("int"))
 
+    # -- dictionary editing (pandas .cat mutators; all return new series) ---
+
+    def _declared(self) -> list:
+        """Materialized category list (declared, or inferred via the lazy
+        dictionary — pandas always holds materialized categories)."""
+        return self.categories
+
+    def _with_meta(self, col, categories, ordered) -> "object":
+        from legate_pandas_spark.frontend.dtypes import CatMeta
+
+        out = self._s._wrap(col)
+        out._cat = CatMeta(categories, ordered)
+        return out
+
+    @property
+    def ordered(self) -> bool:
+        return bool(self._s._cat is not None and self._s._cat.ordered)
+
+    def as_ordered(self):
+        return self._with_meta(self._s._col, self._declared(), True)
+
+    def as_unordered(self):
+        return self._with_meta(self._s._col, self._declared(), False)
+
+    def add_categories(self, new_categories):
+        """Append categories (values unchanged) — pandas cat.add_categories."""
+        if isinstance(new_categories, str):
+            new_categories = [new_categories]
+        cats = self._declared()
+        dup = set(new_categories) & set(cats)
+        if dup:
+            raise ValueError(
+                f"new categories must not include old categories: {dup}"
+            )
+        return self._with_meta(
+            self._s._col, cats + list(new_categories), self.ordered
+        )
+
+    def remove_categories(self, removals):
+        """Drop categories; values in them become null — pandas
+        cat.remove_categories."""
+        if isinstance(removals, str):
+            removals = [removals]
+        cats = self._declared()
+        bad = set(removals) - set(cats)
+        if bad:
+            raise ValueError(f"removals must all be in old categories: {bad}")
+        keep = [c for c in cats if c not in set(removals)]
+        col = F.when(self._s._col.isin(list(removals)), F.lit(None)).otherwise(
+            self._s._col
+        )
+        return self._with_meta(col, keep, self.ordered)
+
+    def remove_unused_categories(self):
+        """Drop declared categories not present in the data (one distinct
+        collect over the dictionary-sized value domain)."""
+        cats = self._declared()
+        val = "__cat_used__"
+        used = {
+            r[val]
+            for r in self._s._frame._sdf.select(self._s._col.alias(val))
+            .filter(F.col(val).isNotNull())
+            .distinct()
+            .collect()
+        }
+        return self._with_meta(
+            self._s._col, [c for c in cats if c in used], self.ordered
+        )
+
+    def rename_categories(self, new_categories):
+        """Rename categories AND the values (dict or positional list) —
+        pandas cat.rename_categories."""
+        cats = self._declared()
+        if isinstance(new_categories, dict):
+            renamed = [new_categories.get(c, c) for c in cats]
+        else:
+            new_categories = list(new_categories)
+            if len(new_categories) != len(cats):
+                raise ValueError(
+                    "new categories need to have the same number of items as "
+                    f"the old categories! ({len(new_categories)} vs {len(cats)})"
+                )
+            renamed = new_categories
+        if len(set(renamed)) != len(renamed):
+            raise ValueError("Categorical categories must be unique")
+        mapping = {c: r for c, r in zip(cats, renamed) if c != r}
+        col = self._s._col
+        if mapping:
+            old_arr = F.lit(list(mapping))
+            new_arr = F.lit([mapping[c] for c in mapping])
+            pos = F.array_position(old_arr, col)
+            col = F.when(pos > 0, F.element_at(new_arr, pos.cast("int"))).otherwise(
+                col
+            )
+        return self._with_meta(col, renamed, self.ordered)
+
+    def reorder_categories(self, new_categories, ordered=None):
+        """Same category set in a new order — pandas cat.reorder_categories."""
+        cats = self._declared()
+        new_categories = list(new_categories)
+        if sorted(new_categories) != sorted(cats):
+            raise ValueError(
+                "items in new_categories are not the same as in old categories"
+            )
+        return self._with_meta(
+            self._s._col,
+            new_categories,
+            self.ordered if ordered is None else bool(ordered),
+        )
+
 
 class DatetimeMethods:
     def __init__(self, series):

@@ -136,3 +136,68 @@ def test_sort_values_frame_categorical_key(spark):
     got = ldf.sort_values("size").to_pandas().reset_index(drop=True)
     want = pdf.astype({"size": cat}).sort_values("size").reset_index(drop=True)
     assert got["size"].astype(str).tolist() == want["size"].astype(str).tolist()
+
+
+def test_cat_dictionary_mutators_match_pandas(spark):
+    """Round-9: add/remove/rename/reorder_categories, as_ordered/unordered,
+    remove_unused_categories — differential vs real pandas (values AND
+    resulting dtype)."""
+    strs = ["b", "a", "c", "b", None, "a"]
+    pdf = pd.DataFrame({"c": strs})
+    ldf = lps.from_pandas(pdf, spark=spark)
+    lcat = ldf["c"].astype("category")
+    pcat = pdf["c"].astype("category")
+
+    got = lcat.cat.add_categories(["z", "y"]).to_pandas()
+    want = pcat.cat.add_categories(["z", "y"])
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+
+    got = lcat.cat.remove_categories("b").to_pandas()
+    want = pcat.cat.remove_categories("b")
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+
+    got = lcat.cat.rename_categories({"a": "alpha", "c": "gamma"}).to_pandas()
+    want = pcat.cat.rename_categories({"a": "alpha", "c": "gamma"})
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+
+    got = lcat.cat.rename_categories(["x", "y", "z"]).to_pandas()
+    want = pcat.cat.rename_categories(["x", "y", "z"])
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+
+    got = lcat.cat.reorder_categories(["c", "a", "b"], ordered=True).to_pandas()
+    want = pcat.cat.reorder_categories(["c", "a", "b"], ordered=True)
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+    assert lcat.cat.reorder_categories(["c", "a", "b"], ordered=True).cat.ordered
+
+    ordered = lcat.cat.as_ordered()
+    assert ordered.cat.ordered and not ordered.cat.as_unordered().cat.ordered
+
+    # unused category dropped, used ones kept
+    declared = lcat.cat.add_categories("zz")
+    got = declared.cat.remove_unused_categories().to_pandas()
+    want = pcat.cat.add_categories("zz").cat.remove_unused_categories()
+    _series_equal(got, want)
+    assert got.dtype == want.dtype
+
+    # error modes match pandas
+    with pytest.raises(ValueError, match="must not include old"):
+        lcat.cat.add_categories("a")
+    with pytest.raises(ValueError):
+        pcat.cat.add_categories("a")
+    with pytest.raises(ValueError, match="in old categories"):
+        lcat.cat.remove_categories("nope")
+    with pytest.raises(ValueError):
+        pcat.cat.remove_categories("nope")
+    with pytest.raises(ValueError, match="not the same as"):
+        lcat.cat.reorder_categories(["a", "b"])
+    with pytest.raises(ValueError):
+        pcat.cat.reorder_categories(["a", "b"])
+    with pytest.raises(ValueError, match="unique"):
+        lcat.cat.rename_categories(["x", "x", "y"])
+    with pytest.raises(ValueError):
+        pcat.cat.rename_categories(["x", "x", "y"])
