@@ -513,6 +513,105 @@ class StringMethods:
         """Position of substring (0-based; -1 if absent) — pandas str.find."""
         return self._wrap((F.instr(self._s._col, sub) - 1).cast("long"))
 
+    def rfind(self, sub: str):
+        """Position of the LAST occurrence (0-based; -1 if absent) — pandas
+        str.rfind. locate() on the reversed pair finds the last match without
+        regex: rfind = len(s) - loc_in_reverse - len(sub) + 1."""
+        c = self._s._col
+        loc = F.locate(sub[::-1], F.reverse(c))
+        return self._wrap(
+            F.when(loc > 0, F.length(c) - loc - (len(sub) - 1))
+            .when(c.isNotNull(), F.lit(-1))  # null input propagates (pandas NaN)
+            .cast("long")
+        )
+
+    def index(self, sub: str):
+        """Like find but RAISES when absent (pandas str.index; the error
+        surfaces at action time, when pandas would raise at compute)."""
+        c = self._s._col
+        pos = F.instr(c, sub)
+        return self._wrap(
+            F.when(pos > 0, (pos - 1).cast("long")).otherwise(
+                F.raise_error(F.lit("substring not found"))
+            )
+        )
+
+    def rindex(self, sub: str):
+        """Like rfind but RAISES when absent (pandas str.rindex)."""
+        c = self._s._col
+        loc = F.locate(sub[::-1], F.reverse(c))
+        return self._wrap(
+            F.when(loc > 0, (F.length(c) - loc - (len(sub) - 1)).cast("long"))
+            .otherwise(F.raise_error(F.lit("substring not found")))
+        )
+
+    def repeat(self, repeats: int):
+        """Element-wise string repetition (pandas str.repeat, scalar form)."""
+        return self._wrap(F.repeat(self._s._col, int(repeats)))
+
+    def isdecimal(self):
+        """Unicode decimal digits only (category Nd) — pandas str.isdecimal."""
+        c = self._s._col
+        return self._wrap_pred(
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{Nd}+$"))
+        )
+
+    def isnumeric(self):
+        """Unicode numeric characters (categories Nd/Nl/No) — pandas
+        str.isnumeric (accepts e.g. superscripts and vulgar fractions that
+        isdecimal rejects)."""
+        c = self._s._col
+        return self._wrap_pred(
+            null_compare_false((F.length(c) > 0) & c.rlike(r"^\p{N}+$"))
+        )
+
+    def isspace(self):
+        """Whitespace-only strings — pandas str.isspace (Unicode
+        White_Space binary property, which Java regex exposes directly)."""
+        c = self._s._col
+        return self._wrap_pred(
+            null_compare_false(
+                (F.length(c) > 0) & c.rlike(r"^\p{IsWhite_Space}+$")
+            )
+        )
+
+    def rpartition(self, sep: str = " "):
+        """3-column frame (before, sep, after) split at the LAST separator;
+        no separator → ('', '', whole) like pandas (pandas str.rpartition).
+        Same instr+substring discipline as partition, on the rfind offset."""
+        from legate_pandas_spark.frontend.frame import DataFrame
+
+        frame = self._s._frame
+        c = self._s._col
+        loc = F.locate(sep[::-1], F.reverse(c))
+        pos = F.length(c) - loc - (len(sep) - 2)  # 1-based sep start
+        found = loc > 0
+        sdf0 = frame._ordered_sdf()
+        keep = list(frame._index) + [
+            k for k in sdf0.columns if k.startswith("__") and k.endswith("__")
+        ]
+        sdf = sdf0.select(
+            *[F.col(k) for k in keep],
+            # null input propagates to all three columns (pandas NaN row)
+            F.when(found, F.substring(c, 1, pos - 1))
+            .when(c.isNotNull(), F.lit(""))
+            .alias("0"),
+            F.when(found, F.lit(sep)).when(c.isNotNull(), F.lit("")).alias("1"),
+            F.when(found, F.substring(c, pos + len(sep), F.length(c)))
+            .otherwise(c)
+            .alias("2"),
+        )
+        return DataFrame(sdf, frame._index)
+
+    def encode(self, encoding: str = "utf-8"):
+        """String → bytes (pandas str.encode); utf-8/utf-16/us-ascii etc. via
+        Spark's encode."""
+        return self._wrap(F.encode(self._s._col, encoding))
+
+    def decode(self, encoding: str = "utf-8"):
+        """Bytes → string (pandas str.decode) via Spark's decode."""
+        return self._wrap(F.decode(self._s._col, encoding))
+
     def translate(self, table: dict):
         """pandas str.translate: per-character mapping (str.maketrans-style
         dict of codepoint/char → char/str/None; None deletes). Compiles to a

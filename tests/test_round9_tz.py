@@ -151,3 +151,52 @@ def test_reorder_levels_matches_pandas(spark):
         ldf.reorder_levels([0, 1])
     with pytest.raises(NotImplementedError, match="repeated"):
         ldf.reorder_levels([0, 0, 1])
+
+
+def test_str_batch_round9_matches_pandas(spark):
+    """rfind/index/rindex/repeat/isdecimal/isnumeric/isspace/rpartition/
+    encode — differential vs real pandas."""
+    vals = ["ab_cd_ef", "xx", "_lead", "trail_", "", " \t ", "1234", "¼2",
+            "²", "a_b", None]
+    pdf = pd.DataFrame({"s": vals})
+    ldf = lps.from_pandas(pdf, spark=spark)
+
+    got = ldf["s"].str.rfind("_").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.rfind("_")
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+
+    got = ldf["s"].str.repeat(3).to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.repeat(3)
+    assert got.fillna("@").tolist() == want.fillna("@").tolist()
+
+    for op in ["isdecimal", "isnumeric", "isspace"]:
+        got = getattr(ldf["s"].str, op)().to_pandas().reset_index(drop=True)
+        want = getattr(pdf["s"].str, op)()
+        # facade predicates are non-nullable (null -> False, the engine's
+        # documented mask contract); pandas keeps None
+        assert got.tolist() == [bool(x) if x is not None else False for x in want.tolist()], op
+
+    got = ldf["s"].str.rpartition("_").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.rpartition("_")
+    for i in range(3):
+        g = got[str(i)].fillna("@").tolist()
+        w = want[i].fillna("@").tolist()
+        assert g == w, f"rpartition col {i}: {g} vs {w}"
+
+    got = ldf["s"].str.encode("utf-8").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.encode("utf-8")
+    assert got.fillna(b"@").tolist() == want.fillna(b"@").tolist()
+
+    # index/rindex: found rows compute, a missing row raises at action time
+    ok = lps.from_pandas(pd.DataFrame({"s": ["ab_cd", "_x"]}), spark=spark)
+    assert ok["s"].str.index("_").to_pandas().tolist() == \
+        pd.Series(["ab_cd", "_x"]).str.index("_").tolist()
+    assert ok["s"].str.rindex("_").to_pandas().tolist() == \
+        pd.Series(["ab_cd", "_x"]).str.rindex("_").tolist()
+    bad = lps.from_pandas(pd.DataFrame({"s": ["nope"]}), spark=spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="substring not found"):
+        bad["s"].str.index("_").to_pandas()
+    with _pytest.raises(ValueError, match="substring not found"):
+        pd.Series(["nope"]).str.index("_")
