@@ -121,7 +121,9 @@ HEADLINE = [
     "ingest_tag_report",
     "approx_distinct_orders",
     # round 9 (cont. 2): CCNet-style hashed-bigram LM quality filter
+    # + the timezone-aware local-day rollup
     "perplexity_lm_filter",
+    "events_local_day_rollup",
 ]
 
 

@@ -613,3 +613,48 @@ def percentile_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY value)").alias("p50"),
         F.expr("percentile_disc(0.9)  WITHIN GROUP (ORDER BY value)").alias("p90"),
     )
+
+
+_TZ_ROLLUP = "America/New_York"
+
+
+@query(
+    "events_local_day_rollup",
+    oracle=f"""
+    SELECT strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE '{_TZ_ROLLUP}',
+                    '%Y-%m-%d') AS local_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-local-calendar-day event rollup in a business timezone: event
+    timestamps are stored as UTC instants (the warehouse convention); the
+    daily report groups by the LOCAL New York date — the day boundary
+    shifts 4/5 hours off UTC and moves with DST, which a naive date_trunc
+    on the raw timestamp gets wrong twice a year. Both engines convert
+    through the same IANA zone rules (JVM / ICU), and the measure sums in
+    integer cents (floor(x·100+0.5), pure IEEE — the at-scale rounding
+    discipline), so the row set is value-hash exact.
+
+    100 TB shape: the zone conversion is a pure per-row expression inside
+    the scan projection; the rollup is one partial+final hash aggregate on
+    (local_date, event_type) — day-grain cardinality, no skew."""
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    local = F.from_utc_timestamp(F.col("ts"), _TZ_ROLLUP)
+    return (
+        events.select(
+            F.date_format(local, "yyyy-MM-dd").alias("local_date"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("local_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+    )
