@@ -124,6 +124,7 @@ HEADLINE = [
     # + the timezone-aware local-day rollup
     "perplexity_lm_filter",
     "events_local_day_rollup",
+    "bpe_merge_learn",
 ]
 
 

@@ -994,3 +994,130 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("raw"), 4).alias("score"),
         )
     )
+
+
+# --- BPE merge learning -----------------------------------------------------
+#
+# Symbol strings are '<SEP>'-framed ('·a·b·c·' for "abc"); a merge (a, b) is
+# applied with three LITERAL replaces: double every separator ('··a··b··'),
+# replace '·a··b·' -> '·ab·', collapse '··' -> '·'. In the doubled form each
+# boundary is '··' and the pattern consumes only the INNER separator on each
+# side, so the outer '·' stays available to the neighboring occurrence —
+# left-to-right non-overlapping replace then merges exactly the pairs greedy
+# BPE merges, including odd runs of a self-pair ('aaaaa' -> aa,aa,a; a naive
+# framed two-pass replace gets aa,a,aa there because the consumed trailing
+# separator shifts the merge parity — caught by the hypothesis fuzz in
+# tests/test_round9_bpe.py). The pattern cannot match inside a multi-char
+# symbol ('·' before/after 'a' forces 'a' to be a whole symbol), a merged
+# symbol cannot re-match (it is no longer the single symbol 'a'), and the
+# replacement keeps every boundary at exactly '··', so the final collapse
+# never sees runs of 3+ separators.
+_BPE_SEP = "·"  # '·' — cannot occur in '[a-z]+' pre-tokenized words
+
+_BPE_MERGE_ORACLE = f"""
+WITH wf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents)
+    GROUP BY w
+),
+sym0 AS (
+    SELECT freq, '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
+    FROM wf
+),
+p1 AS (
+    SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
+    FROM (
+        SELECT freq,
+               unnest(list_transform(range(2, len(arr) - 1),
+                                     i -> [arr[i], arr[i + 1]])) AS pr
+        FROM (SELECT freq, string_split(s, '{_BPE_SEP}') AS arr FROM sym0)
+    )
+    GROUP BY pa, pb
+),
+best1 AS (SELECT pa, pb FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+sym1 AS (
+    SELECT freq,
+           replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                           '{_BPE_SEP}' || pa || '{_BPE_SEP}{_BPE_SEP}' || pb || '{_BPE_SEP}',
+                           '{_BPE_SEP}' || pa || pb || '{_BPE_SEP}'),
+                   '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+    FROM sym0 CROSS JOIN best1
+),
+p2 AS (
+    SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
+    FROM (
+        SELECT freq,
+               unnest(list_transform(range(2, len(arr) - 1),
+                                     i -> [arr[i], arr[i + 1]])) AS pr
+        FROM (SELECT freq, string_split(s, '{_BPE_SEP}') AS arr FROM sym1)
+    )
+    GROUP BY pa, pb
+),
+t1 AS (SELECT CAST(1 AS INTEGER) AS step, pa, pb, n
+       FROM p1 ORDER BY n DESC, pa, pb LIMIT 10),
+t2 AS (SELECT CAST(2 AS INTEGER) AS step, pa, pb, n
+       FROM p2 ORDER BY n DESC, pa, pb LIMIT 10)
+SELECT * FROM t1 UNION ALL SELECT * FROM t2
+"""
+
+
+def _bpe_pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    ``sym`` is (freq, s) with s a separator-framed symbol string. Pairing is
+    zip_with over two slices (NOT transform + element_at — see
+    ngram_top_bigrams: Catalyst inlines the split into every lambda
+    reference, making element_at O(symbols²) per word)."""
+    arr = F.split(F.col("s"), _BPE_SEP)
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 2, n - 3),
+        F.slice(arr, 3, n - 3),
+        lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+    )
+    exploded = outer_explode(sym.select("freq", pairs.alias("prs")), F.col("prs"), "pr", "freq")
+    return exploded.groupBy(
+        F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb")
+    ).agg(F.sum("freq").cast("bigint").alias("n"))
+
+
+@query("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)
+def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, one full merge-learning round plus the
+    recount that ranks the next round's candidates (Sennrich et al. 2016;
+    the merge-application trick is documented at _BPE_SEP above).
+
+    Scale shape (the HuggingFace-trainer structure): the ONLY corpus-sized
+    work is the pre-tokenize + word-count shuffle; symbol splitting, pair
+    counting, the argmax, and merge application all run on the DISTINCT-word
+    table (vocab-sized — bounded by language, not corpus). The chosen merge
+    joins back as a broadcast of a 1-row TakeOrderedAndProject, so adding
+    merge rounds never re-touches the corpus. All counts are BIGINT sums of
+    exact word frequencies — no float drift at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = outer_explode(
+        docs, F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0), "w"
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    sym0 = wf.select(
+        "freq",
+        F.concat(
+            F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+        ).alias("s"),
+    )
+    sym0 = sym0.persist()  # vocab-sized; consumed by p1 and the merge pass
+    p1 = _bpe_pair_counts(sym0)
+    best1 = p1.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(1).select("pa", "pb")
+    sep, sep2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP + _BPE_SEP)
+    pat = F.concat(sep, F.col("pa"), sep2, F.col("pb"), sep)
+    rep = F.concat(sep, F.col("pa"), F.col("pb"), sep)
+    sym1 = sym0.crossJoin(F.broadcast(best1)).select(
+        "freq",
+        F.replace(F.replace(F.replace(F.col("s"), sep, sep2), pat, rep), sep2, sep).alias("s"),
+    )
+    p2 = _bpe_pair_counts(sym1)
+    t1 = p1.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(10)
+    t2 = p2.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(10)
+    step = lambda k, d: d.select(F.lit(k).cast("int").alias("step"), "pa", "pb", "n")
+    return step(1, t1).unionAll(step(2, t2))

@@ -1,0 +1,129 @@
+"""bpe_merge_learn: the two-pass literal-replace merge trick vs a true
+left-to-right BPE merge (pure-Python reference), property-fuzzed; plus a
+Spark end-to-end differential on an adversarial repeated-pair corpus."""
+
+import os
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SEP = "·"
+
+
+def _frame(symbols):
+    return SEP + SEP.join(symbols) + SEP
+
+
+def _replace_merge(s, a, b):
+    # Python str.replace is left-to-right non-overlapping — the same contract
+    # as Spark F.replace and DuckDB replace(). Mirror of the engine's
+    # doubled-separator scheme (textops._BPE_SEP comment): double separators,
+    # replace '·a··b·' -> '·ab·', collapse '··' -> '·'.
+    pat, rep = SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP
+    return s.replace(SEP, SEP + SEP).replace(pat, rep).replace(SEP + SEP, SEP)
+
+
+def _bpe_merge(symbols, a, b):
+    """True BPE merge application: greedy left-to-right over the symbol list."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _pair_counts(word_freqs, split):
+    counts = {}
+    for w, f in word_freqs.items():
+        syms = split(w)
+        for x, y in zip(syms, syms[1:]):
+            counts[(x, y)] = counts.get((x, y), 0) + f
+    return counts
+
+
+SYMS = st.sampled_from(["a", "b", "c", "ab", "ba", "aa", "bb", "abc"])
+
+
+@settings(max_examples=2000, deadline=None)
+@given(st.lists(SYMS, min_size=0, max_size=12), SYMS, SYMS)
+def test_replace_merge_is_exact_bpe_merge(symbols, a, b):
+    got = _replace_merge(_frame(symbols), a, b)
+    want = _frame(_bpe_merge(symbols, a, b))
+    assert got == want
+
+
+def _py_bpe_round(texts, topk=10):
+    """Pure-Python reference of the whole bpe_merge_learn catalog query."""
+    import re
+
+    wf = {}
+    for t in texts:
+        for w in re.findall(r"[a-z]+", (t or "").lower()):
+            wf[w] = wf.get(w, 0) + 1
+    splits = {w: list(w) for w in wf}
+    p1 = _pair_counts(wf, lambda w: splits[w])
+    if not p1:
+        return []
+    rank = lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    (ba, bb), _ = sorted(p1.items(), key=rank)[0]
+    splits = {w: _bpe_merge(s, ba, bb) for w, s in splits.items()}
+    p2 = _pair_counts(wf, lambda w: splits[w])
+    rows = []
+    for step, p in ((1, p1), (2, p2)):
+        for (pa, pb), n in sorted(p.items(), key=rank)[:topk]:
+            rows.append((step, pa, pb, n))
+    return rows
+
+
+def test_bpe_merge_learn_adversarial_corpus(spark, tmp_path):
+    """Consecutive / overlapping pair occurrences ('aaaa', 'ababab') are the
+    exact inputs where a naive one-pass replace diverges from BPE."""
+    texts = [
+        "aaaa aaa aa a ababab abab ab",
+        "banana bananas ana anana",
+        "aaaa AAAA a4a a-a",  # pre-tokenizer: lowercase, [a-z]+ runs only
+        "zzz zz zzzz zzzzzz",
+        None,
+        "",
+        "mississippi miss issi ppi pp",
+        "ababababababab bababa",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    d = tmp_path / "corpus"
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["bpe_merge_learn"](spark, str(d)).toPandas()
+    got = sorted(map(tuple, out[["step", "pa", "pb", "n"]].itertuples(index=False)))
+    want = sorted(_py_bpe_round(texts))
+    assert got == want
+
+
+def test_bpe_merge_learn_plan_shape(spark, sf_dir):
+    """The chosen merge must join back as a broadcast of a 1-row
+    TakeOrderedAndProject — adding merge rounds must not re-shuffle the
+    corpus."""
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["bpe_merge_learn"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
