@@ -125,6 +125,7 @@ HEADLINE = [
     "perplexity_lm_filter",
     "events_local_day_rollup",
     "bpe_merge_learn",
+    "scd2_user_type_history",
 ]
 
 

@@ -658,3 +658,67 @@ def events_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("value_cents"),
         )
     )
+
+
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               (row_number() OVER w = 1) AS is_first
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE is_first OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type,
+           valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (Kimball dimension modeling):
+    collapse each user's event stream into its event_type CHANGE history with
+    [valid_from, valid_to) effective ranges, a per-user version number, and an
+    is_current flag — the change-data-capture shape that turns an append-only
+    event log into a point-in-time joinable dimension table.
+
+    Scale shape: ONE hash exchange on user_id serves all three window passes
+    (lag change detection, then lead/row_number over the filtered change
+    rows — same partitioning, no reshuffle; plan-pinned in
+    test_round9_scd2.py). The change filter runs BEFORE the second window, so
+    the versioning pass sees only change rows (bounded by attribute churn,
+    not event volume). Total order inside a user is (ts, event_id) — the
+    event_id tiebreak makes same-timestamp flips deterministic cross-engine.
+    Null-safe change compare: a null event_type is a real dimension state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    is_first = F.row_number().over(w) == 1
+    changes = (
+        ev.withColumn("prev_type", prev)
+        .withColumn("is_first", is_first)
+        .filter(F.col("is_first") | ~F.col("event_type").eqNullSafe(F.col("prev_type")))
+        .select("user_id", "event_id", F.col("ts").alias("valid_from"), "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -16,11 +16,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 def _events_raw_schema(directory: str):
@@ -300,4 +302,88 @@ def topk_event_type_leaderboard(events: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy(F.desc("total_value"), F.asc("event_type"))
         .limit(k)
+    )
+
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_is_null", BooleanType()),
+        StructField("version", LongType()),
+    ]
+)
+_SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+    ]
+)
+
+
+def scd2_change_capture_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``scd2_user_type_history`` catalog query:
+    per-user SCD2 change capture — emit one row per event_type CHANGE with its
+    version number and valid_from instant, carrying (last_type, version) state
+    across micro-batches via applyInPandasWithState.
+
+    valid_to / is_current are properties of the NEXT change by definition, so
+    a streaming SCD2 sink closes the previous version when the next change row
+    arrives (standard CDC merge); the stage therefore emits exactly the batch
+    query's (user_id, version, event_type, valid_from) rows. A null
+    event_type is a REAL dimension state (null-safe compare, like the batch
+    eqNullSafe) — tracked with an explicit is_null flag because the state
+    store cannot distinguish null-string from absent otherwise. Rows are
+    ordered (ts, event_id) within each batch; state is one row per user, so
+    the store is bounded by the user population, not event volume."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_type, last_is_null, version = state.get
+            seen = True
+        else:
+            last_type, last_is_null, version = None, True, 0
+            seen = False
+        frames = [pdf for pdf in pdf_iter]
+        out_v, out_t, out_ts = [], [], []
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for t, ts in zip(batch["event_type"], batch["ts"]):
+                cur_is_null = pd.isna(t)
+                cur = None if cur_is_null else str(t)
+                if (
+                    not seen
+                    or cur_is_null != last_is_null
+                    or (not cur_is_null and cur != last_type)
+                ):
+                    version += 1
+                    out_v.append(version)
+                    out_t.append(cur)
+                    out_ts.append(ts)
+                seen = True
+                last_type, last_is_null = cur, cur_is_null
+        state.update((last_type, bool(last_is_null), version))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_v),
+                "version": out_v,
+                "event_type": out_t,
+                "valid_from": out_ts,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SCD2_OUTPUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
