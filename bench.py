@@ -126,6 +126,8 @@ HEADLINE = [
     "events_local_day_rollup",
     "bpe_merge_learn",
     "scd2_user_type_history",
+    "triangle_count_copurchase",
+    "hard_negative_mining",
 ]
 
 

@@ -1229,3 +1229,89 @@ def ann_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sample, halving the corpus x Q exact pass while estimating the
     same recall (the exact form above stays as its oracle twin)."""
     return _recall_eval(spark, sf_dir, _RECALL_SAMPLE_FRACTION)
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+                FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+               round(list_dot_product(e.v, a.av)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(a.av, a.av))), 4) AS sim
+        FROM e JOIN anchors a ON e.vec_id <> a.anchor_id
+    ),
+    hp AS (
+        SELECT anchor_id, max(sim) AS hardest_pos
+        FROM scored WHERE label = a_label GROUP BY anchor_id
+    ),
+    negs AS (
+        SELECT s.anchor_id, s.vec_id AS neg_id, s.sim,
+               row_number() OVER (PARTITION BY s.anchor_id
+                                  ORDER BY s.sim DESC, s.vec_id) AS rank
+        FROM scored s WHERE s.label <> s.a_label
+    )
+    SELECT n.anchor_id, CAST(n.rank AS INTEGER) AS rank, n.neg_id,
+           n.sim AS cosine_sim,
+           (n.sim < h.hardest_pos) AS semi_hard
+    FROM negs n JOIN hp h ON h.anchor_id = n.anchor_id
+    WHERE n.rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (Schroff et al. 2015,
+    FaceNet): per anchor, the top-5 most-similar DIFFERENT-label vectors,
+    flagged semi-hard when the negative is still farther than the anchor's
+    hardest positive (the band triplet loss actually trains on).
+
+    ONE broadcast pass over the corpus scores every (vector, anchor) pair;
+    the same scored relation feeds both the hardest-positive aggregate
+    (same-label max — anchor-count-sized) and the negative ranking window
+    (per-anchor, parallel across anchors). Nothing corpus-sized shuffles
+    twice: the cross-score is persisted and consumed by both branches. The
+    semi_hard flag compares 4dp-rounded similarities (round is monotone, so
+    round(max) == max(round) — cross-engine exact)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("av")), 4).alias("sim"),
+        )
+    ).persist()
+    hp = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .groupBy("anchor_id")
+        .agg(F.max("sim").alias("hardest_pos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    negs = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    return negs.join(F.broadcast(hp), "anchor_id").select(
+        "anchor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("sim").alias("cosine_sim"),
+        (F.col("sim") < F.col("hardest_pos")).alias("semi_hard"),
+    )

@@ -93,6 +93,15 @@ QUERIES = [
     "bm25_bench_retrieval",
     "ingest_tag_report",
     "approx_distinct_orders",
+    # round 9 (session 2+): LM-quality filter, tz rollup, tokenizer training,
+    # CDC dimension build — events grow 10x (scd2 change volume follows),
+    # documents grow 10x (bpe word-count pass; the vocab-sized merge side is
+    # fixed by construction)
+    "perplexity_lm_filter",
+    "events_local_day_rollup",
+    "bpe_merge_learn",
+    "scd2_user_type_history",
+    "triangle_count_copurchase",
 ]
 
 SHIFT_KEYS = {
