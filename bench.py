@@ -128,6 +128,8 @@ HEADLINE = [
     "scd2_user_type_history",
     "triangle_count_copurchase",
     "hard_negative_mining",
+    "bpe_encode_corpus",
+    "countmin_token_freq",
 ]
 
 

@@ -343,3 +343,123 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("hll_ok"),
     )
+
+
+_CM_D = 4  # count-min hash rows
+_CM_W = 1024  # counters per row
+
+
+def _cm_bucket_expr(d: int, col):
+    """Deterministic salted md5 bucket in [0, _CM_W) — the _dsir_bucket
+    convention; the single definition shared by the batch sketch, the probe
+    side, and the streaming counter stage (they MUST hash identically or the
+    est >= exact guarantee breaks)."""
+    salted = F.concat(F.lit(str(d)), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(salted), 1, 6), 16, 10).cast("bigint") % _CM_W
+
+
+def _cm_db_structs(col):
+    """(hash row, bucket) pairs for one token column, exploded."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("bigint").alias("d"),
+                    _cm_bucket_expr(d, col).alias("b"),
+                )
+                for d in range(_CM_D)
+            ]
+        )
+    )
+
+
+def cm_counter_table(tok: DataFrame) -> DataFrame:
+    """d x w count-min counter table from a token column 'w' — a BOUNDED
+    (<= _CM_D * _CM_W rows) mergeable aggregate, legal as a streaming
+    complete/update-mode aggregate with no watermark (streaming/documents.py
+    countmin_counters_stream reuses it verbatim)."""
+    hashed = tok.select(_cm_db_structs(F.col("w")).alias("db"))
+    return hashed.groupBy(
+        F.col("db.d").alias("d"), F.col("db.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+
+@query(
+    "countmin_token_freq",
+    oracle=f"""
+    WITH tok AS (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    top10 AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 10),
+    hrows AS (SELECT d FROM range({_CM_D}) t(d)),
+    counters AS (
+        SELECT d,
+               ('0x' || substr(md5(d::VARCHAR || ':' || w), 1, 6))::BIGINT
+                   % {_CM_W} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM tok CROSS JOIN hrows
+        GROUP BY d, b
+    ),
+    est AS (
+        SELECT t.w, t.n, min(c.c) AS cm_est
+        FROM top10 t
+        CROSS JOIN hrows h
+        JOIN counters c
+          ON c.d = h.d
+         AND c.b = ('0x' || substr(md5(h.d::VARCHAR || ':' || t.w), 1, 6))::BIGINT
+                   % {_CM_W}
+        GROUP BY t.w, t.n
+    )
+    SELECT w AS token, n AS exact_n, cm_est,
+           (cm_est >= n) AS sketch_upper_bound
+    FROM est
+    """,
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    for the corpus token stream, checked against exact counts on the top-10
+    heavy hitters — the mergeable-sketch twin of approx_distinct_orders for
+    COUNTS instead of cardinality.
+
+    The sketch is d=4 hash rows x w=1024 counters: per-token bucket
+    ids are deterministic md5 arithmetic (the _dsir_bucket convention, exact
+    in both engines), the counter table is map-side combinable and BOUNDED at
+    d*w rows no matter the corpus size (the 100 TB shape: each executor folds
+    its partition into 4096 integers, one tiny shuffle merges them — this is
+    what makes the sketch streamable and cross-shard mergeable). The exact
+    top-10 pass exists only as the verification contract; est >= true always
+    holds (min over rows of non-negative-biased counters), and every value is
+    a deterministic BIGINT so the whole row set is value-hash exact — a
+    stronger check than a tolerance bound."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    from legate_pandas_spark.operators import outer_explode
+
+    tok = outer_explode(
+        docs, F.split(F.trim(F.col("text")), r"\s+"), "w"
+    ).filter(F.col("w") != "")
+    tok = tok.persist()  # consumed by the exact pass and the sketch pass
+
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top10 = cnt.orderBy(F.desc("n"), F.asc("w")).limit(10)
+
+    counters = cm_counter_table(tok)
+
+    probes = top10.select(
+        "w", "n", _cm_db_structs(F.col("w")).alias("db")
+    ).select("w", "n", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("w", "n")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("n").alias("exact_n"),
+        "cm_est",
+        (F.col("cm_est") >= F.col("n")).alias("sketch_upper_bound"),
+    )

@@ -1014,6 +1014,50 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never sees runs of 3+ separators.
 _BPE_SEP = "·"  # '·' — cannot occur in '[a-z]+' pre-tokenized words
 
+
+
+def _bpe_oracle_rounds(k: int) -> str:
+    """CTE chain for k learned merges (p1/best1/sym1/.../symk over a sym0 of
+    (w, freq, s)), mirroring the doubled-separator merge application
+    documented at _BPE_SEP. best{r} carries a no-op SENTINEL pair ('', '')
+    ranked below every real pair: its pattern '····' contains an empty
+    symbol, which never occurs, so when the vocabulary runs out of mergeable
+    pairs the merge is a no-op instead of the CROSS JOIN of an empty argmax
+    annihilating the symbol table (review finding: 'ab ab ab' exhausts pairs
+    after one merge)."""
+    S = _BPE_SEP
+    parts = []
+    for r in range(1, k + 1):
+        parts.append(
+            f"""
+p{r} AS (
+    SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
+    FROM (
+        SELECT freq,
+               unnest(list_transform(range(2, len(arr) - 1),
+                                     i -> [arr[i], arr[i + 1]])) AS pr
+        FROM (SELECT freq, string_split(s, '{S}') AS arr FROM sym{r - 1})
+    )
+    GROUP BY pa, pb
+),
+best{r} AS (
+    SELECT pa, pb FROM (
+        SELECT pa, pb, n FROM p{r}
+        UNION ALL SELECT '', '', CAST(-1 AS BIGINT)
+    ) ORDER BY n DESC, pa, pb LIMIT 1
+),
+sym{r} AS (
+    SELECT w, freq,
+           replace(replace(replace(s, '{S}', '{S}{S}'),
+                           '{S}' || pa || '{S}{S}' || pb || '{S}',
+                           '{S}' || pa || pb || '{S}'),
+                   '{S}{S}', '{S}') AS s
+    FROM sym{r - 1} CROSS JOIN best{r}
+)"""
+        )
+    return ",".join(parts)
+
+
 _BPE_MERGE_ORACLE = f"""
 WITH wf AS (
     SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -1022,44 +1066,18 @@ WITH wf AS (
     GROUP BY w
 ),
 sym0 AS (
-    SELECT freq, '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
+    SELECT w, freq,
+           '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
     FROM wf
 ),
-p1 AS (
-    SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
-    FROM (
-        SELECT freq,
-               unnest(list_transform(range(2, len(arr) - 1),
-                                     i -> [arr[i], arr[i + 1]])) AS pr
-        FROM (SELECT freq, string_split(s, '{_BPE_SEP}') AS arr FROM sym0)
-    )
-    GROUP BY pa, pb
-),
-best1 AS (SELECT pa, pb FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
-sym1 AS (
-    SELECT freq,
-           replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
-                           '{_BPE_SEP}' || pa || '{_BPE_SEP}{_BPE_SEP}' || pb || '{_BPE_SEP}',
-                           '{_BPE_SEP}' || pa || pb || '{_BPE_SEP}'),
-                   '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
-    FROM sym0 CROSS JOIN best1
-),
-p2 AS (
-    SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
-    FROM (
-        SELECT freq,
-               unnest(list_transform(range(2, len(arr) - 1),
-                                     i -> [arr[i], arr[i + 1]])) AS pr
-        FROM (SELECT freq, string_split(s, '{_BPE_SEP}') AS arr FROM sym1)
-    )
-    GROUP BY pa, pb
-),
+{_bpe_oracle_rounds(2)},
 t1 AS (SELECT CAST(1 AS INTEGER) AS step, pa, pb, n
        FROM p1 ORDER BY n DESC, pa, pb LIMIT 10),
 t2 AS (SELECT CAST(2 AS INTEGER) AS step, pa, pb, n
        FROM p2 ORDER BY n DESC, pa, pb LIMIT 10)
 SELECT * FROM t1 UNION ALL SELECT * FROM t2
 """
+
 
 
 def _bpe_pair_counts(sym: DataFrame) -> DataFrame:
@@ -1080,6 +1098,39 @@ def _bpe_pair_counts(sym: DataFrame) -> DataFrame:
     return exploded.groupBy(
         F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb")
     ).agg(F.sum("freq").cast("bigint").alias("n"))
+
+
+def _bpe_best_pair(p: DataFrame) -> DataFrame:
+    """Deterministic argmax pair (n desc, pa, pb) with the same no-op
+    SENTINEL ('', '') as the oracle generator — guarantees exactly one row,
+    so crossJoin never annihilates the symbol table on pair exhaustion."""
+    sentinel = p.sparkSession.range(1).select(
+        F.lit("").alias("pa"),
+        F.lit("").alias("pb"),
+        F.lit(-1).cast("bigint").alias("n"),
+    )
+    return (
+        p.select("pa", "pb", "n")
+        .unionAll(sentinel)
+        .orderBy(F.desc("n"), F.asc("pa"), F.asc("pb"))
+        .limit(1)
+        .select("pa", "pb")
+    )
+
+
+def _bpe_apply_merge(sym: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the broadcast 1-row merge to the symbol column 's' with the
+    doubled-separator scheme (see _BPE_SEP); all other columns pass through.
+    The sentinel pair's pattern '····' contains an empty symbol and never
+    matches, so it degrades to double-then-collapse — a no-op."""
+    sep, sep2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP + _BPE_SEP)
+    pat = F.concat(sep, F.col("pa"), sep2, F.col("pb"), sep)
+    rep = F.concat(sep, F.col("pa"), F.col("pb"), sep)
+    keep = [c for c in sym.columns if c != "s"]
+    return sym.crossJoin(F.broadcast(best)).select(
+        *keep,
+        F.replace(F.replace(F.replace(F.col("s"), sep, sep2), pat, rep), sep2, sep).alias("s"),
+    )
 
 
 @query("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)
@@ -1108,16 +1159,81 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym0 = sym0.persist()  # vocab-sized; consumed by p1 and the merge pass
     p1 = _bpe_pair_counts(sym0)
-    best1 = p1.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(1).select("pa", "pb")
-    sep, sep2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP + _BPE_SEP)
-    pat = F.concat(sep, F.col("pa"), sep2, F.col("pb"), sep)
-    rep = F.concat(sep, F.col("pa"), F.col("pb"), sep)
-    sym1 = sym0.crossJoin(F.broadcast(best1)).select(
-        "freq",
-        F.replace(F.replace(F.replace(F.col("s"), sep, sep2), pat, rep), sep2, sep).alias("s"),
-    )
+    sym1 = _bpe_apply_merge(sym0, _bpe_best_pair(p1))
     p2 = _bpe_pair_counts(sym1)
     t1 = p1.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(10)
     t2 = p2.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(10)
     step = lambda k, d: d.select(F.lit(k).cast("int").alias("step"), "pa", "pb", "n")
     return step(1, t1).unionAll(step(2, t2))
+
+
+_BPE_ENCODE_K = 4
+
+_BPE_ENCODE_ORACLE = f"""
+WITH dw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM dw GROUP BY w),
+sym0 AS (
+    SELECT w, freq,
+           '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
+    FROM wf
+),
+{_bpe_oracle_rounds(_BPE_ENCODE_K)},
+wtok AS (
+    SELECT w, len(string_split(s, '{_BPE_SEP}')) - 2 AS n_tok
+    FROM sym{_BPE_ENCODE_K}
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wtok.n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(sum(wtok.n_tok) * 10000.0 / count(*) + 0.5) AS BIGINT)
+           AS tokens_per_word_x10000
+FROM dw JOIN wtok ON dw.w = wtok.w
+GROUP BY dw.doc_id
+"""
+
+
+@query("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer pipeline: learn 4 BPE merges on the corpus
+    vocabulary (bpe_merge_learn's machinery, iterated), then ENCODE the corpus
+    with them — per-document word / BPE-token counts and the fertility ratio
+    (tokens per word, the metric tokenizer training optimizes).
+
+    Scale shape: the merge-learning loop never touches the corpus (vocab-sized
+    per round: pair aggregate -> 1-row TakeOrdered argmax broadcast -> literal
+    replace); encoding is ONE corpus pass — explode words, hash-join the
+    vocab-sized (word -> token count) table, partial-aggregate to doc_id. The
+    whole 4-round learn + encode composes lazily (no driver collect between
+    rounds). Fertility is emitted as an exact integer (floor(x·1e4 + 0.5)) —
+    no float hash risk at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = outer_explode(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0),
+        "w",
+        "doc_id",
+    )
+    wf = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    sym = wf.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+        ).alias("s"),
+    ).persist()
+    for _ in range(_BPE_ENCODE_K):
+        sym = _bpe_apply_merge(sym, _bpe_best_pair(_bpe_pair_counts(sym))).persist()
+    wtok = sym.select(
+        "w", (F.size(F.split(F.col("s"), _BPE_SEP)) - 2).cast("bigint").alias("n_tok")
+    )
+    joined = dw.join(wtok, "w")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        F.floor(F.sum("n_tok") * F.lit(10000.0) / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tokens_per_word_x10000"),
+    )

@@ -681,3 +681,21 @@ def perplexity_score_stream(docs: DataFrame, cp: list, cc: list) -> DataFrame:
         n_big.alias("n_bigrams"),
         logprob.alias("logprob_micro"),
     )
+
+
+def countmin_counters_stream(docs: DataFrame) -> DataFrame:
+    """ONLINE count-min sketch maintenance: the d x w counter table as a
+    streaming aggregate over the ingest stream's token explode. State is
+    BOUNDED BY DESIGN at _CM_D * _CM_W (= 4096) rows — the whole point of the
+    sketch: runs in update/complete mode with no watermark and never grows,
+    and the drained counter table is mergeable across shards/streams by
+    simple addition. Uses the EXACT batch expressions (mlstats._cm_db_structs
+    via cm_counter_table), so counters drained over the same files equal the
+    batch sketch row-for-row (parity-pinned)."""
+    from legate_pandas_spark.operators import outer_explode
+    from legate_pandas_spark.operators.mlstats import cm_counter_table
+
+    tok = outer_explode(
+        docs.select("text"), F.split(F.trim(F.col("text")), r"\s+"), "w"
+    ).filter(F.col("w") != "")
+    return cm_counter_table(tok)

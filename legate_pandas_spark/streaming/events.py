@@ -330,8 +330,13 @@ def scd2_change_capture_stream(events: DataFrame, watermark: str = "2 hours") ->
 
     valid_to / is_current are properties of the NEXT change by definition, so
     a streaming SCD2 sink closes the previous version when the next change row
-    arrives (standard CDC merge); the stage therefore emits exactly the batch
-    query's (user_id, version, event_type, valid_from) rows. A null
+    arrives (standard CDC merge); the stage then emits exactly the batch
+    query's (user_id, version, event_type, valid_from) rows PROVIDED
+    micro-batches arrive in event-time order (the file-source backfill
+    contract, same as stateful_first_last_reading) — ordering is restored
+    only WITHIN a batch (sort on ts, event_id); a within-watermark straggler
+    landing in a later batch is versioned in arrival order, as any
+    single-pass CDC reader would. A null
     event_type is a REAL dimension state (null-safe compare, like the batch
     eqNullSafe) — tracked with an explicit is_null flag because the state
     store cannot distinguish null-string from absent otherwise. Rows are

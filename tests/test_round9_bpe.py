@@ -127,3 +127,110 @@ def test_bpe_merge_learn_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def _py_bpe_encode(texts, k=4):
+    """Pure-Python reference of bpe_encode_corpus: learn k merges, encode."""
+    import re
+
+    wf = {}
+    doc_words = {}
+    for i, t in enumerate(texts):
+        ws = re.findall(r"[a-z]+", (t or "").lower())
+        doc_words[i] = ws
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    splits = {w: list(w) for w in wf}
+    rank = lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    for _ in range(k):
+        p = _pair_counts(wf, lambda w: splits[w])
+        if not p:
+            break
+        (ba, bb), _n = sorted(p.items(), key=rank)[0]
+        splits = {w: _bpe_merge(s, ba, bb) for w, s in splits.items()}
+    rows = []
+    for i, ws in doc_words.items():
+        if not ws:
+            continue
+        n_tok = sum(len(splits[w]) for w in ws)
+        import math
+
+        rows.append(
+            (i, len(ws), n_tok, int(math.floor(n_tok * 10000.0 / len(ws) + 0.5)))
+        )
+    return sorted(rows)
+
+
+def test_bpe_encode_corpus_adversarial(spark, tmp_path):
+    texts = [
+        "aaaa aaa aa a ababab abab ab",
+        "banana bananas ana anana banana banana",
+        "zzz zz zzzz zzzzzz 12345 !!!",
+        None,
+        "",
+        "mississippi miss issi ppi pp mississippi",
+        "ababababababab bababa abab abab",
+        "the quick brown fox the the the",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    d = tmp_path / "corpus_enc"
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["bpe_encode_corpus"](spark, str(d)).toPandas()
+    got = sorted(
+        map(
+            tuple,
+            out[
+                ["doc_id", "n_words", "n_bpe_tokens", "tokens_per_word_x10000"]
+            ].itertuples(index=False),
+        )
+    )
+    assert got == _py_bpe_encode(texts)
+
+
+def test_bpe_encode_pair_exhaustion_no_op(spark, tmp_path):
+    """A vocabulary that runs out of mergeable pairs before round 4 ('ab' is
+    fully merged after one round) must keep its symbol table — the sentinel
+    argmax makes later rounds no-ops instead of crossJoin-annihilating sym
+    (review finding: the first cut returned ZERO rows here)."""
+    texts = ["ab ab ab", "ab", None]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    d = tmp_path / "corpus_exh"
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["bpe_encode_corpus"](spark, str(d)).toPandas()
+    got = sorted(
+        map(
+            tuple,
+            out[
+                ["doc_id", "n_words", "n_bpe_tokens", "tokens_per_word_x10000"]
+            ].itertuples(index=False),
+        )
+    )
+    # 'ab' merges to ONE token in round 1; rounds 2-4 are no-ops
+    assert got == [(0, 3, 3, 10000), (1, 1, 1, 10000)]
+    assert got == _py_bpe_encode(texts)

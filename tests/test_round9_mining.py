@@ -14,17 +14,37 @@ def catalog():
     return QUERIES
 
 
+def _seq_dot(a, b):
+    # replicate the engine's order-stable LEFT-FOLD in doubles bit-for-bit
+    # (BLAS pairwise summation can differ by ULPs and flip 4dp rounding)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _half_up4(x):
+    # Spark F.round = BigDecimal HALF_UP (away from zero), not banker's
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
 def test_hard_negative_mining_matches_numpy(catalog, spark, sf_dir):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    V = np.stack(emb.embedding.values).astype(np.float64)
+    V = [list(map(float, v)) for v in emb.embedding.values]
     ids = emb.vec_id.values
     labels = emb.label.values
-    norms = np.sqrt((V * V).sum(axis=1))
+    norms = [np.sqrt(_seq_dot(v, v)) for v in V]
 
     rows = []
     for a_pos in np.where(ids < 8)[0]:
-        sims = V @ V[a_pos] / (norms * norms[a_pos])
-        sims = np.round(sims, 4)
+        sims = np.array(
+            [
+                _half_up4(_seq_dot(v, V[a_pos]) / (norms[i] * norms[a_pos]))
+                for i, v in enumerate(V)
+            ]
+        )
         mask_self = ids != ids[a_pos]
         pos = mask_self & (labels == labels[a_pos])
         hp = sims[pos].max()

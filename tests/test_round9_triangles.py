@@ -17,19 +17,21 @@ def catalog():
 
 
 def _true_triangles(edges):
-    """Independent reference: adjacency-set intersection, counts per node."""
+    """Independent reference: per-edge adjacency-set intersection — linear in
+    wedges (the O(n^3) all-triples form hangs above the smallest SF)."""
     adj = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
     per_node = {}
     total = 0
-    nodes = sorted(adj)
-    for a, b, c in itertools.combinations(nodes, 3):
-        if b in adj[a] and c in adj[a] and c in adj[b]:
-            total += 1
-            for n in (a, b, c):
-                per_node[n] = per_node.get(n, 0) + 1
+    for u, v in edges:
+        a, b = (u, v) if u < v else (v, u)
+        for w in adj[a] & adj[b]:
+            if w > b:  # count each triangle once at its sorted-id edge (a<b<w)
+                total += 1
+                for n in (a, b, w):
+                    per_node[n] = per_node.get(n, 0) + 1
     return total, per_node
 
 

@@ -760,3 +760,43 @@ def test_perplexity_score_stream_matches_batch(spark, sf_dir, documents_dir):
         if (r["n_bigrams"], r["logprob_micro"]) != batch[r["doc_id"]]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_countmin_counters_stream_matches_batch(spark, sf_dir, documents_dir):
+    """Streaming count-min counters (bounded 4096-row state, no watermark)
+    drained over the corpus must equal the batch sketch's counter table
+    row-for-row, and CM estimates derived from the drained table must keep
+    the upper-bound guarantee against exact batch counts."""
+    import pyspark.sql.functions as F
+
+    from legate_pandas_spark.operators import outer_explode
+    from legate_pandas_spark.operators.mlstats import (
+        _CM_D,
+        _cm_bucket_expr,
+        cm_counter_table,
+    )
+    from legate_pandas_spark.streaming import (
+        countmin_counters_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    counters = countmin_counters_stream(stream_documents(spark, documents_dir))
+    run_available_now(counters, "cm_counters", output_mode="complete")
+    got = {(r["d"], r["b"]): r["c"] for r in spark.table("cm_counters").collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    tok = outer_explode(
+        docs, F.split(F.trim(F.col("text")), r"\s+"), "w"
+    ).filter(F.col("w") != "")
+    want = {(r["d"], r["b"]): r["c"] for r in cm_counter_table(tok).collect()}
+    assert got == want
+
+    # estimates from the DRAINED table upper-bound the exact batch counts
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    probes = exact.select(
+        "w", "n", *[_cm_bucket_expr(d, F.col("w")).alias(f"b{d}") for d in range(_CM_D)]
+    ).collect()
+    for r in probes:
+        est = min(got[(d, r[f"b{d}"])] for d in range(_CM_D))
+        assert est >= r["n"]

@@ -102,6 +102,8 @@ QUERIES = [
     "bpe_merge_learn",
     "scd2_user_type_history",
     "triangle_count_copurchase",
+    "hard_negative_mining",
+    "bpe_encode_corpus",
 ]
 
 SHIFT_KEYS = {
