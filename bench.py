@@ -130,6 +130,8 @@ HEADLINE = [
     "hard_negative_mining",
     "bpe_encode_corpus",
     "countmin_token_freq",
+    "label_propagation_communities",
+    "jl_projection_distortion",
 ]
 
 

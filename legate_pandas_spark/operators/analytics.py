@@ -651,6 +651,34 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected unique (u < v) customer co-purchase edges: two customers
+    are adjacent iff they bought the same part in the same calendar month —
+    the scale-stable graph (customers AND parts grow with data, per-bucket
+    density fixed) shared by triangle_count_copurchase and
+    label_propagation_communities."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    cp = li.join(od, "ok").select("p", "m", "c").distinct()
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+    )
+
+
 @query(
     "triangle_count_copurchase",
     oracle="""
@@ -707,26 +735,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join for edges, edge dedup, wedge join keyed on dst, closing
     semi-join keyed on (src, dst) — all hash exchanges, nothing driver-side;
     the oriented edge list persists (consumed three times)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    )
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("ok"),
-        F.col("o_custkey").alias("c"),
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
-    )
-    cp = li.join(od, "ok").select("p", "m", "c").distinct()
-    a, b = cp.alias("a"), cp.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.m") == F.col("b.m"))
-            & (F.col("a.c") < F.col("b.c")),
-        )
-        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
-        .distinct()
-    )
+    e0 = _copurchase_edges(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
@@ -761,3 +770,90 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e1.src").alias("custkey"))
     )
     return tri.groupBy("custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+
+
+@query(
+    "label_propagation_communities",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT l_partkey AS p,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e0 AS (
+        SELECT DISTINCT a.c AS u, b.c AS v
+        FROM cp a JOIN cp b ON a.p = b.p AND a.m = b.m AND a.c < b.c
+    ),
+    e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+    l1 AS (
+        SELECT src AS node, lbl FROM (
+            SELECT src, lbl, row_number() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, lbl) AS rn
+            FROM (SELECT e.src, e.dst AS lbl, count(*) AS cnt
+                  FROM e GROUP BY e.src, e.dst)
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT src AS node, lbl FROM (
+            SELECT src, lbl, row_number() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, lbl) AS rn
+            FROM (SELECT e.src, l1.lbl, count(*) AS cnt
+                  FROM e JOIN l1 ON l1.node = e.dst
+                  GROUP BY e.src, l1.lbl)
+        ) WHERE rn = 1
+    )
+    SELECT l2.node AS custkey, l2.lbl AS community,
+           CAST(count(*) OVER (PARTITION BY l2.lbl) AS BIGINT) AS community_size
+    FROM l2
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via two SYNCHRONOUS label-propagation rounds
+    (Raghavan et al. 2007) over the customer co-purchase graph: start with
+    label(v) = v, each round every node adopts its neighbors' most frequent
+    label with the deterministic (count desc, label asc) tie-break — the
+    tie-break is what makes LPA, normally run with random tie-breaking,
+    oracle-pairable cross-engine.
+
+    Scale shape: each round is one join (edges x labels, hash-partitioned on
+    the neighbor key) + one (node, label) aggregate + one per-node top-1
+    window — all shuffles keyed, label table is node-sized, edges persist
+    across rounds (consumed once per round from cache). Bounded rounds, like
+    pagerank_two_iter / kmeans_two_rounds: deterministic iteration count, no
+    driver-side convergence loop. Round 1 folds init (label(v)=v) into the
+    edge list itself: the neighbor's initial label IS the neighbor id."""
+    from pyspark.sql.window import Window
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("lbl"))
+
+    def top1(counted: DataFrame) -> DataFrame:
+        return (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+
+    l1 = top1(
+        e.select("src", F.col("dst").alias("lbl"))
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    l2 = top1(
+        e.join(l1, e["dst"] == l1["node"])
+        .select("src", "lbl")
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wsize = Window.partitionBy("lbl")
+    return l2.select(
+        F.col("node").alias("custkey"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wsize).cast("bigint").alias("community_size"),
+    )

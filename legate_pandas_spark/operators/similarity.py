@@ -1315,3 +1315,123 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").alias("cosine_sim"),
         (F.col("sim") < F.col("hardest_pos")).alias("semi_hard"),
     )
+
+
+_JL_K = 16  # projected dimensionality
+
+
+def _jl_row(j: int) -> list[int]:
+    """Deterministic Achlioptas-sparse projection row: entries in {+1, 0, -1}
+    with density ~1/3 (Achlioptas 2003, 'database-friendly' JL). The mixing
+    must be MULTIPLICATIVE in (i, j): a first cut used (i*31 + j*17) % 6,
+    which makes every row a cyclic SHIFT of one pattern (31 = 1 mod 6) —
+    correlated rows, measured distortions up to 42x. The rule runs only in
+    Python (the matrix is a literal in both engines), so arbitrary-precision
+    arithmetic is safe."""
+    out = []
+    for i in range(DIM):
+        r = ((i + 1) * (j + 7) * 2654435761 % 97) % 6
+        out.append(1 if r == 0 else (-1 if r == 1 else 0))
+    return out
+
+
+def _jl_rows_sql() -> str:
+    return ", ".join(
+        "[" + ", ".join(f"{w}.0" for w in _jl_row(j)) + "]" for j in range(_JL_K)
+    )
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, v,
+               [{", ".join(f"list_dot_product(v, [{', '.join(f'{w}.0' for w in _jl_row(j))}])" for j in range(_JL_K))}] AS y
+        FROM e
+    ),
+    anchors AS (SELECT vec_id AS anchor_id, v AS av, y AS ay
+                FROM proj WHERE vec_id < 8),
+    pairs AS (
+        SELECT a.anchor_id,
+               list_sum(list_transform(range(1, {DIM} + 1),
+                        i -> (p.v[i] - a.av[i]) * (p.v[i] - a.av[i]))) AS d2o,
+               list_sum(list_transform(range(1, {_JL_K} + 1),
+                        i -> (p.y[i] - a.ay[i]) * (p.y[i] - a.ay[i])))
+                   * 3.0 / {_JL_K}.0 AS d2p
+        FROM proj p JOIN anchors a ON p.vec_id <> a.anchor_id
+    ),
+    ratios AS (
+        SELECT anchor_id, round(d2p / d2o, 4) AS r
+        FROM pairs WHERE d2o > 0
+    )
+    SELECT anchor_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE r BETWEEN 0.5 AND 1.5) AS BIGINT)
+               AS n_within_50pct,
+           min(r) AS min_ratio,
+           max(r) AS max_ratio
+    FROM ratios GROUP BY anchor_id
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (64 -> 16 dims) with a
+    distortion audit: project every embedding through a deterministic
+    Achlioptas-sparse +-1/0 matrix and, for each of the 8 probe anchors,
+    report how squared L2 distances survive (count within +-50%, min/max
+    ratio) — the embed-side compaction a 100 TB pipeline applies before
+    storing or LSH-ing vectors (4x smaller, distances approximately kept).
+
+    The density-1/3 integer matrix is engine-independent (a literal on both
+    sides) and the estimator scale is the unbiased 3/K (E[entry^2] = 1/3, so
+    E[||R(a-b)||^2] = K/3 * ||a-b||^2); distances are
+    order-stable left-folds in doubles, so the 4dp-rounded ratios are
+    value-hash exact. One corpus pass computes the projection (16 literal
+    dot products inside whole-stage codegen, no UDF), anchors broadcast;
+    outputs are counts and min/max of identically-rounded sets — no
+    summation-order-sensitive aggregate crosses the engine boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rows = [F.array(*[F.lit(float(w)) for w in _jl_row(j)]) for j in range(_JL_K)]
+    y = F.array(*[_dot(v, r) for r in rows])
+    proj = emb.select("vec_id", v.alias("v"), y.alias("y")).persist()
+    anchors = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("y").alias("ay"),
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, z: (x - z) * (x - z)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = (
+        proj.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            d2(F.col("v"), F.col("av")).alias("d2o"),
+            (
+                d2(F.col("y"), F.col("ay")) * F.lit(3.0) / F.lit(float(_JL_K))
+            ).alias("d2p"),
+        )
+    )
+    ratios = pairs.filter(F.col("d2o") > 0).select(
+        "anchor_id", F.round(F.col("d2p") / F.col("d2o"), 4).alias("r")
+    )
+    return ratios.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("r") >= 0.5) & (F.col("r") <= 1.5), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_50pct"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )

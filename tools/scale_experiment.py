@@ -104,6 +104,8 @@ QUERIES = [
     "triangle_count_copurchase",
     "hard_negative_mining",
     "bpe_encode_corpus",
+    "label_propagation_communities",
+    "jl_projection_distortion",
 ]
 
 SHIFT_KEYS = {
