@@ -140,3 +140,64 @@ def test_jl_majority_within_band(catalog, spark, sf_dir):
     of pairs land within +-50% distortion for every anchor."""
     out = catalog["jl_projection_distortion"](spark, sf_dir).toPandas()
     assert (out.n_within_50pct * 2 > out.n_pairs).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASKET = st.lists(
+    st.integers(min_value=1, max_value=10), min_size=2, max_size=5, unique=True
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_BASKET, min_size=1, max_size=6))
+def test_lpa_fuzz_matches_reference(spark, tmp_path_factory, baskets):
+    """Random graphs (label-count ties everywhere, since edge multiplicity is
+    collapsed to 1) vs the pure-Python 2-round LPA with the same
+    deterministic tie-break."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li, od = [], []
+    ok = 0
+    for bi, custs in enumerate(baskets):
+        part = 100 + bi
+        for c in custs:
+            ok += 1
+            li.append({"l_orderkey": ok, "l_partkey": part})
+            od.append({"o_orderkey": ok, "o_custkey": c})
+    d = tmp_path_factory.mktemp("lpafuzz")
+    pd.DataFrame(li).to_parquet(d / "lineitem.parquet")
+    odf = pd.DataFrame(od)
+    odf["o_orderdate"] = pd.to_datetime("1995-03-15").date()
+    tbl = pa.Table.from_pandas(odf, preserve_index=False).set_column(
+        list(odf.columns).index("o_orderdate"),
+        "o_orderdate",
+        pa.array(odf["o_orderdate"], type=pa.date32()),
+    )
+    pq.write_table(tbl, d / "orders.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["label_propagation_communities"](spark, str(d)).toPandas()
+
+    edges = set()
+    for custs in baskets:
+        for x, y in itertools.combinations(sorted(set(custs)), 2):
+            edges.add((x, y))
+    labels = _py_lpa(sorted(edges))
+    sizes = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    want = sorted((n, lbl, sizes[lbl]) for n, lbl in labels.items())
+    got = sorted(
+        map(
+            tuple,
+            out[["custkey", "community", "community_size"]].itertuples(index=False),
+        )
+    )
+    assert got == want

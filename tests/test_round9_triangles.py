@@ -138,3 +138,54 @@ def test_planted_graph_exactness(spark, tmp_path):
             edges.add((x, y))
     total, _ = _true_triangles(sorted(edges))
     assert total == 6
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASKET = st.lists(
+    st.integers(min_value=1, max_value=12), min_size=1, max_size=6, unique=True
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_BASKET, min_size=1, max_size=8))
+def test_triangle_fuzz_matches_reference(spark, tmp_path_factory, baskets):
+    """Random co-purchase structures (hubs, repeated edges across baskets,
+    nested cliques) vs the adjacency-set reference — exercises the degree
+    orientation where many nodes tie on degree."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li, od = [], []
+    ok = 0
+    for bi, custs in enumerate(baskets):
+        part = 100 + bi
+        for c in custs:
+            ok += 1
+            li.append({"l_orderkey": ok, "l_partkey": part})
+            od.append({"o_orderkey": ok, "o_custkey": c})
+    d = tmp_path_factory.mktemp("trifuzz")
+    pd.DataFrame(li).to_parquet(d / "lineitem.parquet")
+    odf = pd.DataFrame(od)
+    odf["o_orderdate"] = pd.to_datetime("1995-03-15").date()
+    tbl = pa.Table.from_pandas(odf, preserve_index=False).set_column(
+        list(odf.columns).index("o_orderdate"),
+        "o_orderdate",
+        pa.array(odf["o_orderdate"], type=pa.date32()),
+    )
+    pq.write_table(tbl, d / "orders.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["triangle_count_copurchase"](spark, str(d)).toPandas()
+
+    edges = set()
+    for custs in baskets:
+        for x, y in itertools.combinations(sorted(set(custs)), 2):
+            edges.add((x, y))
+    total, _ = _true_triangles(sorted(edges))
+    assert int(out.n_tri.sum()) == total
