@@ -392,3 +392,98 @@ def scd2_change_capture_stream(events: DataFrame, watermark: str = "2 hours") ->
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_SESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def session_close_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Timeout-driven session closing: emit a session row ONLY when it closes
+    — either a new event arrives more than ``gap_minutes`` after the last one
+    (gap close inside the handler) or the event-time watermark passes the
+    session's timeout with no further events at all (GroupStateTimeout.
+    EventTimeTimeout fires the handler with an empty batch; without it, a
+    user's final session would never flush — the API surface NoTimeout
+    stages can't express).
+
+    State: one (session_start, last_ts, n, total) row per user, watermark-
+    bounded. Emitting only closed sessions is what a downstream append-mode
+    sink (parquet, Kafka) needs: closed rows are immutable facts; the open
+    session stays in state. Within-batch rows are processed in (ts, event_id)
+    order, and gap closes are detected between consecutive events in the
+    batch too — one batch may emit several sessions per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        def close(start, last, n, total):
+            return {
+                "user_id": key[0],
+                "session_start": start,
+                "session_end": last,
+                "n_events": n,
+                "total_value": round(total, 4),
+            }
+
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                closed.append(close(start, last, n, total))
+            state.remove()
+            yield pd.DataFrame(closed, columns=[f.name for f in _SESS_OUTPUT_SCHEMA])
+            return
+
+        start = last = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, val in zip(batch["ts"], batch["value"]):
+                if last is not None and (ts - last).value // 1000 > gap_us:
+                    closed.append(close(start, last, n, total))
+                    start, n, total = ts, 0, 0.0
+                if start is None:
+                    start = ts
+                last = ts
+                n += 1
+                total += 0.0 if pd.isna(val) else float(val)
+        state.update((start, last, n, total))
+        # close the open session when the event-time watermark passes its gap
+        state.setTimeoutTimestamp(int(last.value // 1_000_000) + gap_minutes * 60_000)
+        yield pd.DataFrame(closed, columns=[f.name for f in _SESS_OUTPUT_SCHEMA])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESS_OUTPUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

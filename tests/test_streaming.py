@@ -800,3 +800,103 @@ def test_countmin_counters_stream_matches_batch(spark, sf_dir, documents_dir):
     for r in probes:
         est = min(got[(d, r[f"b{d}"])] for d in range(_CM_D))
         assert est >= r["n"]
+
+
+def test_session_close_stream_timeout_and_gap(spark, tmp_path):
+    """session_close_stream emits EXACTLY the closed sessions: an in-batch
+    gap close, then an EventTimeTimeout close once a later batch's watermark
+    passes the open session's gap — the timeout path NoTimeout stages never
+    exercise. Sessions still within the watermark horizon stay open and are
+    never emitted."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from legate_pandas_spark.streaming import session_close_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+            1, "ts", pa.array(pdf["ts"], type=pa.timestamp("us"))
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    m = _time.time()
+    # batch 1: user 1 — gap close inside the batch, then an open tail
+    write(
+        d / "f1.parquet",
+        [
+            (1, t0, 1, "click", 1.0),
+            (2, t0 + pd.Timedelta(minutes=10), 1, "click", 2.0),
+            (3, t0 + pd.Timedelta(minutes=50), 1, "click", 4.0),
+        ],
+        m - 20,
+    )
+    # batch 2: user 2 far in the future — advances the watermark
+    write(d / "f2.parquet", [(4, t0 + pd.Timedelta(hours=10), 2, "view", 1.0)], m - 10)
+    # batch 3: user 3 even later — triggers user 1's timeout close
+    write(d / "f3.parquet", [(5, t0 + pd.Timedelta(hours=20), 3, "view", 1.0)], m)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stream = session_close_stream(events)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("closed_sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # three closed sessions: user 1's gap close + timeout close, and user 2's
+    # timeout close (the final watermark t0+18h passes its t0+10h30m gap via
+    # Spark's no-data batch); user 3 (timeout t0+20h30m) stays OPEN — never
+    # emitted
+    assert list(got.user_id) == [1, 1, 2]
+    assert list(got.n_events) == [2, 1, 1]
+    assert list(got.total_value) == [3.0, 4.0, 1.0]
+    assert got.session_start.iloc[0] == t0
+    assert got.session_end.iloc[0] == t0 + pd.Timedelta(minutes=10)
+    assert got.session_start.iloc[1] == t0 + pd.Timedelta(minutes=50)
+    assert got.session_end.iloc[1] == t0 + pd.Timedelta(minutes=50)
+    assert got.session_start.iloc[2] == t0 + pd.Timedelta(hours=10)
+    assert 3 not in set(got.user_id)
