@@ -132,6 +132,7 @@ HEADLINE = [
     "countmin_token_freq",
     "label_propagation_communities",
     "jl_projection_distortion",
+    "snapshot_diff_cdf",
 ]
 
 

@@ -106,6 +106,7 @@ QUERIES = [
     "bpe_encode_corpus",
     "label_propagation_communities",
     "jl_projection_distortion",
+    "snapshot_diff_cdf",
 ]
 
 SHIFT_KEYS = {
