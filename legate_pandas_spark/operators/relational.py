@@ -1188,13 +1188,14 @@ def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b.event_id").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))
     )
-    return joined.select(
+    changed = joined.filter(
+        F.col("a.event_id").isNull()
+        | F.col("b.event_id").isNull()
+        | (F.col("a.cents") != F.col("b.cents"))
+    )
+    return changed.select(
         F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
         change.alias("change_type"),
         F.col("a.cents").alias("old_cents"),
         F.col("b.cents").alias("new_cents"),
-    ).filter(
-        F.col("a.event_id").isNull()
-        | F.col("b.event_id").isNull()
-        | (F.col("a.cents") != F.col("b.cents"))
     )

@@ -1335,12 +1335,6 @@ def _jl_row(j: int) -> list[int]:
     return out
 
 
-def _jl_rows_sql() -> str:
-    return ", ".join(
-        "[" + ", ".join(f"{w}.0" for w in _jl_row(j)) + "]" for j in range(_JL_K)
-    )
-
-
 @query(
     "jl_projection_distortion",
     oracle=f"""

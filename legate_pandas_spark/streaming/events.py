@@ -426,10 +426,22 @@ def session_close_stream(
 
     State: one (session_start, last_ts, n, total) row per user, watermark-
     bounded. Emitting only closed sessions is what a downstream append-mode
-    sink (parquet, Kafka) needs: closed rows are immutable facts; the open
-    session stays in state. Within-batch rows are processed in (ts, event_id)
-    order, and gap closes are detected between consecutive events in the
-    batch too — one batch may emit several sessions per user."""
+    sink (parquet, Kafka) needs; the open session stays in state. Within-
+    batch rows are processed in (ts, event_id) order, and gap closes are
+    detected between consecutive events in the batch too — one batch may
+    emit several sessions per user.
+
+    Contract (same as the other stateful stages): micro-batches arrive in
+    event-time order — the file-source backfill shape. Under that contract
+    a gap-closed session can never be reopened by a later event, so
+    immediate emission is append-safe; a watermark-valid straggler landing
+    in a LATER batch would instead need pending-session state and
+    watermark-gated emission — that late-data-correct sessionization is the
+    built-in ``F.session_window`` (sessionized_event_stats); this stage
+    exists to exercise the TIMEOUT API under the backfill contract. A
+    monotonic guard (last never moves backward) keeps state sane even if
+    the contract is violated: the straggler joins the open session without
+    regressing its end."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -468,12 +480,17 @@ def session_close_stream(
                     start, n, total = ts, 0, 0.0
                 if start is None:
                     start = ts
-                last = ts
+                if last is None or ts > last:  # monotonic: see contract note
+                    last = ts
                 n += 1
                 total += 0.0 if pd.isna(val) else float(val)
         state.update((start, last, n, total))
-        # close the open session when the event-time watermark passes its gap
-        state.setTimeoutTimestamp(int(last.value // 1_000_000) + gap_minutes * 60_000)
+        # close the open session when the event-time watermark passes its
+        # gap; CEIL the micros->millis conversion so the timeout can never
+        # fire before the microsecond-precision expiry the in-batch gap
+        # check uses
+        last_ms = -((-last.value) // 1_000_000)
+        state.setTimeoutTimestamp(last_ms + gap_minutes * 60_000)
         yield pd.DataFrame(closed, columns=[f.name for f in _SESS_OUTPUT_SCHEMA])
 
     return (
