@@ -471,6 +471,12 @@ def session_close_stream(
         n, total = 0, 0.0
         if state.exists:
             start, last, n, total = state.get
+            # the state store hands back plain datetime objects; normalize to
+            # pandas Timestamps so .value / Timedelta arithmetic works on a
+            # user whose session spans micro-batches (caught by the
+            # straggler regression test — a latent crash for ANY multi-batch
+            # user, not just stragglers)
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
         frames = [pdf for pdf in pdf_iter]
         if frames:
             batch = pd.concat(frames).sort_values(["ts", "event_id"])

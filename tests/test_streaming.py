@@ -900,3 +900,87 @@ def test_session_close_stream_timeout_and_gap(spark, tmp_path):
     assert got.session_end.iloc[1] == t0 + pd.Timedelta(minutes=50)
     assert got.session_start.iloc[2] == t0 + pd.Timedelta(hours=10)
     assert 3 not in set(got.user_id)
+
+
+def test_session_close_stream_straggler_never_regresses_end(spark, tmp_path):
+    """A watermark-valid straggler in a LATER batch (contract violation) must
+    join the open session WITHOUT regressing its end — the monotonic-last
+    guard; no emitted session may ever have session_end < session_start."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from legate_pandas_spark.streaming import session_close_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+            1, "ts", pa.array(pdf["ts"], type=pa.timestamp("us"))
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    d = tmp_path / "sess_straggler"
+    d.mkdir()
+    m = _time.time()
+    # batch 1: user 1 at t0 and t0+20min (one open session)
+    write(
+        d / "f1.parquet",
+        [(1, t0, 1, "click", 1.0), (2, t0 + pd.Timedelta(minutes=20), 1, "click", 1.0)],
+        m - 20,
+    )
+    # batch 2: a straggler at t0+10min (before last=t0+20min, watermark-valid)
+    write(d / "f2.parquet", [(3, t0 + pd.Timedelta(minutes=10), 1, "click", 1.0)], m - 10)
+    # batch 3: far-future user 2 advances the watermark; user 1 times out
+    write(d / "f3.parquet", [(4, t0 + pd.Timedelta(hours=30), 2, "view", 1.0)], m)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stream = session_close_stream(events)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("straggler_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("straggler_sessions").toPandas()
+    u1 = got[got.user_id == 1]
+    # one closed session; the straggler joined it (n=3) and did NOT regress
+    # the end below the start or below the prior last
+    assert len(u1) == 1
+    assert int(u1.n_events.iloc[0]) == 3
+    assert u1.session_start.iloc[0] == t0
+    assert u1.session_end.iloc[0] == t0 + pd.Timedelta(minutes=20)
+    assert (got.session_end >= got.session_start).all()
