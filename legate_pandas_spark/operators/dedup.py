@@ -344,14 +344,14 @@ def _verified_rep_pairs(sh: DataFrame, reps: DataFrame) -> DataFrame:
 _PROBE_CACHE: dict = {}
 
 
-def _corpus_snapshot_token(sf_dir: str) -> tuple:
-    """Snapshot token of the documents input: (name, mtime_ns, size) of every
-    file under documents.parquet. Cheap driver-side stat calls — folded into
+def _corpus_snapshot_token(sf_dir: str, table: str = "documents") -> tuple:
+    """Snapshot token of a corpus table: (name, mtime_ns, size) of every
+    file under <table>.parquet. Cheap driver-side stat calls — folded into
     the session memos so a rewritten corpus never reuses a stale clone-mass
-    verdict or pair list."""
+    verdict, pair list, or routing decision."""
     import os
 
-    path = os.path.join(sf_dir, "documents.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     entries = []
     try:
         if os.path.isdir(path):

@@ -313,6 +313,49 @@ def ivf_topk(
     )
 
 
+# Routing threshold for dedup_embedding_cosine_blocked (round-10, VERDICT r9
+# Next #3): the exact per-label top-5 is O(R²) in the label block's DISTINCT
+# vector count R (identical vectors collapse into identity groups first).
+# Measured block sizes: 218 at sf0.1, 2,180 at the jittered 10× corpus (the
+# largest oracle-gated scale — exact stays exact there), ~21,800 at the 100×
+# embeddings corpus where the quadratic is ruinous (SCALE.md round-10: the
+# routed LSH path covers 100× in linear time). 8,192 sits between the two:
+# 8,192² ≈ 67M rep pairs per block is the last comfortably-affordable exact
+# size on a 32-core node, and at 1000 executors the same per-block bound
+# holds because blocks parallelize by label. Above it the op routes to the
+# multi-table hyperplane LSH path (_cosine_lsh_impl) — same output contract
+# for the near-dup mass (identical vectors collide in every table with
+# probability 1), approximate for mid-cosine pairs (recall formula in
+# dedup_cosine_blocked_lsh_approx). Mirrors the clone-mass probe and the CC
+# driver/distributed cutover: a cheap memoized corpus statistic picks the
+# plan, never the semantics below threshold.
+_COSINE_EXACT_MAX_REPS = 8192
+_COSINE_ROUTE_CACHE: dict = {}
+
+
+def _cosine_route_lsh(spark: SparkSession, sf_dir: str) -> bool:
+    """True when the largest label block's distinct-vector count exceeds
+    _COSINE_EXACT_MAX_REPS — one tiny memoized aggregate action (snapshot-
+    token invalidated, round-9 ADVICE precedent)."""
+    from legate_pandas_spark.operators.dedup import _corpus_snapshot_token
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    token = _corpus_snapshot_token(sf_dir, table="embeddings")
+    hit = _COSINE_ROUTE_CACHE.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = (
+        emb.groupBy("label")
+        .agg(F.count_distinct("embedding").alias("d"))
+        .agg(F.max("d").alias("mx"))
+        .first()["mx"]
+    ) or 0
+    verdict = mx > _COSINE_EXACT_MAX_REPS
+    _COSINE_ROUTE_CACHE[key] = (token, verdict)
+    return verdict
+
+
 @query(
     "dedup_embedding_cosine_blocked",
     oracle="""
@@ -359,7 +402,18 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     bit-identical to every member pair's — output matches the unguarded form
     and the unchanged DuckDB oracle (pinned by the adversarial clone test).
     For near-identical-but-DISTINCT vectors, exact top-k is inherently
-    pairwise; the approximate production paths are the ANN/LSH/IVF rows."""
+    pairwise — O(R²) in the largest block's distinct count R — so the op
+    AUTO-ROUTES (round-10): when the memoized block probe finds
+    R > _COSINE_EXACT_MAX_REPS (8,192; see the threshold note above), it
+    returns the multi-table LSH path instead, which finds the identical/
+    near-1.0 dedup mass with probability 1 and approximates mid-cosine
+    pairs (recall formula at dedup_cosine_blocked_lsh_approx). Every
+    oracle-gated corpus (sf0.001/0.01/0.1 and the jittered 10×, max block
+    2,180) is below threshold, so the exact contract — and this oracle —
+    hold everywhere the gate runs; the routed form is what a 100 TB caller
+    gets, pinned by the routing test and measured in SCALE.md round-10."""
+    if _cosine_route_lsh(spark, sf_dir):
+        return _cosine_lsh_impl(spark, sf_dir)
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
@@ -1064,61 +1118,9 @@ def _recall_eval(
 _LSH_TABLES = 4  # multi-table LSH: 4 independent 8-plane tables (OR'd)
 
 
-@query(
-    "dedup_cosine_blocked_lsh_approx",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    bucketed AS (
-        SELECT vec_id, label, v,
-               {_bucket_sql(0)} AS b0,
-               {_bucket_sql(8)} AS b1,
-               {_bucket_sql(16)} AS b2,
-               {_bucket_sql(24)} AS b3
-        FROM e
-    ),
-    pairs AS (
-        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                     4) AS cosine_sim
-        FROM bucketed a
-        JOIN bucketed b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-    )
-    SELECT label, vec_a, vec_b, cosine_sim
-    FROM pairs
-    QUALIFY row_number() OVER (
-        PARTITION BY label ORDER BY cosine_sim DESC, vec_a, vec_b
-    ) <= 5
-    """,
-)
-def dedup_cosine_blocked_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROXIMATE twin of dedup_embedding_cosine_blocked (round-9): the
-    exact query's top-5-pairs-per-label is inherently O(block²) once vectors
-    are distinct (measured 15.2x at the jittered 10x corpus — SCALE.md);
-    this is its production scale path. Multi-table hyperplane LSH: four
-    independent 8-plane tables (deterministic integer hyperplanes, shared
-    generator with ann_lsh_bucket_stats); a pair is a candidate when it
-    collides in ANY table within its label block, then exact cosine + top-5
-    per label. Pair volume drops from O(block²) to ~L/2^k of it (4/256 here,
-    ~60x fewer mid/low-cosine pairs), while near-duplicate recall follows
-    1 - (1 - (1-θ/π)^8)^4 — ≈0.75 at cosine 0.9, →1 as cosine→1, and
-    IDENTICAL vectors (the exact-clone dedup mass) collide in every table by
-    construction: their pairs are found with probability 1. Mid-cosine pairs
-    (0.4-0.6 — the synthetic corpus's global top-5) are NOT near-duplicates
-    and are deliberately outside the LSH design envelope.
-
-    Spark plan: the OR-of-tables candidate set compiles as posexplode of the
-    4 bucket signatures + ONE equi-join on (label, table, bucket) + a
-    pair-level dedupe aggregate — fully shuffle-partitioned, no nested-loop
-    join (the oracle's OR-join form is correctness-equivalent but only the
-    explode form scales). Deterministic end to end, so the DuckDB oracle is
-    value-hash exact — recall vs the exact twin is a corpus property, not
-    engine noise."""
+def _cosine_lsh_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of dedup_cosine_blocked_lsh_approx — also the routed
+    above-threshold path of dedup_embedding_cosine_blocked (round-10)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1211,6 +1213,64 @@ def dedup_cosine_blocked_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "dedup_cosine_blocked_lsh_approx",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, label, v,
+               {_bucket_sql(0)} AS b0,
+               {_bucket_sql(8)} AS b1,
+               {_bucket_sql(16)} AS b2,
+               {_bucket_sql(24)} AS b3
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine_sim
+        FROM bucketed a
+        JOIN bucketed b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT label, vec_a, vec_b, cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY label ORDER BY cosine_sim DESC, vec_a, vec_b
+    ) <= 5
+    """,
+)
+def dedup_cosine_blocked_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE twin of dedup_embedding_cosine_blocked (round-9): the
+    exact query's top-5-pairs-per-label is inherently O(block²) once vectors
+    are distinct (measured 15.2x at the jittered 10x corpus — SCALE.md);
+    this is its production scale path. Multi-table hyperplane LSH: four
+    independent 8-plane tables (deterministic integer hyperplanes, shared
+    generator with ann_lsh_bucket_stats); a pair is a candidate when it
+    collides in ANY table within its label block, then exact cosine + top-5
+    per label. Pair volume drops from O(block²) to ~L/2^k of it (4/256 here,
+    ~60x fewer mid/low-cosine pairs), while near-duplicate recall follows
+    1 - (1 - (1-θ/π)^8)^4 — ≈0.75 at cosine 0.9, →1 as cosine→1, and
+    IDENTICAL vectors (the exact-clone dedup mass) collide in every table by
+    construction: their pairs are found with probability 1. Mid-cosine pairs
+    (0.4-0.6 — the synthetic corpus's global top-5) are NOT near-duplicates
+    and are deliberately outside the LSH design envelope.
+
+    Spark plan: the OR-of-tables candidate set compiles as posexplode of the
+    4 bucket signatures + ONE equi-join on (label, table, bucket) + a
+    pair-level dedupe aggregate — fully shuffle-partitioned, no nested-loop
+    join (the oracle's OR-join form is correctness-equivalent but only the
+    explode form scales). Deterministic end to end, so the DuckDB oracle is
+    value-hash exact — recall vs the exact twin is a corpus property, not
+    engine noise."""
+    return _cosine_lsh_impl(spark, sf_dir)
+
+
 @query("ann_recall_eval", oracle=_recall_eval_oracle(""))
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-GT recall evaluation (see :func:`_recall_eval`): the ground
@@ -1261,7 +1321,7 @@ def ann_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.anchor_id, CAST(n.rank AS INTEGER) AS rank, n.neg_id,
            n.sim AS cosine_sim,
            (n.sim < h.hardest_pos) AS semi_hard
-    FROM negs n JOIN hp h ON h.anchor_id = n.anchor_id
+    FROM negs n LEFT JOIN hp h ON h.anchor_id = n.anchor_id
     WHERE n.rank <= 5
     """,
 )
@@ -1269,7 +1329,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (Schroff et al. 2015,
     FaceNet): per anchor, the top-5 most-similar DIFFERENT-label vectors,
     flagged semi-hard when the negative is still farther than the anchor's
-    hardest positive (the band triplet loss actually trains on).
+    hardest positive (the band triplet loss actually trains on). An anchor
+    whose label has no OTHER same-label vector has no hardest positive: its
+    negatives are still emitted with semi_hard NULL (left join — ADVICE r9;
+    an inner join here silently dropped positive-less anchors, a gap the
+    mirrored oracle could not catch).
 
     ONE broadcast pass over the corpus scores every (vector, anchor) pair;
     the same scored relation feeds both the hardest-positive aggregate
@@ -1308,7 +1372,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
-    return negs.join(F.broadcast(hp), "anchor_id").select(
+    return negs.join(F.broadcast(hp), "anchor_id", "left").select(
         "anchor_id",
         F.col("rank").cast("int").alias("rank"),
         F.col("vec_id").alias("neg_id"),

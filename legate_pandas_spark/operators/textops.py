@@ -1030,7 +1030,7 @@ def _bpe_oracle_rounds(k: int) -> str:
     for r in range(1, k + 1):
         parts.append(
             f"""
-p{r} AS (
+p{r} AS MATERIALIZED (
     SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(freq) AS BIGINT) AS n
     FROM (
         SELECT freq,
@@ -1040,13 +1040,13 @@ p{r} AS (
     )
     GROUP BY pa, pb
 ),
-best{r} AS (
+best{r} AS MATERIALIZED (
     SELECT pa, pb FROM (
         SELECT pa, pb, n FROM p{r}
         UNION ALL SELECT '', '', CAST(-1 AS BIGINT)
     ) ORDER BY n DESC, pa, pb LIMIT 1
 ),
-sym{r} AS (
+sym{r} AS MATERIALIZED (
     SELECT w, freq,
            replace(replace(replace(s, '{S}', '{S}{S}'),
                            '{S}' || pa || '{S}{S}' || pb || '{S}',
@@ -1065,7 +1065,7 @@ WITH wf AS (
           FROM documents)
     GROUP BY w
 ),
-sym0 AS (
+sym0 AS MATERIALIZED (
     SELECT w, freq,
            '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
     FROM wf
@@ -1168,22 +1168,58 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_ENCODE_K = 4
+_BPE_CHECKPOINT_EVERY = 8  # measured cadence — see SCALE.md round-10 BPE note
 
-_BPE_ENCODE_ORACLE = f"""
-WITH dw AS (
+
+def _bpe_learn_sym(sym0: DataFrame, k: int) -> DataFrame:
+    """Run ``k`` merge-learning rounds over the symbol table with a BOUNDED
+    driver and executor footprint (the production form of the 4-round loop):
+
+    - each round's merged table is persisted and eagerly materialized (one
+      vocab-sized job), then the PREVIOUS round's cache is released — at any
+      moment at most two vocab-sized tables are pinned (ADVICE r9: the
+      4-round form left every intermediate cached for the process lifetime);
+    - every ``_BPE_CHECKPOINT_EVERY`` rounds the lineage is truncated with an
+      eager ``localCheckpoint`` — without it the logical plan (3 nested
+      ``replace`` + a broadcast join per round) grows linearly and Catalyst
+      re-analyzes the whole chain each round, which becomes the binding
+      constraint long before the data does (driver-side, measured in
+      SCALE.md round-10).
+
+    The eager per-round action costs k vocab-sized jobs; the corpus-scale
+    word-count shuffle behind sym0 runs exactly once (cached by round 0's
+    materialization). The FINAL table stays cached for the caller's encode
+    join (one table, vocab-sized)."""
+    sym = sym0.persist()
+    sym.count()  # materialize round 0 — the only corpus-scale shuffle
+    for r in range(1, k + 1):
+        nxt = _bpe_apply_merge(sym, _bpe_best_pair(_bpe_pair_counts(sym)))
+        if r % _BPE_CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        sym.unpersist()
+        sym = nxt
+    return sym
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return f"""
+WITH dw AS MATERIALIZED (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
     FROM documents
 ),
-wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM dw GROUP BY w),
-sym0 AS (
+wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM dw GROUP BY w),
+sym0 AS MATERIALIZED (
     SELECT w, freq,
            '{_BPE_SEP}' || regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g') AS s
     FROM wf
 ),
-{_bpe_oracle_rounds(_BPE_ENCODE_K)},
+{_bpe_oracle_rounds(k)},
 wtok AS (
     SELECT w, len(string_split(s, '{_BPE_SEP}')) - 2 AS n_tok
-    FROM sym{_BPE_ENCODE_K}
+    FROM sym{k}
 )
 SELECT dw.doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
@@ -1193,6 +1229,39 @@ SELECT dw.doc_id,
 FROM dw JOIN wtok ON dw.w = wtok.w
 GROUP BY dw.doc_id
 """
+
+
+_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_ENCODE_K)
+
+
+def _bpe_encode_with_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = outer_explode(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0),
+        "w",
+        "doc_id",
+    )
+    wf = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    sym0 = wf.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+        ).alias("s"),
+    )
+    sym = _bpe_learn_sym(sym0, k)
+    wtok = sym.select(
+        "w", (F.size(F.split(F.col("s"), _BPE_SEP)) - 2).cast("bigint").alias("n_tok")
+    )
+    joined = dw.join(wtok, "w")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        F.floor(F.sum("n_tok") * F.lit(10000.0) / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tokens_per_word_x10000"),
+    )
 
 
 @query("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
@@ -1206,34 +1275,30 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round: pair aggregate -> 1-row TakeOrdered argmax broadcast -> literal
     replace); encoding is ONE corpus pass — explode words, hash-join the
     vocab-sized (word -> token count) table, partial-aggregate to doc_id. The
-    whole 4-round learn + encode composes lazily (no driver collect between
-    rounds). Fertility is emitted as an exact integer (floor(x·1e4 + 0.5)) —
-    no float hash risk at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dw = outer_explode(
-        docs,
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0),
-        "w",
-        "doc_id",
-    )
-    wf = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    sym = wf.select(
-        "w",
-        "freq",
-        F.concat(
-            F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
-        ).alias("s"),
-    ).persist()
-    for _ in range(_BPE_ENCODE_K):
-        sym = _bpe_apply_merge(sym, _bpe_best_pair(_bpe_pair_counts(sym))).persist()
-    wtok = sym.select(
-        "w", (F.size(F.split(F.col("s"), _BPE_SEP)) - 2).cast("bigint").alias("n_tok")
-    )
-    joined = dw.join(wtok, "w")
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
-        F.floor(F.sum("n_tok") * F.lit(10000.0) / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("bigint")
-        .alias("tokens_per_word_x10000"),
-    )
+    whole k-round learn composes with no driver collect between rounds (the
+    per-round argmax stays a broadcast 1-row TakeOrdered); each round is
+    eagerly materialized so at most two vocab-sized caches are pinned
+    (_bpe_learn_sym). Fertility is emitted as an exact integer
+    (floor(x·1e4 + 0.5)) — no float hash risk at any corpus size."""
+    return _bpe_encode_with_k(spark, sf_dir, _BPE_ENCODE_K)
+
+
+_BPE_K16 = 16
+
+
+@query("bpe_encode_k16", oracle=_bpe_encode_oracle(_BPE_K16))
+def bpe_encode_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-depth BPE training: learn 16 merges, then encode the corpus
+    (VERDICT r9 Next #6 — real tokenizers train to a vocabulary TARGET, not a
+    fixed 4 rounds; 16 exercises the lineage-truncation checkpoint at
+    _BPE_CHECKPOINT_EVERY=8, which the 4-round form never reaches).
+
+    Same scale shape as bpe_encode_corpus: ONE corpus-scale word-count
+    shuffle, then k vocab-sized rounds (pair aggregate -> broadcast 1-row
+    argmax -> literal replace). Without the checkpoint the per-round plan
+    grows by 3 nested replace() + a broadcast join, and Catalyst re-analysis
+    of the whole chain becomes super-linear in k on the DRIVER — the binding
+    constraint measured in SCALE.md round-10 (the data-side work stays
+    vocab-bounded at any k). The pure-Python greedy-BPE differential
+    (test_round9_bpe) runs at k=16 as well."""
+    return _bpe_encode_with_k(spark, sf_dir, _BPE_K16)

@@ -490,6 +490,14 @@ def session_close_stream(
                     last = ts
                 n += 1
                 total += 0.0 if pd.isna(val) else float(val)
+        if last is None:
+            # No prior state and an empty batch without a timeout: under
+            # Spark's current contract the handler is only invoked with data
+            # or a timeout, so this is unreachable — but if that contract
+            # ever changes, degrade to a no-op instead of crashing the
+            # executor on last.value below (ADVICE r9).
+            yield pd.DataFrame(closed, columns=[f.name for f in _SESS_OUTPUT_SCHEMA])
+            return
         state.update((start, last, n, total))
         # close the open session when the event-time watermark passes its
         # gap; CEIL the micros->millis conversion so the timeout can never

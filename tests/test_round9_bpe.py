@@ -234,3 +234,72 @@ def test_bpe_encode_pair_exhaustion_no_op(spark, tmp_path):
     # 'ab' merges to ONE token in round 1; rounds 2-4 are no-ops
     assert got == [(0, 3, 3, 10000), (1, 1, 1, 10000)]
     assert got == _py_bpe_encode(texts)
+
+
+def test_bpe_encode_k16_adversarial(spark, tmp_path):
+    """The parameterized 16-merge form (VERDICT r9 Next #6) against the pure
+    pure-Python greedy BPE at the same depth — crosses the k=8 lineage
+    checkpoint, so this also exercises localCheckpoint mid-loop."""
+    texts = [
+        "aaaa aaa aa a ababab abab ab",
+        "banana bananas ana anana banana banana",
+        "mississippi miss issi ppi pp mississippi",
+        "the quick brown fox the the the jumps over the lazy dog",
+        "low lower lowest newest widest new newer news",
+        None,
+        "",
+        "pretokenization pretokenizer pretoken token tokens tokenizer",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    d = tmp_path / "corpus_k16"
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["bpe_encode_k16"](spark, str(d)).toPandas()
+    got = sorted(
+        map(
+            tuple,
+            out[
+                ["doc_id", "n_words", "n_bpe_tokens", "tokens_per_word_x10000"]
+            ].itertuples(index=False),
+        )
+    )
+    assert got == _py_bpe_encode(texts, k=16)
+
+
+def test_bpe_learn_cache_is_bounded(spark, tmp_path):
+    """ADVICE r9: the merge loop must not pin every intermediate round's
+    cache. After the query materializes, at most the FINAL symbol table (plus
+    one checkpoint RDD) may remain cached beyond what existed before."""
+    texts = ["banana bandana ananas anna nanab" for _ in range(5)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "corpus_cache"
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    QUERIES["bpe_encode_corpus"](spark, str(d)).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 2, f"cache leak: {before} -> {after} persistent RDDs"

@@ -984,3 +984,89 @@ def test_session_close_stream_straggler_never_regresses_end(spark, tmp_path):
     assert u1.session_start.iloc[0] == t0
     assert u1.session_end.iloc[0] == t0 + pd.Timedelta(minutes=20)
     assert (got.session_end >= got.session_start).all()
+
+
+def test_scd2_change_capture_straggler_versioned_in_arrival_order(spark, tmp_path):
+    """ADVICE r9: pin the DOCUMENTED contract for a within-watermark straggler
+    landing in a later micro-batch — it is versioned in ARRIVAL order (as any
+    single-pass CDC reader would), diverging from the batch
+    scd2_user_type_history, which sorts globally and would fold the straggler
+    into its earlier run (2 versions, not 3)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from legate_pandas_spark.streaming import scd2_change_capture_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+            1, "ts", pa.array(pdf["ts"], type=pa.timestamp("us"))
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    d = tmp_path / "scd2_straggler"
+    d.mkdir()
+    m = _time.time()
+    # batch 1: type a@t0, type b@t0+20min -> versions 1 (a) and 2 (b)
+    write(
+        d / "f1.parquet",
+        [(1, t0, 1, "a", 1.0), (2, t0 + pd.Timedelta(minutes=20), 1, "b", 1.0)],
+        m - 10,
+    )
+    # batch 2: straggler a@t0+10min (watermark-valid, ts < prior last) ->
+    # arrival-order CDC sees b -> a, a THIRD version stamped at the
+    # straggler's own event time
+    write(d / "f2.parquet", [(3, t0 + pd.Timedelta(minutes=10), 1, "a", 1.0)], m)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stream = scd2_change_capture_stream(events)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("scd2_straggler")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("scd2_straggler")
+        .toPandas()
+        .sort_values("version")
+        .reset_index(drop=True)
+    )
+    assert list(got.version) == [1, 2, 3]
+    assert list(got.event_type) == ["a", "b", "a"]
+    assert got.valid_from.iloc[2] == t0 + pd.Timedelta(minutes=10)
