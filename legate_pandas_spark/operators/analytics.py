@@ -651,6 +651,9 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_MAX_BASKET = 64
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected unique (u < v) customer co-purchase edges: two customers
     are adjacent iff they bought the same part in the same calendar month —
@@ -666,6 +669,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
     )
     cp = li.join(od, "ok").select("p", "m", "c").distinct()
+    # basket cap (round-10, found by the Zipf-skew gate): a hot part bought
+    # by k customers in a month contributes C(k,2) edges — 607 customers on
+    # the skew corpus's hot key vs max 7 on uniform sf0.1, densifying the
+    # graph quadratically and voiding the linear-edges scaling claim. Groups
+    # past _COPURCHASE_MAX_BASKET are dropped (standard co-occurrence-mining
+    # practice: ubiquitous items carry no pair signal; the SemDedup k-cap
+    # precedent). Below the cap — every uniform corpus — results are
+    # bit-identical to the uncapped form. Same (p, m) key as the distinct,
+    # so the guard adds no new exchange.
+    sz = (
+        cp.groupBy("p", "m")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= _COPURCHASE_MAX_BASKET)
+        .select("p", "m")
+    )
+    cp = cp.join(sz, ["p", "m"])
     a, b = cp.alias("a"), cp.alias("b")
     return (
         a.join(
@@ -688,9 +707,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_custkey AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
+    cpb AS (
+        -- basket cap (round-10): drop (part, month) groups with > 64
+        -- customers; a hot item connects everyone and carries no community
+        -- signal, and without the cap edges grow as C(k,2) on skewed data
+        SELECT cp.* FROM cp
+        JOIN (SELECT p, m FROM cp GROUP BY p, m HAVING count(*) <= 64) g
+          USING (p, m)
+    ),
     e0 AS (
         SELECT DISTINCT a.c AS u, b.c AS v
-        FROM cp a JOIN cp b ON a.p = b.p AND a.m = b.m AND a.c < b.c
+        FROM cpb a JOIN cpb b ON a.p = b.p AND a.m = b.m AND a.c < b.c
     ),
     deg AS (
         SELECT node, count(*) AS d
@@ -781,9 +808,17 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_custkey AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
+    cpb AS (
+        -- basket cap (round-10): drop (part, month) groups with > 64
+        -- customers; a hot item connects everyone and carries no community
+        -- signal, and without the cap edges grow as C(k,2) on skewed data
+        SELECT cp.* FROM cp
+        JOIN (SELECT p, m FROM cp GROUP BY p, m HAVING count(*) <= 64) g
+          USING (p, m)
+    ),
     e0 AS (
         SELECT DISTINCT a.c AS u, b.c AS v
-        FROM cp a JOIN cp b ON a.p = b.p AND a.m = b.m AND a.c < b.c
+        FROM cpb a JOIN cpb b ON a.p = b.p AND a.m = b.m AND a.c < b.c
     ),
     e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
     l1 AS (

@@ -401,7 +401,7 @@ def pd_groupby_ffill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity) OVER w, 4) AS running_qty,
            round(max(l_quantity) OVER w, 4) AS running_max
     FROM s
-    WINDOW w AS (ORDER BY l_orderkey, l_linenumber
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -411,10 +411,18 @@ def pd_global_cumsum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast exclusive-scan carry, reference core/column.py:644-687). The sort
     gives the scan a deterministic global order, so the oracle is a plain
     global window; the Spark plan still contains NO unpartitioned window
-    (plan-audited in tests/test_plans.py)."""
+    (plan-audited in tests/test_plans.py).
+
+    Ordering contract (round-10, found by the skew-corpus gate): (l_orderkey,
+    l_linenumber) is NOT unique in this corpus (830 duplicate pairs in the
+    probe range), so the sort key also carries l_quantity — every column the
+    scan outputs — making the output MULTISET tie-invariant. Without it both
+    engines silently leaned on physical file order for ties (green only by
+    layout luck; the DuckDB-written skew file reordered ties and 283 rows
+    drifted)."""
     li = _read(spark, sf_dir, "lineitem")
     sub = li[li["l_orderkey"] <= 1000][["l_orderkey", "l_linenumber", "l_quantity"]]
-    srt = sub.sort_values(["l_orderkey", "l_linenumber"])
+    srt = sub.sort_values(["l_orderkey", "l_linenumber", "l_quantity"])
     srt["running_qty"] = srt["l_quantity"].cumsum()
     srt["running_max"] = srt["l_quantity"].cummax()
     sdf = srt.to_spark()
@@ -434,10 +442,10 @@ def pd_global_cumsum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey <= 1000
     )
     SELECT l_orderkey, l_linenumber,
-           round(lag(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber), 4)
+           round(lag(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber, l_quantity), 4)
              AS prev_qty,
            round(last_value(CASE WHEN l_quantity >= 10 THEN l_quantity END IGNORE NULLS)
-                 OVER (ORDER BY l_orderkey, l_linenumber
+                 OVER (ORDER BY l_orderkey, l_linenumber, l_quantity
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
              AS qty_locf
     FROM s
@@ -447,10 +455,12 @@ def pd_global_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas idiom: global Series.shift (position equi-join, window-free) and
     Series.where + GLOBAL ffill (two-phase directional fill: partition-local
     fill + nearest preceding partition edge value as broadcast carry) — the
-    other half of the round-3 scan family, driver-verified."""
+    other half of the round-3 scan family, driver-verified. Sort key carries
+    l_quantity for tie-invariance (same round-10 skew finding as
+    pd_global_cumsum_scan: the key pair alone is not unique)."""
     li = _read(spark, sf_dir, "lineitem")
     sub = li[li["l_orderkey"] <= 1000][["l_orderkey", "l_linenumber", "l_quantity"]]
-    srt = sub.sort_values(["l_orderkey", "l_linenumber"])
+    srt = sub.sort_values(["l_orderkey", "l_linenumber", "l_quantity"])
     srt["prev_qty"] = srt["l_quantity"].shift(1)
     srt["qty_locf"] = srt["l_quantity"].where(srt["l_quantity"] >= 10).ffill()
     sdf = srt.to_spark()

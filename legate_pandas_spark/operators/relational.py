@@ -195,7 +195,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -208,19 +210,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue ranking, broadcast nation dim."""
+    """TPC-H Q10 shape: returned-item revenue ranking, broadcast nation dim.
+
+    Revenue sums cents × (100 − discount-bp) in exact int64 (the q1 numeric
+    discipline): the plain double sum drifted its 4dp last digit on the
+    round-10 SKEW corpus, where 2/3 of orders land on one customer and the
+    hot group's revenue reaches 6.7e9 — summation order then flips the ulp
+    at the rounding quantum. Scaled magnitude ≈ 6.7e13 at this corpus; int64
+    holds to ~1e5× more before DECIMAL would be needed (the q1 charge
+    precedent)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
-        )
+        .agg((F.sum(p100 * (100 - d100)).cast("double") / 10000.0).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

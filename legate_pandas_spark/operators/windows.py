@@ -403,7 +403,9 @@ def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_1h_range_window",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER w, 4) AS rolling_avg_1h,
+           floor(CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w * 10000 + 0.5) / 10000
+               AS rolling_avg_1h,
            CAST(count(*)  OVER w AS BIGINT) AS rolling_n_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -414,17 +416,31 @@ def rolling_1h_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour average per user: RANGE frame over event-time microseconds
     — the time-based rolling window the reference lacks entirely (SURVEY §2.6
     'absent' row). Partitioned by user → parallel; frame bounds in µs so both
-    engines cut identically."""
+    engines cut identically.
+
+    The average is computed from a DECIMAL(20,2)-exact frame sum (values are
+    2dp), divided in doubles, and rounded via floor(x·1e4 + 0.5) — values are
+    non-negative, so this is pure IEEE and bit-identical across engines. The
+    plain round(avg(value)) form drifted at the 4dp quantum on the round-10
+    SKEW corpus: with half the events on ONE user the frame holds enough
+    doubles that engine summation order flips the last ulp (the q1 sum_charge
+    class, SCALE.md round-9 — invisible on uniform corpora, certain on hot
+    keys at 100 TB)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
+    sum_dec = F.sum(F.col("value").cast("decimal(20,2)")).over(w)
+    n_val = F.count("value").over(w)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+        (
+            F.floor(sum_dec.cast("double") / n_val * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("rolling_avg_1h"),
         F.count(F.lit(1)).over(w).alias("rolling_n_1h"),
     )
 

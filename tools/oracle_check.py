@@ -73,6 +73,14 @@ def main() -> int:
     spark = get_spark("oracle_check")
 
     con = duckdb.connect()
+    # Bound the in-process DuckDB side (round-10): at the 100x-documents
+    # corpus, one oracle's hash join ballooned the gate process to 99 GB
+    # anon RSS and the kernel OOM-killed it — which presents as a SILENT
+    # mid-run death (the round-9 "3-JVM" incident was this, not JVM count).
+    # A memory cap + spill dir turns that into a slow (or cleanly failing)
+    # query instead of a dead gate.
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_DUCK_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     from legate_pandas_spark.sources.tables import TABLES
 
     for t in TABLES:
