@@ -133,6 +133,11 @@ HEADLINE = [
     "label_propagation_communities",
     "jl_projection_distortion",
     "snapshot_diff_cdf",
+    # round 10: real BMP encode->parse roundtrip (the decode kernel is real
+    # now); bpe_encode_k16 stays OUT of the headline set deliberately — its
+    # cost is k x fixed job cadence (~1s/round), a scheduling artifact that
+    # would dominate the wall column without measuring data-path work
+    "multimodal_image_decode",
 ]
 
 

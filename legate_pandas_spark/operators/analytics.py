@@ -701,13 +701,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "triangle_count_copurchase",
     oracle="""
-    WITH cp AS (
+    WITH cp AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS p,
                year(o_orderdate) * 12 + month(o_orderdate) AS m,
                o_custkey AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    cpb AS (
+    cpb AS MATERIALIZED (
         -- basket cap (round-10): drop (part, month) groups with > 64
         -- customers; a hot item connects everyone and carries no community
         -- signal, and without the cap edges grow as C(k,2) on skewed data
@@ -802,13 +802,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "label_propagation_communities",
     oracle="""
-    WITH cp AS (
+    WITH cp AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS p,
                year(o_orderdate) * 12 + month(o_orderdate) AS m,
                o_custkey AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    cpb AS (
+    cpb AS MATERIALIZED (
         -- basket cap (round-10): drop (part, month) groups with > 64
         -- customers; a hot item connects everyone and carries no community
         -- signal, and without the cap edges grow as C(k,2) on skewed data
