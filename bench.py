@@ -138,6 +138,7 @@ HEADLINE = [
     # cost is k x fixed job cadence (~1s/round), a scheduling artifact that
     # would dominate the wall column without measuring data-path work
     "multimodal_image_decode",
+    "multimodal_audio_decode",
 ]
 
 

@@ -129,3 +129,60 @@ def test_mode_guards_name_the_constraint():
         decode_image(bytes(bmp))
     with pytest.raises(ValueError, match="PNG/BMP"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+# ---- round-10 (cont.): REAL WAV/PCM audio decode ----
+
+from legate_pandas_spark.operators.multimodal import decode_audio, encode_wav
+import struct as _struct
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(5)
+    for ch in (1, 2):
+        for n in (1, 7, 128, 1000):
+            s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int32)
+            m = decode_audio(encode_wav(s[:, 0] if ch == 1 else s, rate=22050))
+            assert (m["channels"], m["sample_rate"], m["bit_depth"]) == (ch, 22050, 16)
+            assert m["n_frames"] == n
+            assert (m["samples"] == s).all()
+
+
+def test_wav_8bit_and_word_alignment():
+    # hand-build an 8-bit PCM WAV with an ODD data length (chunk must be
+    # word-aligned when walking) followed by a trailing chunk
+    samples = bytes([0, 128, 255])  # -128, 0, +127 after offset
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(samples)) + samples + b"\x00"  # pad
+    body += b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    m = decode_audio(payload)
+    assert (m["bit_depth"], m["sample_rate"], m["n_frames"]) == (8, 8000, 3)
+    assert list(m["samples"].reshape(-1)) == [-128, 0, 127]
+
+
+def test_wav_mode_guards():
+    s = np.zeros(4, dtype=np.int32)
+    w = bytearray(encode_wav(s))
+    w[20:22] = (3).to_bytes(2, "little")  # IEEE float format
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_audio(bytes(w))
+    w = bytearray(encode_wav(s))
+    w[34:36] = (24).to_bytes(2, "little")  # 24-bit
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        decode_audio(bytes(w))
+    with pytest.raises(ValueError, match="WAV/PCM"):
+        decode_audio(b"ID3\x03 mp3-ish payload")
+
+
+def test_audio_decode_catalog_row_runs(spark, sf_dir):
+    from legate_pandas_spark.operators import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["multimodal_audio_decode"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.fmt == "wav").all()
+    assert (out.bit_depth == 16).all() and (out.sample_rate == 16000).all()
+    assert out.n_frames.between(10, 59).all()
+    assert (out.byte_len == 44 + 2 * out.n_frames).all()
