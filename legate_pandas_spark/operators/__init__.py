@@ -32,6 +32,16 @@ def outer_explode(sdf: DataFrame, arr, name: str, *keep) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Corpus-dependent oracle swaps (round-11, ADVICE r10): a query whose PLAN is
+# picked by a corpus probe (e.g. dedup_embedding_cosine_blocked's exact→LSH
+# auto-route) registers a resolver here: ``(spark, sf_dir) -> str | None``.
+# None means "the static ORACLES entry is the right reference for this
+# corpus"; a string replaces it. tools/oracle_check.py consults this before
+# running the DuckDB side, so a routed regime is differentially GATED with
+# the oracle that matches its semantics instead of hash-mismatching by
+# design. The driver's own gate (sf0.01, no routing fires) never needs it.
+ORACLE_OVERRIDES: dict[str, Callable[[SparkSession, str], str | None]] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a named query; ``oracle`` is the equivalent DuckDB SQL."""

@@ -700,7 +700,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "triangle_count_copurchase",
-    oracle="""
+    oracle=f"""
     WITH cp AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS p,
                year(o_orderdate) * 12 + month(o_orderdate) AS m,
@@ -708,11 +708,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     cpb AS MATERIALIZED (
-        -- basket cap (round-10): drop (part, month) groups with > 64
-        -- customers; a hot item connects everyone and carries no community
-        -- signal, and without the cap edges grow as C(k,2) on skewed data
+        -- basket cap (round-10): drop (part, month) groups with more than
+        -- _COPURCHASE_MAX_BASKET customers; a hot item connects everyone and
+        -- carries no community signal, and without the cap edges grow as
+        -- C(k,2) on skewed data. Interpolated from the SAME Python constant
+        -- as the Spark path (ADVICE r10) so the two engines cannot diverge.
         SELECT cp.* FROM cp
-        JOIN (SELECT p, m FROM cp GROUP BY p, m HAVING count(*) <= 64) g
+        JOIN (SELECT p, m FROM cp GROUP BY p, m
+              HAVING count(*) <= {_COPURCHASE_MAX_BASKET}) g
           USING (p, m)
     ),
     e0 AS (
@@ -801,7 +804,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "label_propagation_communities",
-    oracle="""
+    oracle=f"""
     WITH cp AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS p,
                year(o_orderdate) * 12 + month(o_orderdate) AS m,
@@ -809,11 +812,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     cpb AS MATERIALIZED (
-        -- basket cap (round-10): drop (part, month) groups with > 64
-        -- customers; a hot item connects everyone and carries no community
-        -- signal, and without the cap edges grow as C(k,2) on skewed data
+        -- basket cap (round-10): drop (part, month) groups with more than
+        -- _COPURCHASE_MAX_BASKET customers; a hot item connects everyone and
+        -- carries no community signal, and without the cap edges grow as
+        -- C(k,2) on skewed data. Interpolated from the SAME Python constant
+        -- as the Spark path (ADVICE r10) so the two engines cannot diverge.
         SELECT cp.* FROM cp
-        JOIN (SELECT p, m FROM cp GROUP BY p, m HAVING count(*) <= 64) g
+        JOIN (SELECT p, m FROM cp GROUP BY p, m
+              HAVING count(*) <= {_COPURCHASE_MAX_BASKET}) g
           USING (p, m)
     ),
     e0 AS (

@@ -413,6 +413,18 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     hold everywhere the gate runs; the routed form is what a 100 TB caller
     gets, pinned by the routing test and measured in SCALE.md round-10."""
     if _cosine_route_lsh(spark, sf_dir):
+        # Surface the regime switch (ADVICE r10): same catalog name, LSH
+        # semantics — callers and the gate must be able to tell. The gate
+        # additionally swaps in the LSH oracle via ORACLE_OVERRIDES below.
+        import warnings
+
+        warnings.warn(
+            "dedup_embedding_cosine_blocked: largest label block exceeds "
+            f"{_COSINE_EXACT_MAX_REPS} distinct vectors at {sf_dir!r}; "
+            "routing to the multi-table LSH path (approximate for "
+            "mid-cosine pairs, exact for the near-1.0 dedup mass)",
+            stacklevel=2,
+        )
         return _cosine_lsh_impl(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -1269,6 +1281,25 @@ def dedup_cosine_blocked_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFra
     value-hash exact — recall vs the exact twin is a corpus property, not
     engine noise."""
     return _cosine_lsh_impl(spark, sf_dir)
+
+
+def _cosine_blocked_oracle_override(spark: SparkSession, sf_dir: str) -> str | None:
+    """Oracle resolver for dedup_embedding_cosine_blocked (round-11, ADVICE
+    r10): on a corpus where the auto-route fires, the correct DuckDB
+    reference is the LSH twin's oracle — the two paths share the output
+    contract (label, vec_a, vec_b, cosine_sim) and the LSH path is
+    deterministic, so the routed regime is value-hash gateable instead of
+    mismatching the exact-form oracle by design."""
+    from legate_pandas_spark.operators import ORACLES
+
+    if _cosine_route_lsh(spark, sf_dir):
+        return ORACLES["dedup_cosine_blocked_lsh_approx"]
+    return None
+
+
+from legate_pandas_spark.operators import ORACLE_OVERRIDES  # noqa: E402
+
+ORACLE_OVERRIDES["dedup_embedding_cosine_blocked"] = _cosine_blocked_oracle_override
 
 
 @query("ann_recall_eval", oracle=_recall_eval_oracle(""))

@@ -1234,6 +1234,35 @@ GROUP BY dw.doc_id
 _BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_ENCODE_K)
 
 
+# Session memo for the learned BPE symbol table (round-11, ADVICE r10): each
+# _bpe_learn_sym call leaves its final vocab-sized table persisted (the
+# caller's encode join needs it) plus the mid-loop localCheckpoint RDDs — with
+# no release path, every bpe_encode_corpus/bpe_encode_k16 invocation in a
+# session pinned another copy. The merge table is a pure function of
+# (corpus, k), exactly the _ingest_stores shape: a 100 TB pipeline trains the
+# vocabulary ONCE and every encode pass joins against the stored table.
+# Memoized per (applicationId, sf_dir, k) with the corpus snapshot token;
+# replacement unpersists the stale table, bounding the memo to one live table
+# per (sf_dir, k).
+_BPE_SYM_CACHE: dict = {}
+
+
+def _bpe_sym_for(spark: SparkSession, sf_dir: str, k: int, sym0: DataFrame) -> DataFrame:
+    from legate_pandas_spark.operators.dedup import _corpus_snapshot_token
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    token = _corpus_snapshot_token(sf_dir, table="documents")
+    hit = _BPE_SYM_CACHE.get(key)
+    if hit is not None and hit[0] == token:
+        # persist() is idempotent and re-registers after a blanket clearCache()
+        return hit[1].persist()
+    if hit is not None:
+        hit[1].unpersist()
+    sym = _bpe_learn_sym(sym0, k)
+    _BPE_SYM_CACHE[key] = (token, sym)
+    return sym
+
+
 def _bpe_encode_with_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dw = outer_explode(
@@ -1250,7 +1279,7 @@ def _bpe_encode_with_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
         ).alias("s"),
     )
-    sym = _bpe_learn_sym(sym0, k)
+    sym = _bpe_sym_for(spark, sf_dir, k, sym0)
     wtok = sym.select(
         "w", (F.size(F.split(F.col("s"), _BPE_SEP)) - 2).cast("bigint").alias("n_tok")
     )
