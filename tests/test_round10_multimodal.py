@@ -127,8 +127,9 @@ def test_mode_guards_name_the_constraint():
     bmp[30:34] = (1).to_bytes(4, "little")  # BI_RLE8 compression
     with pytest.raises(NotImplementedError, match="BI_RGB"):
         decode_image(bytes(bmp))
-    with pytest.raises(ValueError, match="PNG/BMP"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # round-11: JPEG is now a REAL decode path; GIF stays unknown magic
+    with pytest.raises(ValueError, match="PNG/BMP/JPEG"):
+        decode_image(b"GIF89a not supported")
 
 
 # ---- round-10 (cont.): REAL WAV/PCM audio decode ----
