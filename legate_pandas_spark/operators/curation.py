@@ -678,10 +678,19 @@ def _split_expr(col):
 
 
 def _leakage_oracle():
-    from legate_pandas_spark.operators.dedup import _SQL_LSH_PAIRS
+    # round-11: built on the clone-collapsed pair chain (dedup.py) — the
+    # naive chain re-derived the full LSH pipeline per member and was the
+    # 99 GB-RSS offender at the 100×-docs corpus. The expansion join streams
+    # straight into the 6-row split aggregate; the quadratic never
+    # materializes.
+    from legate_pandas_spark.operators.dedup import (
+        _SQL_COLLAPSED_CTES,
+        _SQL_COLLAPSED_PAIRS_SELECT,
+    )
 
     return f"""
-    WITH pairs AS ({_SQL_LSH_PAIRS}),
+    WITH {_SQL_COLLAPSED_CTES},
+    pairs AS ({_SQL_COLLAPSED_PAIRS_SELECT}),
     splits AS (
         SELECT doc_id,
                CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
@@ -843,12 +852,30 @@ _C_THRESHOLD = 0.6  # directional containment cut
 _C_MIN_GRAMS = 5  # ignore docs too short for containment to mean anything
 
 
-@query(
-    "dedup_containment_pairs",
-    oracle=f"""
-    WITH toks AS (
+# Clone-collapsed containment oracle (round-11, same program as the dedup.py
+# pair chain — the pair-granular OUTPUT stays, only the quadratic WORK
+# collapses). Group key is (lang, md5(text)): containment joins on lang, and
+# the 100×-docs corpus has text groups spanning two langs, so text alone
+# would over-merge. Within a group, containment is exactly 1.0 in both
+# directions (identical gram sets), emitted iff the rep clears the
+# {_C_MIN_GRAMS}-gram floor; cross-group member pairs inherit the rep pair's
+# directional containment verbatim (doc_a is the CONTAINED side, so the
+# expansion keeps rep-pair orientation — no least/greatest).
+_SQL_CONTAINMENT_COLLAPSED = f"""
+    WITH cgrp AS MATERIALIZED (
+        SELECT doc_id, lang || '|' || md5(text) AS gk
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    cgsz AS MATERIALIZED (
+        SELECT gk, min(doc_id) AS rep, count(*) AS gsize FROM cgrp GROUP BY gk
+    ),
+    rdocs AS MATERIALIZED (
+        SELECT g.rep AS doc_id, d.lang, d.text
+        FROM cgsz g JOIN documents d ON d.doc_id = g.rep
+    ),
+    toks AS (
         SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
-        FROM documents
+        FROM rdocs
     ), grams AS (
         SELECT doc_id, lang,
                CASE WHEN len(t) >= {_N}
@@ -856,7 +883,7 @@ _C_MIN_GRAMS = 5  # ignore docs too short for containment to mean anything
                                                       i -> array_to_string(t[i:i+{_N - 1}], ' ')))
                     ELSE [] END AS gs
         FROM toks
-    ), exploded AS (
+    ), exploded AS MATERIALIZED (
         SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM grams
         WHERE len(gs) >= {_C_MIN_GRAMS}
     ), inter AS (
@@ -865,12 +892,29 @@ _C_MIN_GRAMS = 5  # ignore docs too short for containment to mean anything
         FROM exploded a JOIN exploded b
           ON a.lang = b.lang AND a.g = b.g AND a.doc_id <> b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b, round(isect * 1.0 / sz_a, 4) AS containment
-    FROM inter
-    WHERE isect * 1.0 / sz_a >= {_C_THRESHOLD}
-    """,
-)
+    ),
+    rep_pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b, round(isect * 1.0 / sz_a, 4) AS containment
+        FROM inter
+        WHERE isect * 1.0 / sz_a >= {_C_THRESHOLD}
+    ),
+    eligible AS MATERIALIZED (SELECT DISTINCT doc_id FROM exploded)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS containment
+    FROM cgsz r
+    JOIN cgrp a ON a.gk = r.gk
+    JOIN cgrp b ON b.gk = r.gk
+    WHERE a.doc_id <> b.doc_id AND r.rep IN (SELECT doc_id FROM eligible)
+    UNION ALL
+    SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b, p.containment
+    FROM rep_pairs p
+    JOIN cgsz g1 ON g1.rep = p.doc_a
+    JOIN cgsz g2 ON g2.rep = p.doc_b
+    JOIN cgrp m1 ON m1.gk = g1.gk
+    JOIN cgrp m2 ON m2.gk = g2.gk
+"""
+
+
+@query("dedup_containment_pairs", oracle=_SQL_CONTAINMENT_COLLAPSED)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTIONAL containment near-dup pairs: containment(A→B) =
     |grams(A) ∩ grams(B)| / |grams(A)| — catches a document whose content is

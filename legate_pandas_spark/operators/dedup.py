@@ -58,14 +58,21 @@ def shingles_col(toks: Column) -> Column:
 # subquery — inlining the split expression into the list lambda makes the engine
 # re-split the text per element (O(tokens^2) per doc).
 _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
-_SQL_SH = f"""
+
+
+def _sql_sh(src: str = "documents") -> str:
+    """3-gram shingle explode over ``src`` (doc_id, text)."""
+    return f"""
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, greatest(len(toks) - 1, 1)),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) _t
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}) _t
         WHERE len(toks) >= 3
 """
+
+
+_SQL_SH = _sql_sh()
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
@@ -207,7 +214,114 @@ _SQL_LSH_PAIRS = f"""
 """
 
 
-@query("dedup_minhash_lsh", oracle=_SQL_LSH_PAIRS)
+# ---------------------------------------------------------------------------
+# CLONE-COLLAPSED oracle chain (round-11, VERDICT r10 Next #2): the naive
+# pair oracles above are C(k,2)-quadratic in clone mass — at the 100×-docs
+# corpus (500k docs, 100-200-member identical-text groups) the band self-join
+# and per-pair shingle intersection made DuckDB the bottleneck (900s watchdog
+# / 99 GB RSS), forcing justified exclusions. This chain writes the DuckDB
+# reference the way the Spark side already computes it: group identical TEXT
+# to one representative (md5(text) — a FINER key than the Spark side's
+# shingle-set identity, so the two collapse mechanisms stay independent),
+# run the entire naive pipeline on reps (= 1×-corpus work at any clone
+# density), then expand group pairs back to member pairs. Within-group
+# member pairs have Jaccard exactly 1.0 (emitted iff the rep has ≥1
+# shingle); a cross-group member pair is a candidate iff its rep pair is,
+# with the same Jaccard. Output is bit-identical to the naive form — pinned
+# by test_round11_collapsed_oracles running BOTH forms in DuckDB.
+# Multi-referenced CTEs are AS MATERIALIZED (DuckDB inlines every reference
+# otherwise — the round-10 2^k-scan lesson).
+# ---------------------------------------------------------------------------
+
+_SQL_RMH_BODY = f"""
+        SELECT doc_id,
+               {", ".join(
+                   f"min(substr(h{k}, {8 * j + 1}, 8)) AS mh{4 * k + j}"
+                   for k in (0, 1) for j in range(4)
+               )}
+        FROM (SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM rsh) _h
+        GROUP BY doc_id
+"""
+
+_SQL_RBANDS_BODY = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, mh{2*b} || mh{2*b+1} AS band_key FROM rmh"
+    for b in range(N_BANDS)
+)
+
+# shared CTE list (no leading WITH — callers prepend WITH / WITH RECURSIVE)
+_SQL_COLLAPSED_CTES = f"""
+    grp AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS gk FROM documents WHERE text IS NOT NULL
+    ),
+    gsz AS MATERIALIZED (
+        SELECT gk, min(doc_id) AS rep, count(*) AS gsize FROM grp GROUP BY gk
+    ),
+    rdocs AS MATERIALIZED (
+        SELECT g.rep AS doc_id, d.text
+        FROM gsz g JOIN documents d ON d.doc_id = g.rep
+    ),
+    rsh AS MATERIALIZED ({_sql_sh('rdocs')}),
+    rmh AS ({_SQL_RMH_BODY}),
+    rbands AS ({_SQL_RBANDS_BODY}),
+    rcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rbands a JOIN rbands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    rsizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+    rinter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM rcand c
+        JOIN rsh sa ON sa.doc_id = c.doc_a
+        JOIN rsh sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    rep_pairs AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b,
+               round(i.i * 1.0 / (za.n + zb.n - i.i), 4) AS jaccard
+        FROM rinter i
+        JOIN rsizes za ON za.doc_id = i.doc_a
+        JOIN rsizes zb ON zb.doc_id = i.doc_b
+        WHERE i.i * 1.0 / (za.n + zb.n - i.i) >= {JACCARD_THRESHOLD}
+    ),
+    within_pairs AS (
+        -- identical text => identical shingle set => Jaccard exactly 1.0;
+        -- emitted iff the rep has at least one shingle (same condition under
+        -- which the naive form band-collides and verifies the member pair)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM gsz r
+        JOIN grp a ON a.gk = r.gk
+        JOIN grp b ON b.gk = r.gk
+        WHERE a.doc_id < b.doc_id
+          AND r.rep IN (SELECT doc_id FROM rsizes)
+    ),
+    cross_pairs AS (
+        -- each (m1 in g1) x (m2 in g2) member pair appears exactly once;
+        -- least/greatest restores the doc_a < doc_b output convention
+        SELECT least(m1.doc_id, m2.doc_id) AS doc_a,
+               greatest(m1.doc_id, m2.doc_id) AS doc_b,
+               p.jaccard
+        FROM rep_pairs p
+        JOIN gsz g1 ON g1.rep = p.doc_a
+        JOIN gsz g2 ON g2.rep = p.doc_b
+        JOIN grp m1 ON m1.gk = g1.gk
+        JOIN grp m2 ON m2.gk = g2.gk
+    )
+"""
+
+_SQL_COLLAPSED_PAIRS_SELECT = """
+    SELECT doc_a, doc_b, jaccard FROM within_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard FROM cross_pairs
+"""
+
+_SQL_LSH_PAIRS_COLLAPSED = (
+    "WITH " + _SQL_COLLAPSED_CTES + _SQL_COLLAPSED_PAIRS_SELECT
+)
+
+
+@query("dedup_minhash_lsh", oracle=_SQL_LSH_PAIRS_COLLAPSED)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact Jaccard verification,
     guarded against hot band buckets (round-7 verdict item #2).
@@ -652,7 +766,46 @@ def _lsh_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_pairs.unionByName(star)
 
 
-@query("dedup_connected_components", oracle=_SQL_CONNECTED)
+# Clone-collapsed CC oracle (round-11, same program as the pair chain): the
+# member-level graph is "group cliques + complete bipartite bridges per
+# verified rep pair", so its components are exactly the rep-level components
+# of the rep-pair graph plus the gsize>=2 group cliques — and the member-
+# level component id (min member doc_id) equals the min REP in the rep
+# component, because each group's rep IS its min member. The recursion
+# therefore runs on the rep graph (1×-corpus size at any clone density) and
+# members inherit their rep's component in one expansion join.
+_SQL_CONNECTED_COLLAPSED = f"""
+    WITH RECURSIVE {_SQL_COLLAPSED_CTES},
+    rep_nodes AS (
+        SELECT DISTINCT n FROM (
+            SELECT doc_a AS n FROM rep_pairs
+            UNION ALL SELECT doc_b FROM rep_pairs
+            UNION ALL
+            -- a group clique makes its members graph nodes even without
+            -- cross-group edges (iff the rep has shingles, as in within_pairs)
+            SELECT g.rep FROM gsz g
+            WHERE g.gsize >= 2 AND g.rep IN (SELECT doc_id FROM rsizes)
+        ) _n
+    ),
+    redges AS (
+        SELECT doc_a AS a, doc_b AS b FROM rep_pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM rep_pairs
+    ),
+    reach AS (
+        SELECT n AS node, n AS r FROM rep_nodes
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN redges e ON reach.r = e.a
+    ),
+    rep_comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+    SELECT m.doc_id, CAST(c.comp AS BIGINT) AS component_id
+    FROM rep_comp c
+    JOIN gsz g ON g.rep = c.node
+    JOIN grp m ON m.gk = g.gk
+"""
+
+
+@query("dedup_connected_components", oracle=_SQL_CONNECTED_COLLAPSED)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: LSH near-dup pairs → undirected graph →
     connected components (min doc_id as the canonical/component id). This is

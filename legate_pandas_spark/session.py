@@ -41,6 +41,13 @@ _TUNED_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "16g",
+    # The oracle gate collects FULL pair-granular results for the
+    # differential compare — 51M rows (~1.5 GB Arrow) at the 100×-docs
+    # corpus (round-11: the clone-collapsed oracles made that compare
+    # feasible; the default 1g cap was the last blocker). Production paths
+    # never collect unbounded results (VERDICT-audited every round), so the
+    # cap is not load-bearing there.
+    "spark.driver.maxResultSize": "8g",
 }
 
 

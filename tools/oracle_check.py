@@ -145,8 +145,12 @@ def main() -> int:
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     # Structured artifact (committed per round so the full-gate result — not
     # just the driver's 50-query sample — is reviewable): only written for
-    # FULL runs, a filtered run would clobber it with a partial picture.
-    if not only:
+    # FULL runs, a filtered run would clobber it with a partial picture —
+    # unless ORACLE_SUBSET_OUT names an explicit path (the table-subset gate
+    # corpora: 100×-documents / 100×-embeddings carry only their scaled
+    # table's query family, so their artifacts ARE subset runs by design).
+    subset_out = os.environ.get("ORACLE_SUBSET_OUT")
+    if not only or subset_out:
         import json
 
         out = {
@@ -158,7 +162,13 @@ def main() -> int:
             "failures": failures,
             "results": results,
         }
-        path = os.path.join(
+        if only:
+            out["note"] = os.environ.get(
+                "ORACLE_SUBSET_NOTE",
+                "table-subset gate run (see sf_dir): only the scaled table's "
+                "query family is meaningful on this corpus",
+            )
+        path = subset_out or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "oracle_full_results.json",
         )
