@@ -106,6 +106,30 @@ def test_mode_guards_name_the_constraint():
         _decode_jpeg(b"\x00\x01\x02")
 
 
+def test_entropy_bytes_match_hand_derived_t81_bits():
+    """Mirrored-bug guard: encoder and decoder are both ours, so a
+    consistent spec deviation (wrong zigzag, wrong canonical code order)
+    would cancel in every round-trip. These scan bytes are derived BY HAND
+    from ITU-T T.81 + the Annex K tables, independent of both codecs.
+
+    c=128: level-shifted DC diff 0 → DC-lum category 0, canonical code '00';
+    EOB is AC-lum symbol 0x00 → 4th code of length 4 → '1010'; 1-padded:
+    00 1010 11 = 0x2B.
+    c=130: DC = 8·(130−128) = 16 → category 5, code '110', amplitude
+    '10000'; + EOB, 1-padded: 110 10000 1010 1111 = 0xD0 0xAF."""
+    for c, want_scan in ((128, bytes([0b00101011])), (130, bytes([0b11010000, 0b10101111]))):
+        img = np.full((8, 8), c, dtype=np.uint8)
+        payload = encode_jpeg(img)
+        i = payload.index(b"\xff\xda")
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        head, scan = payload[: i + 2 + seglen], payload[i + 2 + seglen : -2]
+        # encoder emits exactly the hand-derived bits
+        assert scan == want_scan, (c, scan.hex())
+        # decoder reads hand-written bits spliced in (not encoder output)
+        m = _decode_jpeg(head + want_scan + b"\xff\xd9")
+        assert (m["pixels"] == c).all(), c
+
+
 def test_spark_catalog_row_matches_pure_python(spark, sf_dir):
     """The mapInPandas catalog row over real corpus docs vs the same
     construction + decode computed driver-side."""
