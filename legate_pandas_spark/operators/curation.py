@@ -449,6 +449,125 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    anchors AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(t) - {_N - 2}, 1))) AS pos,
+               t
+        FROM toks WHERE len(t) >= {_N}
+    ),
+    ganchors AS MATERIALIZED (
+        SELECT doc_id, pos, array_to_string(t[pos:pos+{_N - 1}], ' ') AS g
+        FROM anchors
+    ),
+    dupg AS MATERIALIZED (
+        SELECT g FROM (SELECT DISTINCT doc_id, g FROM ganchors) _dg
+        GROUP BY g HAVING count(*) >= 2
+    ),
+    danchors AS (
+        SELECT a.doc_id, a.pos FROM ganchors a JOIN dupg USING (g)
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {_N} THEN 0 ELSE 1 END AS brk
+        FROM danchors
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_N - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {_N - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document repeated token spans — the actionable output
+    of the ExactSubstr method (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", fixed-k anchor approximation): per
+    document, the token-position intervals [span_start, span_end] (1-based,
+    inclusive) covered by word k-gram anchors (k = _N = 5) that occur in at
+    least one OTHER document. repeated_ngram_spans reports the per-doc dup FRACTION (a
+    filter signal); this emits the spans a dedup pass would actually cut.
+
+    Pipeline: positional gram anchors (posexplode; the gram array is
+    computed once per row) → distinct-doc count per gram (one hash
+    aggregate, map-side combinable) → join back on gram → per-doc
+    gaps-and-islands (anchors cover [pos, pos+k-1], equal length, so a new
+    island starts exactly when pos − prev_pos > k) → one group per island.
+
+    100 TB shape: never doc×doc — cost is bounded by gram volume. Two
+    shuffles on the gram key (aggregate + join back; same exchange
+    partitioning, reusable) and one doc-keyed window for the island merge.
+    Output rows are unique on (doc_id, span_start): deterministic,
+    hash-gateable without tiebreakers."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    # positional anchors: (doc_id, pos, gram), pos 1-based — NOT distinct
+    # (the same gram at two positions covers two intervals)
+    # WHEN-guarded like _word_ngrams: Catalyst may evaluate the expression
+    # before the row filter (ANSI sequence/slice throw on short docs)
+    grams = toks.filter(F.size("t") >= _N).select(
+        "doc_id",
+        F.when(
+            F.size("t") >= _N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _N)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    anchors = grams.select(
+        "doc_id", F.posexplode("gs").alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # distinct-doc count per gram, joined back on the same gram key
+    nd = (
+        anchors.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup = anchors.join(nd, "g").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wd) <= _N, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (_N - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") + (_N - 1) - F.min("pos") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+    ).drop("island")
+
+
+@query(
     "unigram_logprob_quality",
     oracle="""
     WITH words AS (
