@@ -140,6 +140,7 @@ HEADLINE = [
     "multimodal_image_decode",
     "multimodal_audio_decode",
     "multimodal_jpeg_decode",
+    "multimodal_video_decode",
     "exact_substring_spans",
 ]
 

@@ -3,22 +3,25 @@
 The engine treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
 
-The decode kernels are REAL for PNG, BMP (round-10), baseline JPEG
-(round-11), and RIFF/WAVE PCM audio (round-10) — ``decode_image`` /
-``decode_audio`` parse actual bytes to pixel/sample arrays using only numpy +
-stdlib (PNG: chunk walk, IDAT inflate, all five unfilter paths; BMP:
+The decode kernels are REAL for every modality: PNG + BMP images (round-10),
+baseline JPEG (round-11), RIFF/WAVE PCM audio (round-10), and uncompressed
+RIFF/AVI video (round-11) — ``decode_image`` / ``decode_audio`` /
+``decode_video`` parse actual bytes to pixel/sample/frame arrays using only
+numpy + stdlib (PNG: chunk walk, IDAT inflate, all five unfilter paths; BMP:
 BITMAPINFOHEADER, bottom-up padded rows, BGR; JPEG: marker walk, canonical
 Huffman reconstruction from the stream, entropy decode with byte-unstuffing,
 zigzag dequant, 8×8 IDCT, JFIF YCbCr→RGB; WAV: RIFF chunk walk, PCM sample
-extraction). The ``multimodal_image_decode`` / ``multimodal_jpeg_decode`` /
-``multimodal_audio_decode`` catalog rows round-trip REAL bytes (constructed
+extraction; AVI: nested LIST walk, avih/strh/strf headers, DIB frame
+decode + sampling). The ``multimodal_image_decode`` /
+``multimodal_jpeg_decode`` / ``multimodal_audio_decode`` /
+``multimodal_video_decode`` catalog rows round-trip REAL bytes (constructed
 per document, parsed back by the real decoders) under DuckDB oracles that
 compute the expected values from the construction parameters — any defect in
 a writer OR parser hash-mismatches. Formats needing codec libraries this
-container lacks (WebP, progressive/arithmetic JPEG, MP3/AAC, video) stay
-behind the documented deterministic fake (``_fake_decode``), with the
-Spark-side plumbing — binary columns, Arrow batch transfer, schema,
-partitioning — identical to the real paths.
+container lacks (WebP, progressive/arithmetic JPEG, MP3/AAC, compressed
+video) raise NotImplementedError naming the constraint; ``_fake_decode``
+remains only as the documented deterministic stand-in inside the generic
+binary-plumbing rows (decode_metadata / resize_plan / frame_sample_plan).
 """
 
 from __future__ import annotations
@@ -1206,6 +1209,246 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, text) and the codec cost dominates any exchange
     src = src.repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(roundtrip, JPEG_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec (round-11 — the last modality): uncompressed RIFF/AVI,
+# stdlib + numpy only. Writer emits RIFF('AVI ') with LIST hdrl (avih + LIST
+# strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) and LIST movi of '00db'
+# raw DIB frames (bottom-up BGR rows, 4-byte padded — the BMP discipline);
+# parser walks the chunks (word-aligned, the WAV discipline), reads geometry
+# and timing from the headers, and decodes every frame to an RGB array.
+# Compressed streams ('00dc', biCompression != 0) raise NotImplementedError.
+# Raw DIB frames are lossless, so decode is EXACT and the catalog row gets a
+# construction-parameter oracle like the BMP/WAV/JPEG rows.
+# ---------------------------------------------------------------------------
+
+
+def _dib_frame_bytes(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) RGB array → bottom-up padded BGR DIB frame bytes."""
+    h, w, _ = pixels.shape
+    row_size = ((24 * w + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = pixels[y][:, ::-1].tobytes()
+        body += row + b"\x00" * (row_size - len(row))
+    return bytes(body)
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+
+def _riff_chunk(ctype: bytes, data: bytes) -> bytes:
+    return ctype + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+
+def encode_avi(
+    frames: list[np.ndarray], usec_per_frame: int = 100_000
+) -> bytes:
+    """Minimal uncompressed AVI writer over (h, w, 3) uint8 RGB frames — the
+    construction side of the real video-decode round-trip."""
+    h, w, _ = frames[0].shape
+    n = len(frames)
+    row_size = ((24 * w + 31) // 32) * 4
+    frame_size = row_size * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, frame_size * 1_000_000 // max(usec_per_frame, 1), 0,
+        0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                        usec_per_frame, 1_000_000, 0, n,
+                                        frame_size, 0, -1)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00db", _dib_frame_bytes(f)) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video(payload: bytes) -> dict:
+    """REAL video decode: uncompressed RIFF/AVI bytes → dict with geometry,
+    frame timing, and the full list of (h, w, 3) RGB frame arrays."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec = width = height = bitcount = None
+    frames_raw: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        nonlocal usec, width, height, bitcount
+        pos = 0
+        while pos + 8 <= len(data):
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if ctype == b"LIST":
+                walk(body[4:])  # skip the list kind fourcc
+            elif ctype == b"avih":
+                (usec,) = struct.unpack("<I", body[:4])
+            elif ctype == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (b"DIB ", b"\x00" * 4):
+                    raise NotImplementedError("AVI decode: uncompressed DIB video only")
+            elif ctype == b"strf":
+                width, height = struct.unpack("<ii", body[4:12])
+                (bitcount,) = struct.unpack("<H", body[14:16])
+                (compression,) = struct.unpack("<I", body[16:20])
+                if compression != 0 or bitcount != 24:
+                    raise NotImplementedError("AVI decode: 24-bit BI_RGB frames only")
+            elif ctype == b"00db":
+                frames_raw.append(body)
+            elif ctype == b"00dc":
+                raise NotImplementedError("AVI decode: compressed frames unsupported")
+
+    walk(payload[12:])
+    if width is None or not frames_raw:
+        raise ValueError("AVI without strf/frames")
+    height = abs(height)
+    row_size = ((bitcount * width + 31) // 32) * 4
+    frames = []
+    for raw in frames_raw:
+        rows = [
+            np.frombuffer(raw, dtype=np.uint8, count=width * 3, offset=y * row_size)
+            .reshape(width, 3)[:, ::-1]
+            for y in range(height)
+        ]
+        frames.append(np.stack(rows[::-1]))  # bottom-up → top-down
+    return {
+        "fmt": "avi",
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "usec_per_frame": int(usec),
+        "frames": frames,
+    }
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("mean_pixel_x1000", LongType()),
+        StructField("top_left_r", IntegerType()),
+    ]
+)
+
+_VIDEO_SAMPLE_STRIDE = 3
+
+
+@query(
+    "multimodal_video_decode",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS hx, octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    dims AS (
+        SELECT doc_id, hx,
+               (n % 6) + 2 AS w,
+               (n % 4) + 2 AS h,
+               (n % 7) + 2 AS f
+        FROM d
+    ),
+    sampled AS (
+        SELECT doc_id, hx, w, h, f,
+               unnest(range(0, f, {_VIDEO_SAMPLE_STRIDE})) AS j
+        FROM dims
+    ),
+    px AS (
+        SELECT doc_id, w, h, f, j,
+               list_transform(range(0, w * h * 3),
+                   i -> CAST(('0x' || substr(hx,
+                            CAST(((j * 3 + i) % 16) * 2 + 1 AS INT), 2))
+                            AS BIGINT)) AS ps
+        FROM sampled
+    )
+    SELECT doc_id,
+           'avi' AS fmt,
+           CAST(j AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(f AS INT) AS n_frames,
+           CAST(f * 100000 AS BIGINT) AS duration_us,
+           CAST((2 * list_sum(ps) * 1000 + w * h * 3) // (2 * w * h * 3)
+                AS BIGINT) AS mean_pixel_x1000,
+           CAST(ps[1] AS INT) AS top_left_r
+    FROM px
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, differentially gated (round-11 —
+    the last modality): per document, construct an actual uncompressed
+    RIFF/AVI — f=(bytes%7)+2 frames of w×h=(bytes%6)+2 × (bytes%4)+2, frame
+    j's pixels tiled from the md5 digest rotated by 3·j — with the real
+    writer (encode_avi: avih/strh/strf headers, '00db' DIB frames, word
+    alignment), parse it back with the real chunk walker (decode_video),
+    sample every {_VIDEO_SAMPLE_STRIDE}rd frame, and emit one row per
+    SAMPLED frame with geometry, exact integer duration, the frame's exact
+    mean pixel, and its top-left red value. Raw DIB frames are lossless, so
+    the DuckDB oracle computes everything from the construction parameters —
+    header-layout, row-padding, BGR-order, bottom-up, frame-boundary, or
+    sampling-stride defects in writer OR parser break the value hash.
+
+    100 TB shape: one Arrow-batched mapInPandas pass per video, no shuffle —
+    frame sampling inside the kernel means only sampled frames' stats cross
+    the boundary, the standard video-pipeline discipline."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                digest = hashlib.md5(data).digest()
+                n = len(data)
+                w, h, f = (n % 6) + 2, (n % 4) + 2, (n % 7) + 2
+                frames = []
+                for j in range(f):
+                    need = 3 * j + w * h * 3
+                    seq = (digest * (need // 16 + 2))[3 * j : 3 * j + w * h * 3]
+                    frames.append(
+                        np.frombuffer(seq, dtype=np.uint8).reshape(h, w, 3)
+                    )
+                payload = encode_avi(frames)
+                meta = decode_video(payload)  # REAL parse of the real bytes
+                for j in range(0, meta["n_frames"], _VIDEO_SAMPLE_STRIDE):
+                    fr = meta["frames"][j]
+                    npx = int(fr.size)
+                    s = int(fr.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            doc_id,
+                            meta["fmt"],
+                            j,
+                            meta["width"],
+                            meta["height"],
+                            meta["n_frames"],
+                            meta["n_frames"] * meta["usec_per_frame"],
+                            (2 * s * 1000 + npx) // (2 * npx),
+                            int(fr[0, 0, 0]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_DECODE_SCHEMA])
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(roundtrip, VIDEO_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
