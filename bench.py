@@ -142,6 +142,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_video_decode",
     "exact_substring_spans",
+    "exact_substring_cut",
 ]
 
 

@@ -568,6 +568,122 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_cut",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    ganchors AS MATERIALIZED (
+        SELECT doc_id, pos, array_to_string(t[pos:pos+{_N - 1}], ' ') AS g
+        FROM (
+            SELECT doc_id, unnest(range(1, greatest(len(t) - {_N - 2}, 1))) AS pos, t
+            FROM toks WHERE len(t) >= {_N}
+        ) _a
+    ),
+    dupg AS MATERIALIZED (
+        SELECT g FROM (SELECT DISTINCT doc_id, g FROM ganchors) _dg
+        GROUP BY g HAVING count(*) >= 2
+    ),
+    covered AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id, unnest(range(a.pos, a.pos + {_N})) AS pos
+        FROM ganchors a JOIN dupg USING (g)
+    ),
+    positions AS (
+        SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t
+        FROM toks
+    ),
+    flagged AS (
+        SELECT p.doc_id, p.pos, p.t[p.pos] AS tok,
+               c.pos IS NOT NULL AS cut
+        FROM positions p LEFT JOIN covered c
+          ON c.doc_id = p.doc_id AND c.pos = p.pos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut),
+                        '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022 'drop' variant):
+    rewrite every document with all cross-document repeated spans removed —
+    every token covered by a word k-gram (k = _N = 5) that occurs in at
+    least one other document is cut from every document carrying it. Emits
+    per doc the token count, the cut count, and the md5 of the cleaned text
+    (byte-identity contract, the segment_dedup_reassemble discipline — the
+    full rewritten corpus never needs to leave the executors to be gated).
+
+    Plan: the exact_substring_spans anchor pipeline (one posexplode, one
+    gram-keyed aggregate + join back), anchors expanded to covered
+    positions (≤ k rows per anchor, distinct), LEFT-joined onto the full
+    position list on (doc, pos) — both sides hash-partition by doc for the
+    join and the final per-doc aggregate reuses that partitioning. The
+    cleaned text is rebuilt order-exact with a sorted struct collect (no
+    window, no second shuffle).
+
+    100 TB shape: linear in token volume; the only corpus-scale shuffles
+    are the gram aggregate and the doc-keyed join. Never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= _N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _N)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    anchors = grams.select(
+        "doc_id", F.posexplode("gs").alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    nd = (
+        anchors.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        anchors.join(nd, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_N - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cut", F.lit(True))
+    )
+    positions = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    flagged = positions.join(covered, ["doc_id", "pos"], "left").select(
+        "doc_id", "pos", "tok", F.coalesce(F.col("cut"), F.lit(False)).alias("cut")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("cut"), F.struct(F.col("pos"), F.col("tok")))
+            )
+        ),
+        lambda s: s["tok"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cut").cast("int")).cast("bigint").alias("n_cut"),
+        F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_md5"),
+    )
+
+
+@query(
     "unigram_logprob_quality",
     oracle="""
     WITH words AS (

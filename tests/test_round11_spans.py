@@ -90,3 +90,28 @@ def test_spans_match_brute_force(spark, tmp_path, seed):
     # structure checks: the clone pair is fully covered end to end
     n0 = len(texts[0].split())
     assert (997, 1, n0, n0, n0 - K + 1) in want
+
+    # the CUT step against the same brute-force coverage marks
+    import hashlib
+
+    cut = (
+        QUERIES["exact_substring_cut"](spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    spans_by_doc: dict[int, list] = {}
+    for dd, s, e, *_ in want:
+        spans_by_doc.setdefault(dd, []).append((s, e))
+    for dd, text in texts.items():
+        t = text.split()
+        covered = np.zeros(len(t), dtype=bool)
+        for s, e in spans_by_doc.get(dd, []):
+            covered[s - 1 : e] = True
+        clean = " ".join(w for w, c in zip(t, covered) if not c)
+        row = cut.loc[dd]
+        assert row["n_tokens"] == len(t)
+        assert row["n_cut"] == int(covered.sum())
+        assert row["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    # the clone pair must be cut to nothing
+    assert cut.loc[997, "n_cut"] == cut.loc[997, "n_tokens"]
