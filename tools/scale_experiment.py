@@ -74,6 +74,11 @@ QUERIES = [
     # round 7
     "percentile_approx_stats",
     "dedup_embedding_cosine_blocked",
+    # round 11: span dedup (gram-volume-linear) and the real codec kernels
+    "exact_substring_spans",
+    "exact_substring_cut",
+    "multimodal_jpeg_decode",
+    "multimodal_video_decode",
     "pd_global_rank_rolling",
     "ann_pq_topk",
     # round 9: the ANN/embedding family over the JITTERED 10x embeddings
