@@ -534,19 +534,28 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("gs"),
     )
-    anchors = grams.select(
-        "doc_id", F.posexplode("gs").alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # posexplode_OUTER + null filter (the outer_explode discipline): inner
+    # generators make Catalyst infer size(gs)>0 and re-evaluate the whole
+    # gram transform per input row. 64-bit-hash the gram BEFORE the shuffles
+    # (the containment-op discipline): 8-byte shuffle keys instead of 5-word
+    # strings — the gram aggregate and the join back are the two
+    # corpus-scale exchanges. A collision can only ADD a false anchor, which
+    # the DuckDB oracle (which compares raw strings) would flag.
+    anchors = (
+        grams.select("doc_id", F.posexplode_outer("gs").alias("pos0", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("g").alias("gh"))
+    )
     # distinct-doc count per gram, joined back on the same gram key
     nd = (
-        anchors.select("doc_id", "g")
+        anchors.select("doc_id", "gh")
         .distinct()
-        .groupBy("g")
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("gh")
     )
-    dup = anchors.join(nd, "g").select("doc_id", "pos")
+    dup = anchors.join(nd, "gh").select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     marked = dup.withColumn(
         "brk",
@@ -642,19 +651,22 @@ def exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("gs"),
     )
-    anchors = grams.select(
-        "doc_id", F.posexplode("gs").alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # outer-generator + hashed gram shuffle keys — see exact_substring_spans
+    anchors = (
+        grams.select("doc_id", F.posexplode_outer("gs").alias("pos0", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("g").alias("gh"))
+    )
     nd = (
-        anchors.select("doc_id", "g")
+        anchors.select("doc_id", "gh")
         .distinct()
-        .groupBy("g")
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("gh")
     )
     covered = (
-        anchors.join(nd, "g")
+        anchors.join(nd, "gh")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (_N - 1))).alias("pos"),
