@@ -34,11 +34,12 @@ def test_avi_row_padding_is_exercised():
 def test_avi_mode_guards():
     frames = [np.full((2, 2, 3), 7, dtype=np.uint8)]
     payload = bytearray(encode_avi(frames))
-    # compressed frame fourcc
+    # '00dc' in a BI_RGB stream decodes as a raw DIB frame (round-12: the
+    # chunk id alone no longer implies compression — strf biCompression does)
     i = payload.index(b"00db")
-    with pytest.raises(NotImplementedError, match="compressed frames"):
-        decode_video(bytes(payload[:i]) + b"00dc" + bytes(payload[i + 4 :]))
-    # non-BI_RGB strf compression field
+    m = decode_video(bytes(payload[:i]) + b"00dc" + bytes(payload[i + 4 :]))
+    assert (m["frames"][0] == frames[0]).all()
+    # non-BI_RGB, non-MJPG strf compression field (1 = BI_RLE8)
     j = payload.index(b"strf") + 8 + 16
     bad = payload[:j] + (1).to_bytes(4, "little") + payload[j + 4 :]
     with pytest.raises(NotImplementedError, match="BI_RGB"):
