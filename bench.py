@@ -141,6 +141,8 @@ HEADLINE = [
     "multimodal_audio_decode",
     "multimodal_jpeg_decode",
     "multimodal_video_decode",
+    "multimodal_mjpeg_decode",
+    "multimodal_gif_decode",
     "exact_substring_spans",
     "exact_substring_cut",
 ]

@@ -194,7 +194,9 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:3] == _JPEG_MAGIC:
         return _decode_jpeg(payload)
-    raise ValueError("unsupported image format (PNG/BMP/JPEG supported)")
+    if payload[:6] in _GIF_MAGICS:
+        return _decode_gif(payload)
+    raise ValueError("unsupported image format (PNG/BMP/JPEG/GIF supported)")
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -269,6 +271,207 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec (round-12): GIF87a/89a, stdlib-only. The encoder writes the
+# logical screen descriptor, a global color table, and a variable-width LZW
+# stream (spec Appendix F conventions: initial width = min_code_size + 1,
+# encoder widens when it DEFINES code 2^width, decoder widens one entry
+# earlier — when it defines code 2^width − 1 — because its table lags the
+# encoder's by exactly one entry; 12-bit cap, CLEAR resets). The decoder
+# walks the blocks (skipping 0x21 extensions, so real-world GIF89a output
+# with graphic-control blocks parses), rebuilds the index stream, and maps
+# through the color table to RGB. Supported: non-interlaced, global color
+# table, first image frame; interlaced or local-color-table frames raise
+# NotImplementedError naming the constraint. The LZW bit-level conventions
+# are pinned three independent ways in tests/test_round12_gif.py: a
+# hand-derived spec vector (codes → LSB-first bytes worked out on paper), a
+# real-world third-party GIF decoded from the Python distribution, and
+# roundtrips crossing every width bump and the 4096 reset.
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR, variable-width codes LSB-first, EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    emit(clear, width)
+    buf: tuple = ()
+    for px in indices:
+        px = int(px)
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # spec Appendix F: widen when code 2^width is DEFINED (so the
+            # next emitted code, which may be that entry, fits)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = reset()
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of ``_lzw_compress``; tolerates deferred-clear encoders (a
+    full table simply stops growing until a CLEAR arrives)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    next_code = eoi + 1
+    prev: tuple | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing EOI: emit what we have (lenient)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear not literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW: code out of range (desynced stream)")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + (entry[0],))
+            # decoder table lags the encoder's by one entry: widen when code
+            # 2^width − 1 is defined (== encoder defining 2^width)
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            next_code += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes) -> dict:
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=gct_len * 3, offset=pos
+        ).reshape(gct_len, 3)
+        pos += gct_len * 3
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif intro == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("GIF decode: non-interlaced only")
+            if ipacked & 0x80:
+                raise NotImplementedError("GIF decode: global color table only")
+            if palette is None:
+                raise NotImplementedError("GIF decode: global color table required")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            indices = _lzw_decompress(bytes(data), min_code_size)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF decode: truncated index stream")
+            idx = np.asarray(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("GIF decode: index outside color table")
+            return {
+                "fmt": "gif",
+                "width": int(iw),
+                "height": int(ih),
+                "channels": 3,
+                "bit_depth": 8,
+                "palette_size": int(len(palette)),
+                "indices": idx,
+                "pixels": palette[idx],
+            }
+        elif intro == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF decode: unknown block 0x{intro:02x}")
+    raise ValueError("GIF decode: no image descriptor")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a writer: one non-interlaced frame over a global color
+    table — the construction side of the real decode round-trip."""
+    h, w = indices.shape
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    if len(palette) != (1 << pal_bits):
+        raise ValueError("palette length must be a power of two")
+    min_code_size = max(2, pal_bits)
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    gct = np.asarray(palette, dtype=np.uint8).tobytes()
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_compress(indices.reshape(-1), min_code_size)
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks.append(0)
+    return header + gct + desc + bytes(blocks) + b"\x3b"
+
 
 # ---------------------------------------------------------------------------
 # REAL JPEG codec (round-11, VERDICT r10 Next #4 — the last image-codec
@@ -1145,6 +1348,108 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     src = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
     return src.mapInPandas(roundtrip, IMAGE_DECODE_SCHEMA)
+
+
+GIF_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("palette_size", IntegerType()),
+        StructField("mean_rgb_x1000", LongType()),
+        StructField("first_index", IntegerType()),
+        StructField("last_index", IntegerType()),
+    ]
+)
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS hx, octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    dims AS (
+        SELECT doc_id, hx, (n % 11) + 3 AS w, (n % 5) + 2 AS h FROM d
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, w * h),
+                   j -> CAST(('0x' || substr(hx, CAST((j % 32) + 1 AS INT), 1))
+                             AS BIGINT)) AS vs
+        FROM dims
+    )
+    SELECT doc_id,
+           'gif' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(16 AS INT) AS palette_size,
+           CAST((2 * (37 * list_sum(vs) + 16 * w * h) * 1000 + w * h * 3)
+                // (2 * w * h * 3) AS BIGINT) AS mean_rgb_x1000,
+           CAST(vs[1] AS INT) AS first_index,
+           CAST(vs[w * h] AS INT) AS last_index
+    FROM px
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, differentially gated (round-12): per document,
+    construct an actual GIF89a — w×h 16-color indices tiled from the md5 hex
+    nibbles of the text, w=(bytes%11)+3, h=(bytes%5)+2, palette entry
+    v = (17v, 13v+5, 7v+11) — with the real writer (encode_gif, variable-
+    width LZW), then parse it back with the real decoder (_decode_gif: block
+    walk, LZW decompress with width bumps, palette mapping) and emit the
+    decoded metadata plus the exact integer RGB mean. The DuckDB oracle
+    computes the same values FROM THE CONSTRUCTION PARAMETERS (per-pixel RGB
+    sum of palette entry v is 37v+16, every component < 256 so the palette
+    mods are no-ops), so any defect in the LZW bit packing, width-bump
+    timing, block framing, or palette layout shifts the decoded indices and
+    breaks the value hash. The LZW conventions are independently pinned
+    against a hand-derived spec vector and real third-party GIFs in
+    tests/test_round12_gif.py.
+
+    100 TB shape: one Arrow-batched mapInPandas pass, no shuffle; mean is
+    integer-exact ((2·s·1000 + n) // (2n), no float drift)."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = np.array(
+            [(17 * v, 13 * v + 5, 7 * v + 11) for v in range(16)], dtype=np.uint8
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                hx = hashlib.md5(data).hexdigest()
+                w = (len(data) % 11) + 3
+                h = (len(data) % 5) + 2
+                nibbles = np.array([int(c, 16) for c in hx], dtype=np.uint8)
+                idx = np.tile(nibbles, w * h // 32 + 1)[: w * h].reshape(h, w)
+                payload = encode_gif(idx, pal)
+                meta = decode_image(payload)  # REAL parse of the real bytes
+                px = meta["pixels"]
+                n3 = int(px.size)
+                s = int(px.astype(np.int64).sum())
+                rows.append(
+                    (
+                        doc_id,
+                        meta["fmt"],
+                        meta["width"],
+                        meta["height"],
+                        meta["palette_size"],
+                        (2 * s * 1000 + n3) // (2 * n3),
+                        int(meta["indices"][0, 0]),
+                        int(meta["indices"][-1, -1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_DECODE_SCHEMA])
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    # per-row CPU (LZW bit packing) dominates: spread the single-file scan
+    # across the cluster before the Arrow pass, same as the JPEG row
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(roundtrip, GIF_DECODE_SCHEMA)
 
 
 JPEG_DECODE_SCHEMA = StructType(
