@@ -499,33 +499,70 @@ def slice_loc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "global_agg_reduce",
     oracle="""
-    SELECT round(sum(l_quantity), 4)          AS sum_qty,
-           round(avg(l_quantity), 4)          AS mean_qty,
-           round(min(l_quantity), 4)          AS min_qty,
-           round(max(l_quantity), 4)          AS max_qty,
-           count(l_quantity)                  AS count_qty,
-           round(var_samp(l_quantity), 4)     AS var_qty,
-           round(stddev_samp(l_quantity), 4)  AS std_qty,
-           round(sum(l_extendedprice), 2)     AS sum_price,
-           round(avg(l_discount), 6)          AS mean_disc
-    FROM lineitem
+    WITH s AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT)      AS q100,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d100,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT CAST(sum(q100) AS DOUBLE) / 100.0 AS sum_qty,
+           floor(CAST(sum(q100) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)
+               / 10000 AS mean_qty,
+           round(min(l_quantity), 4) AS min_qty,
+           round(max(l_quantity), 4) AS max_qty,
+           count(l_quantity) AS count_qty,
+           floor((CAST(sum(q100 * q100) AS DOUBLE)
+                  - CAST(sum(q100) AS DOUBLE) * CAST(sum(q100) AS DOUBLE)
+                    / count(*))
+                 / 10000.0 / (count(*) - 1) * 10000 + 0.5) / 10000 AS var_qty,
+           floor(sqrt((CAST(sum(q100 * q100) AS DOUBLE)
+                       - CAST(sum(q100) AS DOUBLE) * CAST(sum(q100) AS DOUBLE)
+                         / count(*))
+                      / 10000.0 / (count(*) - 1)) * 10000 + 0.5) / 10000
+               AS std_qty,
+           CAST(sum(p100) AS DOUBLE) / 100.0 AS sum_price,
+           floor(CAST(sum(d100) AS DOUBLE) / 100.0 / count(*) * 1000000 + 0.5)
+               / 1000000 AS mean_disc
+    FROM s
     """,
 )
 def global_agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-wide reductions (reference UNARY_REDUCTION + SCALAR_REDUCTION tree,
     core/column.py:558-597) — one partial+final agg, no driver-side loop.
-    var/std are sample (ddof=1), matching pandas defaults."""
+    var/std are sample (ddof=1), matching pandas defaults.
+
+    Numeric discipline (round-12, found by the 100x relational gate): the
+    double sum of l_extendedprice at 3.2e12 magnitude drifted its 2dp last
+    digit by summation order at 60M rows (same class as q1 round-9). All
+    sums now run in exact integer cents (q1 discipline; q100² sums stay
+    under int64 even at sf1000); mean/var/std derive from the exact integer
+    sums with identical IEEE expressions on both engines (multiply/divide/
+    sqrt are correctly rounded, so identical inputs give identical bits),
+    rounding via floor(x·10^d + 0.5)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    s = li.select(
+        q100.alias("q100"), p100.alias("p100"), d100.alias("d100"), "l_quantity"
+    )
+    sum_q = F.sum("q100").cast("double")
+    sum_q2 = F.sum(F.col("q100") * F.col("q100")).cast("double")
+    n = F.count(F.lit(1))
+    var_expr = (sum_q2 - sum_q * sum_q / n) / F.lit(10000.0) / (n - F.lit(1))
+    return s.agg(
+        (sum_q / 100.0).alias("sum_qty"),
+        (F.floor(sum_q / 100.0 / n * 10000 + 0.5) / 10000).alias("mean_qty"),
         F.round(F.min("l_quantity"), 4).alias("min_qty"),
         F.round(F.max("l_quantity"), 4).alias("max_qty"),
         F.count("l_quantity").alias("count_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("mean_disc"),
+        (F.floor(var_expr * 10000 + 0.5) / 10000).alias("var_qty"),
+        (F.floor(F.sqrt(var_expr) * 10000 + 0.5) / 10000).alias("std_qty"),
+        (F.sum("p100").cast("double") / 100.0).alias("sum_price"),
+        (F.floor(F.sum("d100").cast("double") / 100.0 / n * 1000000 + 0.5) / 1000000).alias(
+            "mean_disc"
+        ),
     )
 
 
@@ -566,7 +603,9 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            bool_or(o_totalprice > 400000)  AS any_big,
            bool_and(o_totalprice > 1000)   AS all_over_1k,
-           round(product(1.0 + o_totalprice * 0.0000000001), 8) AS prod_factor,
+           CAST(round(sum(CAST(ln(1.0 + o_totalprice * 0.0000000001)
+                               AS DECIMAL(38,18))), 8) AS DOUBLE)
+               AS log_prod_factor,
            count(*) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -574,12 +613,28 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def groupby_any_all_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """any/all/prod groupby reductions (reference core/groupby.py:85-92 output
-    rules; src/reduction/reduction_op.h:29-165 op defs)."""
+    rules; src/reduction/reduction_op.h:29-165 op defs).
+
+    Precision contract (round-12, found by the 100x relational gate): a raw
+    double product over 100x-bigger groups drifted at the 13th significant
+    digit by multiplication order (the multiplicative twin of the q1 sum-ulp
+    class), and NO fixed rounding width survives corpus growth for a value
+    whose magnitude grows with n — so, per the cumprod_log_trick precedent,
+    the cross-engine contract is the LOG of the product. The log summands
+    are cast to DECIMAL(38,18) so the SUM itself is exact and order-
+    independent; the only residual cross-engine term is the per-element
+    ln() last-ulp difference between the JVM and libm (≤ ~4e-21 absolute
+    per element at these magnitudes — 10^6 under the 8dp quantum even at
+    1000x). Consumers exponentiate locally for the raw product; the
+    facade's pandas-exact prod (frontend/groupby.py) is unaffected."""
     orders = _t(spark, sf_dir, "orders")
+    log_factor = F.log(F.lit(1.0) + F.col("o_totalprice") * 1e-10)
     return orders.groupBy("o_orderstatus").agg(
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_big"),
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-        F.round(F.product(F.lit(1.0) + F.col("o_totalprice") * 1e-10), 8).alias("prod_factor"),
+        F.round(F.sum(log_factor.cast("decimal(38,18)")), 8)
+        .cast("double")
+        .alias("log_prod_factor"),
         F.count(F.lit(1)).alias("n"),
     )
 
