@@ -618,22 +618,32 @@ def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pagerank_two_iter",
     oracle="""
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
-    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    m0 AS (SELECT dst, sum(1.0/d) AS m FROM edges JOIN deg USING (src) GROUP BY dst),
-    r1 AS (SELECT node,
-                  0.15/(SELECT n FROM nn)
-                  + 0.85*coalesce(m.m, 0)/(SELECT n FROM nn) AS r
-           FROM nodes LEFT JOIN m0 m ON m.dst = nodes.node),
-    m1 AS (SELECT e.dst, sum(r1.r/deg.d) AS m
-           FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
-           GROUP BY e.dst),
+    -- MATERIALIZED throughout (the round-10 bpe-k16 lesson): DuckDB inlines
+    -- repeated CTE references, and `edges` fans out to deg/nodes/m0/m1 —
+    -- the inlined form recomputed the 60M-row e0 join ~10x and spilled
+    -- >46 GB at the 100x relational corpus before dying on disk
+    edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    m0 AS MATERIALIZED (
+      SELECT dst, sum(1.0/d) AS m FROM edges JOIN deg USING (src) GROUP BY dst
+    ),
+    r1 AS MATERIALIZED (
+      SELECT node,
+             0.15/(SELECT n FROM nn)
+             + 0.85*coalesce(m.m, 0)/(SELECT n FROM nn) AS r
+      FROM nodes LEFT JOIN m0 m ON m.dst = nodes.node),
+    m1 AS MATERIALIZED (
+      SELECT e.dst, sum(r1.r/deg.d) AS m
+      FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst),
     r2 AS (SELECT node, 0.15/(SELECT n FROM nn) + 0.85*coalesce(m1.m, 0) AS r
            FROM nodes LEFT JOIN m1 ON m1.dst = nodes.node)
     SELECT node, round(r*1000, 8) AS score_x1000

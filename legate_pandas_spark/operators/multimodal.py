@@ -4,8 +4,9 @@ The engine treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
 
 The decode kernels are REAL for every modality: PNG + BMP images (round-10),
-baseline JPEG (round-11), RIFF/WAVE PCM audio (round-10), and uncompressed
-RIFF/AVI video (round-11) — ``decode_image`` / ``decode_audio`` /
+baseline JPEG (round-11), GIF with variable-width LZW (round-12), RIFF/WAVE
+PCM audio (round-10), and uncompressed + MJPEG RIFF/AVI video (rounds 11-12)
+— ``decode_image`` / ``decode_audio`` /
 ``decode_video`` parse actual bytes to pixel/sample/frame arrays using only
 numpy + stdlib (PNG: chunk walk, IDAT inflate, all five unfilter paths; BMP:
 BITMAPINFOHEADER, bottom-up padded rows, BGR; JPEG: marker walk, canonical
