@@ -735,7 +735,7 @@ def _mortgage_month_blocks() -> str:
 
 
 _MORTGAGE_ORACLE = f"""
-    WITH perf AS (
+    WITH perf AS MATERIALIZED (
         SELECT l_orderkey AS loan, l_shipdate AS ts,
                CAST(trunc(l_quantity / 10) AS BIGINT) AS status,
                l_extendedprice AS upb
@@ -757,14 +757,18 @@ _MORTGAGE_ORACLE = f"""
                coalesce(delinquency_180, TIMESTAMP '1970-01-01') AS delinquency_180
         FROM d30 LEFT JOIN d90 USING (loan) LEFT JOIN d180 USING (loan)
     ),
-    everdf AS (
+    everdf AS MATERIALIZED (
         SELECT ever.loan, ever_30, ever_90, ever_180,
                coalesce(delinquency_30,  TIMESTAMP '1970-01-01') AS delinquency_30,
                coalesce(delinquency_90,  TIMESTAMP '1970-01-01') AS delinquency_90,
                coalesce(delinquency_180, TIMESTAMP '1970-01-01') AS delinquency_180
         FROM ever LEFT JOIN delinq USING (loan)
     ),
-    joined AS (
+    -- MATERIALIZED fan-outs (round-12 100x gate: DuckDB inlines repeated CTE
+    -- references — perf feeds 5 consumers and joined feeds the 12 month
+    -- blocks + combined, so the inlined form recomputed the 60M-row join
+    -- 13x and filled the disk with >65 GB of spill)
+    joined AS MATERIALIZED (
         SELECT p.loan, p.upb, p.status,
                CAST(year(p.ts) AS BIGINT)  AS ty,
                CAST(month(p.ts) AS BIGINT) AS tm,
@@ -774,7 +778,7 @@ _MORTGAGE_ORACLE = f"""
                coalesce(e.delinquency_30, TIMESTAMP '1970-01-01') AS delinquency_30
         FROM perf p LEFT JOIN everdf e ON e.loan = p.loan
     ),{_mortgage_month_blocks()},
-    testdf AS ({" UNION ALL ".join(f"SELECT * FROM m{y}" for y in range(1, 13))}),
+    testdf AS MATERIALIZED ({" UNION ALL ".join(f"SELECT * FROM m{y}" for y in range(1, 13))}),
     combined AS (
         SELECT j.*, t.delinquency_12, t.upb_12
         FROM joined j LEFT JOIN testdf t
@@ -787,8 +791,10 @@ _MORTGAGE_ORACLE = f"""
     SELECT ty AS timestamp_year, tm AS timestamp_month,
            count(*) AS n_rows,
            CAST(sum(delinquency_12) AS BIGINT) AS n_delinq,
-           round(sum(upb_12), 2) AS sum_upb12,
-           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CAST(round(coalesce(upb_12, 0) * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_upb12,
+           CAST(sum(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
            CAST(max(ever_90) AS INT) AS any_ever90,
            min(delinquency_30) AS first_delinq30
     FROM final
@@ -943,14 +949,22 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         acq, left_on="l_orderkey", right_on="o_orderkey", how="left"
     )
 
+    # integer-cents money sums (round-12, found by the 100x relational gate):
+    # the raw double sums at 100x group sizes (~800k rows, 4e10 magnitude)
+    # drift their 2dp last digit by summation order — the q1 class. The 2dp
+    # inputs are exact in cents; fillna(0) is sum-neutral (pandas sum skips
+    # NaN, SQL sum skips NULL, and 0 contributes 0), so the cents sums are
+    # order-independent int64 and both engines emit the identical double.
+    final["upb12_c"] = (final["upb_12"].fillna(0.0) * 100).round().astype("int64")
+    final["price_c"] = (final["o_totalprice"].fillna(0.0) * 100).round().astype("int64")
     g = (
         final.groupby(["timestamp_year", "timestamp_month"])
         .agg(
             {
                 "l_orderkey": "size",
                 "delinquency_12": "sum",
-                "upb_12": "sum",
-                "o_totalprice": "sum",
+                "upb12_c": "sum",
+                "price_c": "sum",
                 "ever_90": "max",
                 "delinquency_30": "min",
             }
@@ -963,8 +977,8 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("timestamp_month"),
         F.col("l_orderkey").alias("n_rows"),
         F.col("delinquency_12").cast("long").alias("n_delinq"),
-        F.round("upb_12", 2).alias("sum_upb12"),
-        F.round("o_totalprice", 2).alias("sum_price"),
+        (F.col("upb12_c") / 100.0).alias("sum_upb12"),
+        (F.col("price_c") / 100.0).alias("sum_price"),
         F.col("ever_90").cast("int").alias("any_ever90"),
         F.col("delinquency_30").alias("first_delinq30"),
     )

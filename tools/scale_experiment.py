@@ -79,6 +79,9 @@ QUERIES = [
     "exact_substring_cut",
     "multimodal_jpeg_decode",
     "multimodal_video_decode",
+    # round 12: the MJPEG and GIF codec rows (linear Arrow kernels)
+    "multimodal_mjpeg_decode",
+    "multimodal_gif_decode",
     "pd_global_rank_rolling",
     "ann_pq_topk",
     # round 9: the ANN/embedding family over the JITTERED 10x embeddings
