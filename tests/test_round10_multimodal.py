@@ -127,9 +127,10 @@ def test_mode_guards_name_the_constraint():
     bmp[30:34] = (1).to_bytes(4, "little")  # BI_RLE8 compression
     with pytest.raises(NotImplementedError, match="BI_RGB"):
         decode_image(bytes(bmp))
-    # round-11: JPEG is now a REAL decode path; GIF stays unknown magic
-    with pytest.raises(ValueError, match="PNG/BMP/JPEG"):
-        decode_image(b"GIF89a not supported")
+    # round-11: JPEG is a REAL decode path; round-12: GIF too — an unknown
+    # magic (not PNG/BMP/JPEG/GIF) is what names the supported set now
+    with pytest.raises(ValueError, match="PNG/BMP/JPEG/GIF"):
+        decode_image(b"TIFF not a supported format")
 
 
 # ---- round-10 (cont.): REAL WAV/PCM audio decode ----
