@@ -601,6 +601,8 @@ def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # distinct over the (custkey, suppkey) LONG pair, node labels built after
     # — the dedup shuffle moves 16-byte keys, not ~20-char strings
+    from pyspark.storagelevel import StorageLevel
+
     e0 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
@@ -609,6 +611,10 @@ def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
+        # both direction branches of the union consume e0: persist, or the
+        # fact join + distinct run twice (guide §2.4 — the same discipline
+        # pagerank() applies to the union output itself)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -678,7 +684,19 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
     )
-    cp = li.join(od, "ok").select("p", "m", "c").distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # cp is consumed three times (the basket-size filter plus BOTH sides of
+    # the pair self-join): persist the distinct output once, or each consumer
+    # re-runs the fact-scale lineitem ⋈ orders join — the before-plan showed
+    # 40 parquet scans for triangle_count (guide §2.4/§5: this is the repo's
+    # own pagerank/LSH persist discipline, it was just missing here)
+    cp = (
+        li.join(od, "ok")
+        .select("p", "m", "c")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # basket cap (round-10, found by the Zipf-skew gate): a hot part bought
     # by k customers in a month contributes C(k,2) edges — 607 customers on
     # the skew corpus's hot key vs max 7 on uniform sf0.1, densifying the
@@ -688,13 +706,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent). Below the cap — every uniform corpus — results are
     # bit-identical to the uncapped form. Same (p, m) key as the distinct,
     # so the guard adds no new exchange.
-    sz = (
-        cp.groupBy("p", "m")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") <= _COPURCHASE_MAX_BASKET)
-        .select("p", "m")
+    # cap filter as an unordered count window over the SAME (p, m) key the
+    # pair self-join uses, instead of groupBy + join-back: one pass over cp,
+    # no second consumer, and the window's hash(p, m) partitioning is exactly
+    # the join's requirement, so the filter adds no exchange (guide §2.4
+    # "window partitioned like the preceding operation needs no 2nd shuffle")
+    from pyspark.sql.window import Window as _W
+
+    cp = (
+        cp.withColumn("_k", F.count(F.lit(1)).over(_W.partitionBy("p", "m")))
+        .filter(F.col("_k") <= _COPURCHASE_MAX_BASKET)
+        .drop("_k")
     )
-    cp = cp.join(sz, ["p", "m"])
     a, b = cp.alias("a"), cp.alias("b")
     return (
         a.join(
@@ -705,6 +728,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
         .distinct()
+        # the edge list feeds degree counting AND ranking in triangle_count
+        # (2 consumers) / both union branches in LPA and its CacheManager
+        # twin — persist so the bucket self-join above runs once per corpus
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 

@@ -715,11 +715,11 @@ def gopher_metric_exprs(text):
     lines = F.split(text, "\n")
     n_words = F.size(words)
     n_lines = F.size(lines)
+    # Σ length(word) via length(concat_ws('')) instead of an interpreted
+    # CodegenFallback fold: integer char count == the double fold exactly
+    # (small-int adds in double are exact), and it compiles in codegen
     mean_wl = F.round(
-        F.aggregate(
-            words, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
-        )
-        / n_words,
+        F.length(F.concat_ws("", words)).cast("double") / n_words,
         4,
     )
     symbol_ratio = F.round(

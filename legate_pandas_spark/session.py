@@ -28,6 +28,19 @@ _TUNED_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Round-12 (guide §3.1/§9): allow shuffled-hash joins. Sort-merge pays a
+    # per-side sort the hash join skips; SHJ is picked statically when the
+    # planner's size conditions hold, and AQE additionally rewrites SMJ→SHJ
+    # at runtime when every post-shuffle partition is under the local-map
+    # threshold (sized = advisory partition size, the guide's pairing), so
+    # partitions that outgrow the threshold at cluster scale keep the
+    # sort-merge spill path. Overridable via env for A/B.
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
+    ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "32",
     # let a join reuse children already hash-partitioned on a SUBSET of its
@@ -75,6 +88,12 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
         # local[k] test scale: 200 default shuffle partitions is pure overhead
         "spark.sql.shuffle.partitions": "32",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.join.preferSortMergeJoin": os.environ.get(
+            "SPARK_GRAFT_PREFER_SMJ", "false"
+        ),
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+            "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
+        ),
         "spark.sql.requireAllClusterKeysForCoPartition": "false",
         "spark.sql.session.timeZone": "UTC",
     }
