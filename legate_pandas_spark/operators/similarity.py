@@ -35,6 +35,241 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched exact-order vector kernels (round 12, guide §4.2).
+#
+# The expression-side `_dot` above is an `aggregate(zip_with(...))` pair —
+# Spark higher-order functions are CodegenFallback, so every row pays an
+# interpreted per-element closure walk. (An unrolled 64-term Add chain was
+# tried first and measured 3-8× WORSE: 128 element_at calls per dot blow the
+# codegen method budget and fall back to interpreting a giant tree — see
+# OPTIMIZATION_r12.md.) The winning form is the guide §4.2 sweet spot: hand
+# whole Arrow batches to numpy, iterating over the FIXED 64 dimensions in
+# Python while vectorizing across rows. Bit-exactness with the JVM fold is
+# preserved because per row the float operations are the same sequence:
+# acc starts at 0.0 and accumulates float64(a_i)*float64(b_i) left-to-right
+# (numpy elementwise ops are IEEE-754 doubles like the JVM; float32→float64
+# widening is exact on both sides; np.dot/BLAS is deliberately NOT used —
+# its pairwise summation reorders the adds).
+# ---------------------------------------------------------------------------
+
+
+def _rows64(s) -> "object":
+    """pandas Series of float sequences → (n, d) float64 ndarray (exact)."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
+
+
+def _seq_dot_kernel(A, B):
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
+def _make_seq_dot_pd():
+    # DataType instance, not a DDL string: string return types are parsed at
+    # decoration time and need a live SparkContext, but this module imports
+    # before any session exists
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def seq_dot(a, b):
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(_seq_dot_kernel(_rows64(a), _rows64(b)))
+
+    return seq_dot
+
+
+_seq_dot_pd = None
+
+
+def _use_kernel() -> bool:
+    """Arrow-kernel kill switch (measurement A/B + per-deploy tuning): the
+    expression HOF fold and the numpy kernel are value-identical, so either
+    path satisfies every oracle; SPARK_GRAFT_VEC_KERNEL=0 selects the
+    expression form at query-build time."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_VEC_KERNEL", "1") != "0"
+
+
+def _seq_dot(a: Column, b: Column) -> Column:
+    """Arrow/numpy exact-order dot (lazily-built pandas_udf singleton)."""
+    global _seq_dot_pd
+    if not _use_kernel():
+        return _dot(a, b)
+    if _seq_dot_pd is None:
+        _seq_dot_pd = _make_seq_dot_pd()
+    return _seq_dot_pd(a, b)
+
+
+def _make_seq_cos_pd():
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def seq_cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _rows64(a), _rows64(b)
+        ab = _seq_dot_kernel(A, B)
+        aa = _seq_dot_kernel(A, A)
+        bb = _seq_dot_kernel(B, B)
+        # same float expression tree as dot/(sqrt(dot)*sqrt(dot)) in the JVM
+        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return seq_cos
+
+
+_seq_cos_pd = None
+
+
+def _seq_cos(a: Column, b: Column) -> Column:
+    """Fused exact-order cosine — one Arrow pass for dot + both norms."""
+    global _seq_cos_pd
+    if not _use_kernel():
+        return cosine(a, b)
+    if _seq_cos_pd is None:
+        _seq_cos_pd = _make_seq_cos_pd()
+    return _seq_cos_pd(a, b)
+
+
+def _make_seq_sqdist_pd():
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def seq_sqdist(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _rows64(a), _rows64(b)
+        acc = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            d = A[:, i] - B[:, i]
+            acc = acc + d * d
+        return pd.Series(acc)
+
+    return seq_sqdist
+
+
+_seq_sqdist_pd = None
+
+
+def _seq_sqdist(a: Column, b: Column) -> Column:
+    """Exact-order squared L2 distance ((x-z)*(x-z) left-fold)."""
+    global _seq_sqdist_pd
+    if not _use_kernel():
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, z: (x - z) * (x - z)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    if _seq_sqdist_pd is None:
+        _seq_sqdist_pd = _make_seq_sqdist_pd()
+    return _seq_sqdist_pd(a, b)
+
+
+def _proj_pd(mat):
+    """pandas_udf factory: embedding → array<double> of len(mat) exact-order
+    dot products against the rows of ``mat`` (a list of 64-float lists)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    P = np.array(mat, dtype=np.float64).T  # (64, K)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(emb):
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        X = _rows64(emb)
+        acc = np.zeros((X.shape[0], P.shape[1]))
+        for i in range(X.shape[1]):
+            acc = acc + X[:, i : i + 1] * P[i : i + 1, :]
+        return pd.Series(list(acc))
+
+    return proj
+
+
+def _proj(mat, col: Column) -> Column:
+    """K projection dots of ``col`` against the rows of ``mat`` — Arrow
+    kernel, or the literal-matrix expression fold under the kill switch
+    (identical left-fold float sequence either way)."""
+    if _use_kernel():
+        return _proj_pd(mat)(col)
+    rows = [F.array(*[F.lit(float(w)) for w in r]) for r in mat]
+    return F.array(*[_dot(col, r) for r in rows])
+
+
+def _plane_matrix(j0: int, j1: int):
+    """(64, j1-j0) float64 hyperplane matrix — same literals the expression
+    path builds with F.lit(float(w))."""
+    import numpy as np
+
+    return np.array(
+        [[float(w) for w in _hyperplane(j)] for j in range(j0, j1)],
+        dtype=np.float64,
+    ).T
+
+
+def _lsh_tables_pd(n_tables: int):
+    """pandas_udf: embedding → array of ``n_tables`` 8-char '0'/'1' bucket
+    strings (8 planes per table), sign-tested on the exact-order dots."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, StringType
+
+    P = _plane_matrix(0, n_tables * N_HYPERPLANES)  # (64, n_tables*8)
+
+    @F.pandas_udf(ArrayType(StringType()))  # DataType instances: no context needed
+    def tables(emb):
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        X = _rows64(emb)
+        acc = np.zeros((X.shape[0], P.shape[1]))
+        for i in range(X.shape[1]):
+            acc = acc + X[:, i : i + 1] * P[i : i + 1, :]
+        bits = np.where(acc > 0, "1", "0")
+        out = [
+            ["".join(row[t * 8 : (t + 1) * 8]) for t in range(n_tables)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return tables
+
+
+def _lsh_tables(n_tables: int, col: Column) -> Column:
+    """array of ``n_tables`` 8-bit bucket signatures for ``col`` — Arrow
+    kernel, or the per-plane sign-test expressions under the kill switch
+    (same sign tests on the same exact-order dots)."""
+    if _use_kernel():
+        return _lsh_tables_pd(n_tables)(col)
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(t * N_HYPERPLANES, (t + 1) * N_HYPERPLANES):
+            plane = F.array(*[F.lit(float(w)) for w in _hyperplane(j)])
+            bits.append(
+                F.when(_dot(col, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        tables.append(F.concat(*bits))
+    return F.array(*tables)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -116,7 +351,7 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
+            F.round(_seq_cos(F.col("embedding"), F.col("qv")), 4).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
@@ -161,13 +396,13 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ANN — restrict exact scoring to same-bucket candidates instead of the
     full cross product. This query materializes bucket occupancy stats."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bits = []
-    for j in range(N_HYPERPLANES):
-        plane = F.array(*[F.lit(float(w)) for w in _hyperplane(j)])
-        bits.append(
-            F.when(_dot(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-    bucketed = emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
+    # one-table Arrow signature kernel (same sign tests on the exact-order
+    # dots; see _lsh_tables_pd) instead of 8 interpreted plane folds
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        F.element_at(_lsh_tables(1, F.col("embedding")), 1).alias("bucket"),
+    )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
@@ -222,7 +457,7 @@ def ivf_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "cid",
-        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+        _seq_cos(F.col("embedding"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     assign = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -283,7 +518,7 @@ def ivf_topk(
         "vec_id",
         "embedding",
         "cid",
-        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+        _seq_cos(F.col("embedding"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     ranked = scored.withColumn("_rn", F.row_number().over(w))
@@ -303,7 +538,7 @@ def ivf_topk(
     rescored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cosine_sim"),
+        F.round(_seq_cos(F.col("qv"), F.col("embedding")), 4).alias("cosine_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
@@ -1047,12 +1282,18 @@ def _recall_eval(
     queries = emb.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    scored = emb.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
+    # cosine precomputed as a projection column (same ordering value, same
+    # result; r12 interleaved A/B measured the Arrow kernel a wash here —
+    # the expression fold stays, see OPTIMIZATION_r12.md)
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_gtcs", F.round(cosine(F.col("qv"), F.col("embedding")), 4)
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(cosine(F.col("qv"), F.col("embedding")), 4)),
-        F.asc("vec_id"),
+        F.desc("_gtcs"), F.asc("vec_id")
     )
     exact = (
         scored.withColumn("_rn", F.row_number().over(wq))
@@ -1138,26 +1379,17 @@ def _cosine_lsh_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    tables = []
-    for t in range(_LSH_TABLES):
-        bits = []
-        for j in range(t * N_HYPERPLANES, (t + 1) * N_HYPERPLANES):
-            plane = F.array(*[F.lit(float(w)) for w in _hyperplane(j)])
-            bits.append(
-                F.when(_dot(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-            )
-        tables.append(F.concat(*bits))
     # the 32 hyperplane sign tests (2048 fused mults per vector) feed BOTH
     # join sides — persist the per-vector signature row once (semdedup's
-    # persist discipline); the explode after it is free
+    # persist discipline); the explode after it is free. Signatures + norm
+    # run through the exact-order numpy kernels (round-12: interleaved A/B
+    # measured 0.50× vs the interpreted HOF folds; see _seq_dot_pd)
     sig = emb.select(
         "vec_id",
         "label",
         "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        F.array(*tables).alias("_bkts"),
+        F.sqrt(_seq_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _lsh_tables(_LSH_TABLES, F.col("embedding")).alias("_bkts"),
     ).persist()
     bucketed = sig.select(
         "vec_id",
@@ -1194,9 +1426,9 @@ def _cosine_lsh_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "vec_a",
         "vec_b",
-        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias(
-            "cs"
-        ),
+        F.round(
+            _seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+        ).alias("cs"),
     )
     # EARLY CUT: any pair in the label's global top-5 is within its own
     # (table, bucket)'s top-5 (everything ranked above it there is also in
@@ -1478,14 +1710,16 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides) and the estimator scale is the unbiased 3/K (E[entry^2] = 1/3, so
     E[||R(a-b)||^2] = K/3 * ||a-b||^2); distances are
     order-stable left-folds in doubles, so the 4dp-rounded ratios are
-    value-hash exact. One corpus pass computes the projection (16 literal
-    dot products inside whole-stage codegen, no UDF), anchors broadcast;
+    value-hash exact. One corpus pass computes the projection (16
+    exact-order dots in one Arrow kernel batch), anchors broadcast;
     outputs are counts and min/max of identically-rounded sets — no
     summation-order-sensitive aggregate crosses the engine boundary."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    rows = [F.array(*[F.lit(float(w)) for w in _jl_row(j)]) for j in range(_JL_K)]
-    y = F.array(*[_dot(v, r) for r in rows])
+    # the 16 projection dots and both squared distances run through the
+    # exact-order Arrow kernels (round 12; same left-fold float sequence as
+    # the retired expression folds — see _seq_dot_pd)
+    y = _proj([_jl_row(j) for j in range(_JL_K)], F.col("embedding"))
     proj = emb.select("vec_id", v.alias("v"), y.alias("y")).persist()
     anchors = proj.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("anchor_id"),
@@ -1493,21 +1727,16 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("ay"),
     )
 
-    def d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, z: (x - z) * (x - z)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
     pairs = (
         proj.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",
-            d2(F.col("v"), F.col("av")).alias("d2o"),
+            _seq_sqdist(F.col("v"), F.col("av")).alias("d2o"),
             (
-                d2(F.col("y"), F.col("ay")) * F.lit(3.0) / F.lit(float(_JL_K))
+                _seq_sqdist(F.col("y"), F.col("ay"))
+                * F.lit(3.0)
+                / F.lit(float(_JL_K))
             ).alias("d2p"),
         )
     )

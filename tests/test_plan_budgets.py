@@ -61,7 +61,9 @@ BUDGETS = {
     "ingest_tag_report": {"exchange": 12, "sort": 8, "generate": 4, "python": 0, "join": 8},
     "pd_mortgage_e2e_full": {"exchange": 23, "sort": 19, "generate": 0, "python": 0, "join": 32},
     "bm25_bench_retrieval": {"exchange": 22, "sort": 4, "generate": 8, "python": 0, "join": 20},
-    "dedup_cosine_blocked_lsh_approx": {"exchange": 6, "sort": 8, "generate": 4, "python": 0, "join": 4},
+    # python 0 -> 5: deliberate r12 Arrow vector kernels (signatures + norms +
+    # pair dots; interleaved A/B 0.50x — OPTIMIZATION_r12.md "Arrow kernels")
+    "dedup_cosine_blocked_lsh_approx": {"exchange": 6, "sort": 8, "generate": 4, "python": 5, "join": 4},
     "pagerank_two_iter": {"exchange": 45, "sort": 8, "generate": 0, "python": 0, "join": 53},
     "market_basket_pairs": {"exchange": 6, "sort": 0, "generate": 0, "python": 0, "join": 4},
     "boilerplate_ngram_ratio": {"exchange": 6, "sort": 0, "generate": 4, "python": 0, "join": 8},
@@ -73,7 +75,9 @@ BUDGETS = {
     "join_multikey": {"exchange": 2, "sort": 0, "generate": 0, "python": 0, "join": 4},
     "pd_rolling_median_quantile": {"exchange": 18, "sort": 6, "generate": 0, "python": 0, "join": 24},
     "pd_global_rank_rolling": {"exchange": 18, "sort": 6, "generate": 0, "python": 0, "join": 24},
-    "jl_projection_distortion": {"exchange": 2, "sort": 0, "generate": 0, "python": 0, "join": 4},
+    # python 0 -> 7: deliberate r12 Arrow kernels (projection + both squared
+    # distances; interleaved A/B 0.47x — OPTIMIZATION_r12.md "Arrow kernels")
+    "jl_projection_distortion": {"exchange": 2, "sort": 0, "generate": 0, "python": 7, "join": 4},
     "bloom_prefilter_decontaminate": {"exchange": 6, "sort": 0, "generate": 4, "python": 4, "join": 4},
     "ann_recall_eval": {"exchange": 13, "sort": 21, "generate": 2, "python": 0, "join": 25},
     "ann_recall_eval_sampled": {"exchange": 13, "sort": 21, "generate": 2, "python": 0, "join": 25},
