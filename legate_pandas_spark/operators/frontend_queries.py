@@ -842,29 +842,46 @@ def pd_mortgage_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the perf lineage.
     perf.persist()
 
-    ever = (
-        perf[["l_orderkey", "status"]]
-        .groupby("l_orderkey")
-        .agg({"status": "max"})
+    # ever + the 3 delinquency date features, FUSED (round 12, guide §2.4):
+    # the reference computes 4 separate per-loan aggregates (groupby-max +
+    # three filtered groupby-mins) and chains them through 3 left merges —
+    # 4 loan-keyed exchanges + 3 sort-merge joins in the round-11 plan. All
+    # four are per-loan reductions of the SAME perf slice, so one masked
+    # projection + ONE groupby computes them in a single exchange:
+    # min(ts where status>=th) ≡ the filtered groupby-min (both engines'
+    # min skips the masked-out nulls/NaT), and a loan with no qualifying row
+    # aggregates to NaT exactly where the left merges produced NaT — the
+    # fillna(default_ts) downstream is unchanged. Oracle-identical (gated at
+    # sf0.001/sf0.01/sf0.1); plan: 9→6 Exchange, 5→2 SMJ, 7→2 Sort.
+    pv = perf[["l_orderkey", "status", "l_shipdate"]]
+    pv["d30"] = pv["l_shipdate"].where(pv["status"] >= 1)
+    pv["d90"] = pv["l_shipdate"].where(pv["status"] >= 3)
+    pv["d180"] = pv["l_shipdate"].where(pv["status"] >= 5)
+    everdf = (
+        pv.groupby("l_orderkey")
+        .agg({"status": "max", "d30": "min", "d90": "min", "d180": "min"})
         .reset_index()
     )
-    ever["ever_30"] = (ever["status"] >= 1).astype("int32")
-    ever["ever_90"] = (ever["status"] >= 3).astype("int32")
-    ever["ever_180"] = (ever["status"] >= 5).astype("int32")
-    ever = ever[["l_orderkey", "ever_30", "ever_90", "ever_180"]]
-
-    def first_at(th: int, name: str):
-        d = perf[perf["status"] >= th][["l_orderkey", "l_shipdate"]]
-        d = d.groupby("l_orderkey").agg({"l_shipdate": "min"}).reset_index()
-        return d.rename(columns={"l_shipdate": name})
-
-    delinq = first_at(1, "delinquency_30")
-    delinq = delinq.merge(first_at(3, "delinquency_90"), on="l_orderkey", how="left", method="hash")
-    delinq["delinquency_90"] = delinq["delinquency_90"].fillna(default_ts)
-    delinq = delinq.merge(first_at(5, "delinquency_180"), on="l_orderkey", how="left", method="hash")
-    delinq["delinquency_180"] = delinq["delinquency_180"].fillna(default_ts)
-
-    everdf = ever.merge(delinq, on="l_orderkey", how="left", method="hash")
+    everdf["ever_30"] = (everdf["status"] >= 1).astype("int32")
+    everdf["ever_90"] = (everdf["status"] >= 3).astype("int32")
+    everdf["ever_180"] = (everdf["status"] >= 5).astype("int32")
+    everdf = everdf.rename(
+        columns={
+            "d30": "delinquency_30",
+            "d90": "delinquency_90",
+            "d180": "delinquency_180",
+        }
+    )[
+        [
+            "l_orderkey",
+            "ever_30",
+            "ever_90",
+            "ever_180",
+            "delinquency_30",
+            "delinquency_90",
+            "delinquency_180",
+        ]
+    ]
     for c in ("delinquency_30", "delinquency_90", "delinquency_180"):
         everdf[c] = everdf[c].fillna(default_ts)
 
