@@ -1519,14 +1519,20 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "w")
     )
     is_bench = F.col("doc_id") % _SUB_MOD == _SUB_MOD - 2
+    # r12 (guide §2.3, the exact_substring_spans discipline): the join key is
+    # xxhash64(window) — an 8-byte probe/broadcast key instead of a ~60-byte
+    # window string. A collision could only ADD a false (doc, bench) pair,
+    # which the DuckDB oracle (raw-string join) would flag.
     bench = (
         wins.filter(is_bench)
-        .select(F.col("doc_id").alias("bench_id"), "w")
+        .select(F.col("doc_id").alias("bench_id"), F.xxhash64("w").alias("wh"))
         .distinct()
     )
-    corp = wins.filter(~is_bench)
+    corp = wins.filter(~is_bench).select(
+        "doc_id", "pos", F.xxhash64("w").alias("wh")
+    )
     return (
-        corp.join(F.broadcast(bench), "w")
+        corp.join(F.broadcast(bench), "wh")
         .groupBy("doc_id", "bench_id")
         .agg(
             F.count(F.lit(1)).alias("matched_windows"),
