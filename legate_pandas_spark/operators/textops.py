@@ -903,13 +903,15 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-9 decimal discipline does not apply to bounded log-sums).
 
     Spark plan: one exploded token stream feeds (a) the per-(doc, term) tf
-    hash aggregate (map-side combinable) and (b) the benchmark slice's
-    distinct query terms.  Corpus stats (N, avgdl) reduce from the tf table's
-    per-doc first rows — sum in BIGINT then ONE division, bit-identical
-    across engines.  df is corpus-wide per-term.  The scoring join streams
-    the tf table against the BROADCAST query-term table (eval-set-sized),
-    picks up idf from the BROADCAST df row for the matched terms only, and
-    aggregates per (query, doc); top-3 is a per-query row_number window.
+    hash aggregate (map-side combinable, keyed on xxhash64(term) — 8-byte
+    shuffle keys) and (b) the benchmark slice's distinct query terms.
+    Corpus stats (N, avgdl) reduce straight from the un-exploded token
+    table in one shuffle-free pass — sum in BIGINT then ONE division,
+    bit-identical across engines.  df is corpus-wide per-term.  The scoring
+    join streams the tf table against the BROADCAST query-term table
+    (eval-set-sized), picks up idf from the BROADCAST df row for the
+    matched terms only, and aggregates per (query, doc); top-3 is a
+    per-query row_number window.
 
     100 TB shape: tf is the only corpus-scale shuffle (keyed (doc, term) —
     no Zipf hot key, the doc id spreads it); df restricted to query terms is
@@ -932,34 +934,44 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_q = (F.col("doc_id") % _BM25_MOD == _BM25_REM) & (
         F.col("doc_id") < _BM25_MAX_QID
     )
-    # persisted: tf feeds THREE consumers (per-doc stats, df, scoring) and
-    # qterms two (vocab semi-filter, scoring) — without the persist each
-    # consumer re-scans and re-explodes the corpus (measured 6 parquet scans
-    # / 15 exchanges; 2 scans persisted). tf is the aggregated posting
-    # table, far smaller than the raw token stream it replaces.
+    # persisted: tf feeds TWO consumers (df, scoring) and qterms two (vocab
+    # semi-filter, scoring) — without the persist each consumer re-scans and
+    # re-explodes the corpus (measured 6 parquet scans / 15 exchanges; 2
+    # scans persisted). tf is the aggregated posting table, far smaller than
+    # the raw token stream it replaces. r12 (guide §2.3, the
+    # decontaminate/span-op discipline): the per-(doc, term) aggregate — the
+    # ONLY corpus-scale exchange — and every downstream broadcast probe key
+    # on xxhash64(term) (8-byte key instead of the term string). A collision
+    # could only merge two terms' postings, which the DuckDB oracle (raw
+    # string joins) would flag.
     tf = (
         base.filter(~is_q)
-        .groupBy("doc_id", "dl", "term")
+        .groupBy("doc_id", "dl", F.xxhash64("term").alias("th"))
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
     qterms = (
         base.filter(is_q)
-        .select(F.col("doc_id").alias("query_id"), "term")
+        .select(F.col("doc_id").alias("query_id"), F.xxhash64("term").alias("th"))
         .distinct()
         .persist()
     )
-    perdoc = tf.groupBy("doc_id").agg(F.min("dl").alias("dl"))
-    stats = perdoc.agg(
+    # corpus stats straight from the un-exploded token table (r12, guide
+    # §2.4): n_docs/avgdl were a full groupBy(doc_id) of the tf table — a
+    # corpus-scale exchange — but every doc with a non-null token array
+    # contributes exactly one tf group with dl = size(t), so the same two
+    # numbers reduce from toks in one pass with no shuffle at all.
+    corpus_toks = toks.filter(~is_q).filter(F.col("t").isNotNull())
+    stats = corpus_toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     # df only matters for terms that appear in some query, but the count must
     # range over the WHOLE corpus posting list for those terms — restrict
     # AFTER grouping by joining the semi-filtered tf stream
-    qvocab = qterms.select("term").distinct()
-    tfq = tf.join(F.broadcast(qvocab), "term", "left_semi")
-    df = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qvocab = qterms.select("th").distinct()
+    tfq = tf.join(F.broadcast(qvocab), "th", "left_semi")
+    df = tfq.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -975,8 +987,8 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tfq.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df), "term")
+        tfq.join(F.broadcast(qterms), "th")
+        .join(F.broadcast(df), "th")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(weight).alias("raw"))
