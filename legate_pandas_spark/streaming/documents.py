@@ -433,13 +433,19 @@ def _row_minhash_sig(docs: DataFrame, *keep: str, guard: bool = False) -> DataFr
     the signature, like _corpus_minhash on the batch side."""
     from legate_pandas_spark.operators.dedup import shingles_col, tokens_col
 
-    toks = tokens_col(F.col("text"))
+    # materialize the token array once per row BEFORE the shingle lambda
+    # (the _doc_shingles discipline): referencing the split expression inside
+    # the HOF lambda re-splits the text per element in interpreted eval —
+    # O(tokens^2) regex work per document (r12: measured 1.6s of
+    # ingest_tag_report's 2.4s was exactly this)
+    tokenized = docs.select(*keep, tokens_col(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     if guard:
-        shingled = docs.select(
+        shingled = tokenized.select(
             *keep, F.when(F.size(toks) >= 3, shingles_col(toks)).alias("_sh")
         )
     else:
-        shingled = docs.where(F.size(toks) >= 3).select(
+        shingled = tokenized.where(F.size(toks) >= 3).select(
             *keep, shingles_col(toks).alias("_sh")
         )
     hashed = shingled.select(
