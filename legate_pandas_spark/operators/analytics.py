@@ -161,19 +161,26 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both wrong for "n_orders" and a pair-volume blowup at scale — the
     pre-aggregation is a map-side-combinable shuffle that the quadratic
     stage then never sees)."""
-    li = (
+    # r12 (guide §2.4): one collect_set aggregate per order replaces the
+    # distinct + self-join — the basket arrives as a ≤7-element array and
+    # the k² pair expansion happens in-plan (nested transform/filter), so
+    # the whole query is TWO exchanges (basket agg, pair count) and no join.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x: F.transform(
+                F.filter(F.col("ps"), lambda y: y > x),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.part_a"), F.col("p.part_b")
     )
     return (
         pairs.groupBy("part_a", "part_b")
