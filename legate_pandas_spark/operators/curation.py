@@ -1599,6 +1599,11 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
     )
+    # r12 (guide §2.3, the decontaminate discipline): the gram text never
+    # reaches the output — every shuffle/probe keys on xxhash64(gram)
+    # (8-byte keys instead of ~25-byte gram strings). A collision could only
+    # merge two grams' df counts within a source, which the raw-string
+    # DuckDB oracle would flag.
     grams = outer_explode(
         toks.filter(F.size("t") >= _BP_N).select(
             "doc_id", "source", _word_ngrams(F.col("t"), _BP_N).alias("gs")
@@ -1607,17 +1612,17 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         "doc_id",
         "source",
-    )
+    ).select("doc_id", "source", F.xxhash64("g").alias("gh"))
     src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
-    df = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    df = grams.groupBy("source", "gh").agg(F.count(F.lit(1)).alias("c"))
     bp = (
         df.join(F.broadcast(src), "source")
         .filter(F.col("c") * F.lit(1.0) / F.col("nd") >= _BP_MIN_DF_RATIO)
-        .select("source", "g")
+        .select("source", "gh")
         .withColumn("__bp__", F.lit(True))
     )
     return (
-        grams.join(bp, ["source", "g"], "left")
+        grams.join(bp, ["source", "gh"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total_ngrams"),
