@@ -423,9 +423,15 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the gram key EQUALS the distinct-doc count — one explode, one
     # shuffle on g (window), one per-doc aggregate; no self-join, and the
     # gram expression is computed exactly once
-    exploded = outer_explode(grams, "gs", "g", "doc_id")
+    # r12 (guide §2.3): the gram text never reaches the output — the window
+    # partitions (hash-shuffles AND sorts) on xxhash64(gram) instead of the
+    # ~25-byte gram string. A collision could only merge two grams' doc
+    # counts, which the raw-string DuckDB oracle would flag.
+    exploded = outer_explode(grams, "gs", "g", "doc_id").select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
     windowed = exploded.withColumn(
-        "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("gh"))
     )
     per_doc = windowed.groupBy("doc_id").agg(
         F.sum((F.col("nd") >= 2).cast("int")).cast("bigint").alias("dup_ngrams"),
