@@ -204,17 +204,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id", "lang", "band", _word_ngrams(F.col("t"), _J_N).alias("gs")
     )
+    # r12 (the _containment_pairs discipline): the self-join equi-key is
+    # xxhash64(lang, band, gram) — one 8-byte shuffle key instead of three
+    # columns carrying a multi-word gram string; a collision could only
+    # perturb one isect count, which the raw-string DuckDB oracle would flag
     exploded = outer_explode(
         grams, "gs", "g", "doc_id", "lang", "band", F.size("gs").alias("sz")
-    )
+    ).select("doc_id", "sz", F.xxhash64("lang", "band", "g").alias("gh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.g") == F.col("b.g"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
