@@ -442,7 +442,12 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = outer_explode(
         docs, F.split(F.trim(F.col("text")), r"\s+"), "w"
     ).filter(F.col("w") != "")
-    tok = tok.persist()  # consumed by the exact pass and the sketch pass
+    # NOT persisted (r12): the two consumers (exact pass, sketch pass) each
+    # re-run one cheap codegen scan+split. Persisting the EXPLODED token
+    # stream materializes the whole corpus (MEMORY_AND_DISK spills it all at
+    # scale) to save exactly that pass — measured +0.1s locally to drop it
+    # (A/B 1.44 vs 1.55), accepted: a raw-token-stream cache is a
+    # local[32]-only win and the wrong trade at 100 TB (guide §5).
 
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     top10 = cnt.orderBy(F.desc("n"), F.asc("w")).limit(10)
