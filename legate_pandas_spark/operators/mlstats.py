@@ -73,7 +73,10 @@ def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    li.persist()
+    # NOT persisted (r12, the countmin trade): the sketch pass and the
+    # verification join each re-scan the column-pruned parquet slice — a
+    # cheap pushed-down read — instead of caching a raw fact slice that
+    # MEMORY_AND_DISK would spill wholesale at 100 TB (guide §5).
     eps = 1.0 / 10000
     sk = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50v"),
