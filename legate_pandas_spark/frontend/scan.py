@@ -286,11 +286,7 @@ def rank_column(
 
     sdf = _stabilize(sdf)
     bounds = _rank_boundaries(sdf, c)
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b < c))
-    else:
-        bucket = F.lit(0)
+    bucket = bucket_of(bounds, c)
     uniq = next(_seq)
     bkt = f"__rb_{uniq}__"
     bsdf = sdf.withColumn(bkt, F.when(c.isNotNull(), bucket))
@@ -473,7 +469,15 @@ def ordered_row_number(sdf, order_cols: list, out: str, partitions: int | None =
 
 def bucket_of(bounds: list, key):
     """Monotonic range-bucket id for ``key`` given driver-side splitter
-    boundaries (count of boundaries strictly below the key)."""
+    boundaries (count of boundaries strictly below the key).
+
+    The ``filter`` HOF is CodegenFallback, but its interpreted loop runs
+    over a primitive literal array and beats the codegen-able alternative:
+    a balanced CASE WHEN binary-search tree (6 comparisons per row instead
+    of 63) measured 1.36-1.42x SLOWER across the scan family (r12
+    interleaved A/B, tools/ab_bucket_r12.py) — the ~127-node WHEN tree costs
+    more per evaluation than the tight HOF loop, the same lesson as the
+    unrolled-dot negative result. Kept as the HOF on that evidence."""
     if not bounds:
         return F.lit(0)
     barr = F.array(*[F.lit(b) for b in bounds])
@@ -489,11 +493,7 @@ def keyed_cumsum(sdf, out: str, value, lead_key, order_cols):
     bucket-local running sum to the global one. No unpartitioned window; the
     only full-data movement is ONE hash shuffle on the bucket id."""
     bounds = _rank_boundaries(sdf, lead_key)
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b < lead_key))
-    else:
-        bucket = F.lit(0)
+    bucket = bucket_of(bounds, lead_key)
     uniq = next(_seq)
     bkt, car = f"__kb_{uniq}__", f"__kc_{uniq}__"
     bsdf = sdf.withColumn(bkt, bucket)

@@ -377,10 +377,14 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bkt)
         .agg(F.coalesce(F.sum("__s2__"), F.lit(0)).cast("long").alias(car))
     )
-    sized = tokenized.select(
-        "doc_id", "_n", F.explode(starts).alias("start")
+    # bucket computed BEFORE the chunk explode: one evaluation per doc, not
+    # one per chunk row (the r12 plan audit caught the splitter search being
+    # re-evaluated ~n/25 times per doc when it sat above the Generate)
+    sized = tokenized.withColumn(bkt, bucket).select(
+        "doc_id", "_n", bkt, F.explode(starts).alias("start")
     ).select(
         "doc_id",
+        F.col(bkt),
         ((F.col("start") - 1) / 25).cast("long").alias("chunk_idx"),
         (F.least(F.col("start") + 49, F.col("_n")) - F.col("start") + 1).alias(
             "chunk_tokens"
@@ -392,8 +396,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = (
-        sized.withColumn(bkt, bucket)
-        .join(F.broadcast(carry), bkt, "left")
+        sized.join(F.broadcast(carry), bkt, "left")
         .withColumn(
             "_cum",
             F.sum("chunk_tokens").over(w) + F.coalesce(F.col(car), F.lit(0)),
@@ -509,11 +512,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring with per-document top-3 terms (the classic relevance /
     keyword-extraction reduction).
 
-    Scale design: term frequency and document frequency are both map-side
-    combinable hash aggregates over one exploded token stream; the DF table is
-    vocab-sized and BROADCAST into the scoring join (Zipf head words are hot,
-    but a broadcast join has no skewed shuffle); top-3 is a per-doc
-    row_number window, parallel across docs with a total order tiebreak."""
+    Scale design: ONE corpus explode — term frequency is its map-side
+    combinable hash aggregate, and the other two statistics derive from
+    smaller tables instead of re-exploding (r12, guide §2.3/§2.4):
+    document frequency counts rows of the persisted tf table (tf rows ARE
+    the distinct (doc, term) pairs, so count-per-term == count_distinct of
+    docs — provably identical, and it replaces a corpus re-tokenize plus a
+    count_distinct Expand with a count over postings; the postings persist
+    is the bm25 precedent); the doc count aggregates doc_id straight off
+    the UN-exploded table (outer_explode preserves the doc_id set exactly,
+    so count_distinct there is the same number, with no tokenize at all).
+    The DF table is vocab-sized and BROADCAST into the scoring join (Zipf
+    head words are hot, but a broadcast join has no skewed shuffle); top-3
+    is a per-doc row_number window, parallel across docs with a total order
+    tiebreak."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -523,9 +535,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "doc_id",
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    n = words.agg(F.count_distinct("doc_id").alias("n"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n"))
     scored = (
         tf.join(F.broadcast(df), "w")
         .crossJoin(F.broadcast(n))
