@@ -27,10 +27,18 @@ def asof_join(
     by: str,
     right_value_cols: list[str],
     tolerance_seconds: float | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row with
     right.on <= left.on within the same `by` group (pandas merge_asof
-    semantics), optionally bounded by a tolerance."""
+    semantics), optionally bounded by a tolerance.
+
+    ``tiebreak_cols`` (right-side columns, ascending) totalize the order
+    among right rows sharing one (by, on) — the LAST row in that order wins,
+    so e.g. ``["click_id"]`` selects max(click_id) among ties WITHOUT a
+    pre-aggregation exchange (the window absorbs the reduction; r12). Left
+    rows carry NULL in these columns, and NULLS FIRST keeps them ordered
+    after every same-timestamp right row via the _side key alone."""
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))
     tagged_r = right.select(
@@ -40,9 +48,12 @@ def asof_join(
     ).withColumn("_side", F.lit(0))
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     # right rows sort before left rows at identical timestamps → "at-or-before"
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    if tiebreak_cols:
+        order += [F.col(c).asc_nulls_first() for c in tiebreak_cols]
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
@@ -95,10 +106,12 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie totalization (round-9, 10x-corpus gate finding): the as-of contract
     is underdetermined when several clicks share one (user, timestamp) —
-    each engine may surface a different one. Clicks are first reduced to ONE
-    row per (user, ts) (max event_id — 'latest recorded'), which makes the
-    query deterministic on ANY corpus; on tie-free data the reduction is an
-    exact no-op. Same total-order discipline as the window top-k queries."""
+    each engine may surface a different one. The window's tiebreak order
+    (click_id ascending, so the LAST tied row wins) selects max(event_id) —
+    'latest recorded' — making the query deterministic on ANY corpus. r12:
+    this replaced an equivalent groupBy(user, ts).agg(max) pre-reduction,
+    whose corpus-scale exchange the window absorbs for free (2→1 Exchange;
+    value-identical by the same max-tie rule, oracle-gated)."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -106,13 +119,16 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.round("value", 2).alias("purchase_value"),
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     joined = asof_join(
-        purchases, clicks, on="ts", by="user_id", right_value_cols=["click_id"]
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_value_cols=["click_id"],
+        tiebreak_cols=["click_id"],
     )
     return joined.select(
         "purchase_id", "user_id", "purchase_value", F.col("click_id").alias("last_click_id")

@@ -512,16 +512,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring with per-document top-3 terms (the classic relevance /
     keyword-extraction reduction).
 
-    Scale design: ONE corpus explode — term frequency is its map-side
-    combinable hash aggregate, and the other two statistics derive from
-    smaller tables instead of re-exploding (r12, guide §2.3/§2.4):
-    document frequency counts rows of the persisted tf table (tf rows ARE
-    the distinct (doc, term) pairs, so count-per-term == count_distinct of
-    docs — provably identical, and it replaces a corpus re-tokenize plus a
-    count_distinct Expand with a count over postings; the postings persist
-    is the bm25 precedent); the doc count aggregates doc_id straight off
+    Scale design (r12, guide §2.3/§2.4): document frequency counts rows of
+    the tf aggregate (tf rows ARE the distinct (doc, term) pairs, so
+    count-per-term == count_distinct of docs — provably identical; it
+    replaces a corpus re-tokenize plus a count_distinct Expand with a
+    count over postings — tf is recomputed for it rather than persisted:
+    the postings-cache materialization measured 1.34x worse at sf0.1, the
+    countmin persist lesson); the doc count aggregates doc_id straight off
     the UN-exploded table (outer_explode preserves the doc_id set exactly,
-    so count_distinct there is the same number, with no tokenize at all).
+    so count_distinct there is the same number, with no tokenize and no
+    text-column read at all).
     The DF table is vocab-sized and BROADCAST into the scoring join (Zipf
     head words are hot, but a broadcast join has no skewed shuffle); top-3
     is a per-doc row_number window, parallel across docs with a total order
@@ -535,7 +535,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "doc_id",
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count_distinct("doc_id").alias("n"))
     scored = (
