@@ -634,14 +634,16 @@ def exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the exact_substring_spans anchor pipeline (one posexplode, one
     gram-keyed aggregate + join back), anchors expanded to covered
-    positions (≤ k rows per anchor, distinct), LEFT-joined onto the full
-    position list on (doc, pos) — both sides hash-partition by doc for the
-    join and the final per-doc aggregate reuses that partitioning. The
-    cleaned text is rebuilt order-exact with a sorted struct collect (no
-    window, no second shuffle).
+    positions (≤ k rows per anchor), collapsed to ONE sorted cut-position
+    array per doc, LEFT-joined back at doc granularity (both sides already
+    hash-partitioned by doc — no new exchange). The cleaned text is rebuilt
+    order-exact in-plan by slicing the token array between consecutive cut
+    positions (zip_with over the cut array with 0 / n+1 sentinels) — no
+    corpus-wide posexplode, no (doc, pos) join, no collect of tokens.
 
     100 TB shape: linear in token volume; the only corpus-scale shuffles
-    are the gram aggregate and the doc-keyed join. Never doc×doc."""
+    are the gram aggregate and the doc-keyed join of position arrays.
+    Never doc×doc."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_parts = spark.sparkContext.defaultParallelism
     toks = docs.repartition(n_parts, "doc_id").select(
@@ -673,33 +675,45 @@ def exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gh")
     )
-    covered = (
+    # r12 rewrite (guide §2.3/§2.4): the old form posexploded the WHOLE
+    # corpus to (doc, pos, tok) rows, left-joined the covered positions and
+    # re-assembled every document with a corpus-wide
+    # collect_list(struct)+array_sort ObjectHashAggregate — every token of
+    # every doc passed through interpreted aggregation buffers. The covered
+    # set is the only thing that needs aggregating: collapse it to ONE
+    # sorted cut-position array per doc (positions only, never tokens),
+    # join it back at doc granularity (both sides already partitioned by
+    # doc_id — zero new exchange), and rebuild the cleaned text in-plan
+    # with slices between consecutive cut positions: zip_with over
+    # [0]+cps / cps+[n+1] emits each kept segment once, O(n + cuts) per
+    # doc with no membership probing, no sort, no final aggregate.
+    cov = (
         anchors.join(nd, "gh")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (_N - 1))).alias("pos"),
         )
-        .distinct()
-        .withColumn("cut", F.lit(True))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("cps"))
     )
-    positions = toks.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    flagged = positions.join(covered, ["doc_id", "pos"], "left").select(
-        "doc_id", "pos", "tok", F.coalesce(F.col("cut"), F.lit(False)).alias("cut")
+    out = toks.join(cov, "doc_id", "left")
+    n = F.size("t")
+    cps = F.coalesce(F.col("cps"), F.array().cast("array<int>"))
+    # cps is sorted & distinct, so every slice length (next_cut - prev_cut
+    # - 1) is >= 0 and ANSI slice never throws; consecutive cuts give
+    # zero-length slices, a cut at position n gives start n+1 length 0
+    kept = F.flatten(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), cps),
+            F.concat(cps, F.array(n + 1)),
+            lambda a, b: F.slice(F.col("t"), a + 1, b - a - 1),
+        )
     )
-    kept_sorted = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(~F.col("cut"), F.struct(F.col("pos"), F.col("tok")))
-            )
-        ),
-        lambda s: s["tok"],
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.col("cut").cast("int")).cast("bigint").alias("n_cut"),
-        F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_md5"),
+    return out.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("cps"), F.lit(0)).cast("bigint").alias("n_cut"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
 
 
