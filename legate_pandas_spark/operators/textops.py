@@ -109,7 +109,14 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality metrics: token count, stopword ratio, punctuation ratio,
     avg token length, and a combined [0,1] score — the standard pre-training
-    corpus filters, all as Catalyst expressions."""
+    corpus filters, all as Catalyst expressions.
+
+    Left as ONE Project deliberately (r12 negative result): the repeated
+    split/regex references across output columns are already shared by
+    codegen subexpression elimination — a staged-projection variant
+    measured 1.02x (no win) while paying an extra operator; staging only
+    pays when the duplication is CSE-unreachable (inside lambda bodies or
+    generator arguments, or a HOF result consumed by several columns)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
@@ -196,16 +203,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus normalization pipeline: lowercase → strip non-alphanumerics →
     tokenize → stopword removal → re-join. The canonical dedup/training-prep
-    preprocessing, entirely as JVM array expressions (zero UDFs)."""
+    preprocessing, entirely as JVM array expressions (zero UDFs).
+
+    r12: staged projections — the single-Project form inlined the
+    regex+split into every reference (the filter HOF is CodegenFallback,
+    outside codegen subexpression elimination), evaluating the tokenize 3x
+    and the stopword filter 2x per row. Materializing ``_toks`` then
+    ``_kept`` as multi-referenced non-cheap aliases (CollapseProject keeps
+    them un-inlined, the _row_minhash_sig discipline) evaluates each once."""
     docs = load_table(spark, sf_dir, "documents")
     cleaned = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " ")
     toks = F.split(F.trim(cleaned), r"\s+")
-    kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS["en"]))
-    return docs.select(
-        "doc_id",
-        F.array_join(kept, " ").alias("normalized"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.size(toks).cast("long").alias("n_orig"),
+    kept = F.filter(F.col("_toks"), lambda t: ~t.isin(*STOPWORDS["en"]))
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            kept.alias("_kept"),
+            F.size("_toks").cast("long").alias("n_orig"),
+        )
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("normalized"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            "n_orig",
+        )
     )
 
 
@@ -469,15 +491,21 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     split expression into every lambda reference (no CSE across lambdas), so
     the element_at form re-tokenizes the whole document per bigram —
     O(tokens²) per doc, measured 8× slower at sf0.1. Slices evaluate the split
-    a constant number of times per row."""
+    a constant number of times per row — and staging ``_toks`` as an
+    attribute first (r12) brings that constant down to one split per row
+    (the plan audit counted 4 inlined copies across the two slices and
+    their length bounds)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    staged = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    toks = F.col("_toks")
     n = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, n), F.slice(toks, 2, n), lambda a, b: F.concat_ws(" ", a, b)
     )
     return (
-        outer_explode(docs.filter(F.size(toks) >= 2), bigrams, "bigram")
+        outer_explode(staged, bigrams, "bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -722,7 +750,16 @@ _SQL_GOPHER = """
 def gopher_metric_exprs(text):
     """The six Gopher rule metrics as per-row Catalyst expressions over a
     text column (rounded exactly like the oracle). Shared by
-    gopher_quality_rules and the composed DSIR funnel (curation.py)."""
+    gopher_quality_rules and the composed DSIR funnel (curation.py).
+
+    Deliberately ONE inline expression set (r12 negative result): the
+    metrics reference the token/line split ~9 times between them, but
+    codegen subexpression elimination already shares those cross-column
+    repeats — a staged ``_gw``/``_gl`` attribute variant measured
+    1.12-1.23x SLOWER across gopher_quality_rules / the DSIR funnel /
+    ingest_tag_report (in-session interleaved A/B), the extra Project
+    paying an UnsafeArrayData materialization per row for duplication
+    that was never actually re-evaluated."""
     words = F.split(F.trim(text), r"\s+")
     lines = F.split(text, "\n")
     n_words = F.size(words)
