@@ -1091,7 +1091,7 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # --- probe: vectorized bitmap membership on JVM-computed positions ---
     @pandas_udf("boolean")
-    def might_contain(p0, p1, p2):
+    def _might_contain(p0, p1, p2):
         bm = np.frombuffer(bloom_bc.value, dtype=np.uint8)
         ok = np.ones(len(p0), dtype=bool)
         for p in (p0, p1, p2):
@@ -1099,15 +1099,24 @@ def bloom_prefilter_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
             ok &= (bm[pv >> 3] & (1 << (pv & 7)).astype(np.uint8)) != 0
         return pd.Series(ok)
 
-    cand = (
-        outer_explode(
-            grams.filter(F.col("doc_id") % _BENCH_MOD != 0), "gs", "g", "doc_id"
-        )
+    # nondeterministic mark (guide §4.4): as a deterministic filter on the
+    # join key the probe was COPIED to the bench side by constraint
+    # propagation — a second full ArrowEvalPython pass that by construction
+    # removes nothing (every bench gram is in the filter). The mark stops
+    # the optimizer duplicating it; the probe stays where it pays.
+    might_contain = _might_contain.asNondeterministic()
+
+    # probe BEFORE the distinct, explicitly: the optimizer used to place it
+    # there itself by pushing the deterministic filter down, but the
+    # nondeterministic mark freezes placement — so write the beneficial
+    # order (probe cuts the distinct's shuffle input) by hand
+    cand = outer_explode(
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0), "gs", "g", "doc_id"
+    ).select("doc_id", "g", *_bloom_positions(F.col("g")))
+    survivors = (
+        cand.filter(might_contain(*[F.col(c) for c in pos_cols]))
+        .select("doc_id", "g")
         .distinct()
-        .select("doc_id", "g", *_bloom_positions(F.col("g")))
-    )
-    survivors = cand.filter(might_contain(*[F.col(c) for c in pos_cols])).select(
-        "doc_id", "g"
     )
     # exact verify: no false negatives upstream, so this join IS the answer
     return (
