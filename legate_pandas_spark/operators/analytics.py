@@ -557,7 +557,16 @@ def pagerank(
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # deg's aggregate output IS the distinct-src set (one row per node): the
+    # node spine and the node count both derive from it, so the edge table
+    # is aggregated ONCE instead of three times (deg + nodes distinct +
+    # count distinct — guide §2.4, remove repeated passes outright). deg is
+    # node-sized, so the extra persist is bounded.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # fold the out-degree into the edge table ONCE — each iteration then needs
     # a single rank join instead of rank + degree joins over the edges
     wedges = (
@@ -566,13 +575,8 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes_nn = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                edges.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-            )
-        )
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

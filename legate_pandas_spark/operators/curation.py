@@ -1916,33 +1916,38 @@ def _dsir_parts(docs):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    rawc = cells.groupBy("b").agg(F.sum("cnt").alias("cr"))
-    tgtc = (
-        cells.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("cnt").alias("ct"))
-    )
-    tots = cells.agg(
-        F.sum("cnt").alias("r_tot"),
-        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("t_tot"),
-    )
-    lam = (
-        rawc.join(tgtc, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            F.round(
-                F.lit(1000000.0)
-                * F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (F.col("r_tot") + _DSIR_B)
-                    )
-                    * 1.0
-                    / ((F.col("cr") + 1) * (F.col("t_tot") + _DSIR_B))
-                )
-            )
-            .cast("bigint")
-            .alias("lam"),
+    # r12: the bucket model made THREE passes over the persisted cell table
+    # (rawc, tgtc, tots as separate aggregates); ONE groupBy(b) computes the
+    # raw and target counts together (tgtc's missing-bucket coalesce(ct,0)
+    # becomes the conditional sum's natural 0), and the corpus totals are its
+    # B-row re-aggregate — one cell pass total (guide §2.4). bmodel is
+    # persisted because lam and tots both consume it; it is bounded by
+    # B=2048 rows at any corpus size.
+    bmodel = (
+        cells.groupBy("b")
+        .agg(
+            F.sum("cnt").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+                "ct"
+            ),
         )
+        .persist()
+    )
+    tots = bmodel.agg(
+        F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot")
+    )
+    lam = bmodel.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                ((F.col("ct") + 1) * (F.col("r_tot") + _DSIR_B))
+                * 1.0
+                / ((F.col("cr") + 1) * (F.col("t_tot") + _DSIR_B))
+            )
+        )
+        .cast("bigint")
+        .alias("lam"),
     )
     return cells, lam, tots
 
@@ -2062,31 +2067,45 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text"
     )
     cells, lam, _tots = _dsir_parts(docs)
-    docw = (
-        docs.select("doc_id")
-        .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
-        .join(F.broadcast(lam), "b", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.coalesce(F.sum(F.col("cnt") * F.col("lam")), F.lit(0))
-            .cast("bigint")
-            .alias("logw_micro")
-        )
-    )
+    # r12: aggregate FIRST, attach the spine after (guide §2.3/§2.4). The old
+    # docw joined the doc spine onto the FULL cell table before the per-doc
+    # aggregate — a corpus-scale join that added nothing (cells already carry
+    # doc_id). Aggregating cells directly and left-joining the doc-count-sized
+    # score table onto the spine afterwards moves the join from cell
+    # granularity to doc granularity; a doc with no features (no alnum token)
+    # is absent from cells and coalesces to logw 0, exactly where the old
+    # left-join form put it.
+    docw = _dsir_docw(cells, lam)
     # the Gumbel key is a pure expression of doc_id — compute it inline on
     # the scored rows instead of joining a separate documents scan
     g = _dsir_gumbel_expr(F.col("doc_id"))
+    lw = F.coalesce(F.col("logw_micro"), F.lit(0)).cast("bigint")
     return (
-        docw.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        docs.select("doc_id", "source", "lang")
+        .join(docw, "doc_id", "left")
         .select(
             "doc_id",
             "source",
             "lang",
-            "logw_micro",
-            (F.col("logw_micro") + g).cast("bigint").alias("score_micro"),
+            lw.alias("logw_micro"),
+            (lw + g).cast("bigint").alias("score_micro"),
         )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(_DSIR_K)
+    )
+
+
+def _dsir_docw(cells, lam):
+    """Doc-count-sized integer log-weight table from the persisted cell
+    table: one broadcast model join + one per-doc aggregate, NO doc-spine
+    join (r12 — the spine attaches after aggregation at doc granularity;
+    see dsir_importance_resample). The model join is inner: lam covers every
+    bucket present in cells by construction, so no cell row is lost."""
+    return (
+        cells.select("doc_id", "b", "cnt")
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lam")).cast("bigint").alias("logw_micro"))
     )
 
 
@@ -2095,22 +2114,15 @@ def _dsir_selected_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     same persisted cell table, broadcast model, TakeOrderedAndProject)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     cells, lam, _tots = _dsir_parts(docs)
-    docw = (
-        docs.select("doc_id")
-        .join(cells.select("doc_id", "b", "cnt"), "doc_id", "left")
-        .join(F.broadcast(lam), "b", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.coalesce(F.sum(F.col("cnt") * F.col("lam")), F.lit(0))
-            .cast("bigint")
-            .alias("logw_micro")
-        )
-    )
-    score = (F.col("logw_micro") + _dsir_gumbel_expr(F.col("doc_id"))).cast(
-        "bigint"
-    )
+    docw = _dsir_docw(cells, lam)
+    score = (
+        F.coalesce(F.col("logw_micro"), F.lit(0))
+        + _dsir_gumbel_expr(F.col("doc_id"))
+    ).cast("bigint")
     return (
-        docw.select("doc_id", score.alias("score_micro"))
+        docs.select("doc_id")
+        .join(docw, "doc_id", "left")
+        .select("doc_id", score.alias("score_micro"))
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(_DSIR_K)
         .select("doc_id")
