@@ -42,7 +42,15 @@ _TUNED_CONF = {
         "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
     ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    "spark.sql.shuffle.partitions": "32",
+    # scale-adaptive, not a local[32] constant (guide §2.2): one shuffle
+    # partition per core locally (AQE coalesces below that when stages are
+    # tiny); on a cluster this should be 2-3x total cores — override via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS. At the default 32-core bench this
+    # resolves to the same 32 the driver has always measured.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    ),
     # let a join reuse children already hash-partitioned on a SUBSET of its
     # keys (e.g. the mortgage combine merge on (loan, year, month) over two
     # frames both hash(loan)) instead of re-exchanging both sides — the
@@ -85,8 +93,12 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # local[k] test scale: 200 default shuffle partitions is pure overhead
-        "spark.sql.shuffle.partitions": "32",
+        # local[k] test scale: 200 default shuffle partitions is pure
+        # overhead; one per core, env-overridable (see _TUNED_CONF)
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        ),
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.join.preferSortMergeJoin": os.environ.get(
             "SPARK_GRAFT_PREFER_SMJ", "false"

@@ -64,12 +64,16 @@ BUDGETS = {
     # python 0 -> 5: deliberate r12 Arrow vector kernels (signatures + norms +
     # pair dots; interleaved A/B 0.50x — OPTIMIZATION_r12.md "Arrow kernels")
     "dedup_cosine_blocked_lsh_approx": {"exchange": 6, "sort": 8, "generate": 4, "python": 5, "join": 4},
-    "pagerank_two_iter": {"exchange": 45, "sort": 8, "generate": 0, "python": 0, "join": 53},
+    # r12 session 3: node spine + count derive from the degree aggregate
+    # (exchange 45->42, join 53->50 in doubled units)
+    "pagerank_two_iter": {"exchange": 42, "sort": 8, "generate": 0, "python": 0, "join": 50},
     # r12: self-join -> collect_set basket + in-plan pair explode (exchange
     # 6->4, join 4->0, generate 0->2 — OPTIMIZATION_r12.md "market_basket")
     "market_basket_pairs": {"exchange": 4, "sort": 0, "generate": 2, "python": 0, "join": 0},
     "boilerplate_ngram_ratio": {"exchange": 6, "sort": 0, "generate": 4, "python": 0, "join": 8},
-    "dsir_gopher_dedup_funnel": {"exchange": 19, "sort": 4, "generate": 5, "python": 0, "join": 20},
+    # r12 session 3: one-pass bucket model + aggregate-before-spine-join
+    # (generate 5->4, join 20->16 in doubled units)
+    "dsir_gopher_dedup_funnel": {"exchange": 19, "sort": 4, "generate": 4, "python": 0, "join": 16},
     "sort_micro_checksum": {"exchange": 4, "sort": 2, "generate": 0, "python": 0, "join": 4},
     "label_propagation_communities": {"exchange": 66, "sort": 36, "generate": 0, "python": 0, "join": 74},
     "exact_substring_spans": {"exchange": 6, "sort": 2, "generate": 4, "python": 0, "join": 4},
