@@ -238,7 +238,26 @@ def main() -> int:
             pass
         return out
 
-    machine_state = {"input_bytes_warmed": warmed_bytes, **_meminfo()}
+    # host token (ADVICE r12): cross-host totals are not comparable on these
+    # shared VMs — record where the artifact was measured so a reviewer can
+    # tell a host change from a code change.
+    import platform
+
+    cpu_model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    machine_state = {
+        "input_bytes_warmed": warmed_bytes,
+        "host": platform.node(),
+        "cpu_model": cpu_model,
+        **_meminfo(),
+    }
 
     # Three timed passes over the whole set, each in a different (seeded,
     # reproducible) order, per-query best-of-3: interleaving passes decorrelates
@@ -246,17 +265,20 @@ def main() -> int:
     # cross-round deltas on untouched queries reflect code, not slot noise.
     import random
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for i in range(3):
         order = HEADLINE[:]
         random.Random(1000 + i).shuffle(order)
         for name in order:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            if name not in timings or el < timings[name]:
-                timings[name] = el
-    timings = {n: round(t, 3) for n, t in timings.items()}
+            samples[name].append(time.time() - t0)
+    # `queries` stays per-query best-of-3 (unchanged methodology since r11 —
+    # round-over-round comparable); `queries_median` is an ADDITIVE key
+    # (VERDICT r12 Next #1): the median resists one-sided load spikes, and
+    # the best/median gap per query is a published noise band for the run.
+    timings = {n: round(min(s), 3) for n, s in samples.items() if s}
+    medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items() if s}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -264,6 +286,9 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
+        "n_passes": 3,
         # headline set GROWS per round — compare per-query times across rounds,
         # not totals (r1: 40 queries, r2: 59)
         "n_queries": len(timings),

@@ -204,19 +204,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id", "lang", "band", _word_ngrams(F.col("t"), _J_N).alias("gs")
     )
-    # r12 (the _containment_pairs discipline): the self-join equi-key is
-    # xxhash64(lang, band, gram) — one 8-byte shuffle key instead of three
-    # columns carrying a multi-word gram string; a collision could only
-    # perturb one isect count, which the raw-string DuckDB oracle would flag
+    # r12 (the _containment_pairs discipline): the self-join key leads with
+    # xxhash64(lang, band, gram) — an 8-byte hash a hash-join probe can
+    # compare first. r13 (VERDICT r12 #3): the raw (lang, band, g) triple is
+    # verified in the same join condition, so a 64-bit collision (expected
+    # at ~100 TB gram cardinalities) cannot inflate a pair's isect count;
+    # the build/probe still short-circuits on the hash.
     exploded = outer_explode(
         grams, "gs", "g", "doc_id", "lang", "band", F.size("gs").alias("sz")
-    ).select("doc_id", "sz", F.xxhash64("lang", "band", "g").alias("gh"))
+    ).select(
+        "doc_id", "sz", F.xxhash64("lang", "band", "g").alias("gh"),
+        "lang", "band", "g",
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -426,15 +434,27 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle on g (window), one per-doc aggregate; no self-join, and the
     # gram expression is computed exactly once
     # r12 (guide §2.3): the gram text never reaches the output — the window
-    # partitions (hash-shuffles AND sorts) on xxhash64(gram) instead of the
-    # ~25-byte gram string. A collision could only merge two grams' doc
-    # counts, which the raw-string DuckDB oracle would flag.
-    exploded = outer_explode(grams, "gs", "g", "doc_id").select(
-        "doc_id", F.xxhash64("g").alias("gh")
-    )
-    windowed = exploded.withColumn(
-        "nd", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    )
+    # partitions on xxhash64(gram) leading the key. r13 (VERDICT r12 #3):
+    # the raw gram is the second partition column, so a 64-bit hash
+    # collision (expected at ~100 TB gram cardinalities) cannot merge two
+    # grams' doc counts — the shuffle still routes by the 8-byte hash; raw
+    # compares only happen on hash-equal runs inside each partition's sort.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_AB") == "0":  # r13 A/B: old hash-only key
+        exploded = outer_explode(grams, "gs", "g", "doc_id").select(
+            "doc_id", F.xxhash64("g").alias("gh")
+        )
+        windowed = exploded.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+    else:
+        exploded = outer_explode(grams, "gs", "g", "doc_id").select(
+            "doc_id", F.xxhash64("g").alias("gh"), "g"
+        )
+        windowed = exploded.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
+        )
     per_doc = windowed.groupBy("doc_id").agg(
         F.sum((F.col("nd") >= 2).cast("int")).cast("bigint").alias("dup_ngrams"),
         F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
@@ -1535,9 +1555,9 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     document-frequency falls off exponentially with W, which is exactly why
     production uses wide windows; if a corpus carried pathological verbatim
     boilerplate the same capped-posting + exact-recount guard as
-    dedup_containment_pairs applies, keyed per (window, bench_id). At
-    production scale key the join on xxhash64(window) (8-byte shuffle key
-    instead of a ~60-byte string) with post-join text verification."""
+    dedup_containment_pairs applies, keyed per (window, bench_id). The join
+    keys on xxhash64(window) (8-byte probe key instead of a ~60-byte string)
+    with post-join text verification — exactly the production recipe."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     wins_arr = F.transform(
@@ -1552,18 +1572,40 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     is_bench = F.col("doc_id") % _SUB_MOD == _SUB_MOD - 2
     # r12 (guide §2.3, the exact_substring_spans discipline): the join key is
     # xxhash64(window) — an 8-byte probe/broadcast key instead of a ~60-byte
-    # window string. A collision could only ADD a false (doc, bench) pair,
-    # which the DuckDB oracle (raw-string join) would flag.
+    # window string. r13 (VERDICT r12 #3): the broadcast side also carries
+    # the raw window and the join re-checks string equality — at ~100 TB
+    # (≳2^32 distinct windows) a 64-bit birthday collision is EXPECTED and
+    # would silently add a false (doc, bench) contamination pair; the raw
+    # re-check costs nothing on the corpus side (w is already computed to be
+    # hashed, and the corpus stream is never shuffled — broadcast join).
     bench = (
         wins.filter(is_bench)
-        .select(F.col("doc_id").alias("bench_id"), F.xxhash64("w").alias("wh"))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.xxhash64("w").alias("wh"),
+            F.col("w").alias("bw"),
+        )
         .distinct()
     )
     corp = wins.filter(~is_bench).select(
-        "doc_id", "pos", F.xxhash64("w").alias("wh")
+        "doc_id", "pos", F.xxhash64("w").alias("wh"), "w"
     )
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_AB") == "0":  # r13 A/B: old hash-only
+        return (
+            corp.drop("w")
+            .join(F.broadcast(bench.drop("bw")), "wh")
+            .groupBy("doc_id", "bench_id")
+            .agg(
+                F.count(F.lit(1)).alias("matched_windows"),
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + (_SUB_W - 1)).alias("span_end"),
+            )
+        )
     return (
         corp.join(F.broadcast(bench), "wh")
+        .filter(F.col("w") == F.col("bw"))
         .groupBy("doc_id", "bench_id")
         .agg(
             F.count(F.lit(1)).alias("matched_windows"),
@@ -1630,11 +1672,13 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
     )
-    # r12 (guide §2.3, the decontaminate discipline): the gram text never
-    # reaches the output — every shuffle/probe keys on xxhash64(gram)
-    # (8-byte keys instead of ~25-byte gram strings). A collision could only
-    # merge two grams' df counts within a source, which the raw-string
-    # DuckDB oracle would flag.
+    # r12 (guide §2.3, the decontaminate discipline): every shuffle/probe
+    # keys on xxhash64(gram) — 8-byte hash leading the key. r13 (VERDICT r12
+    # #3): the raw gram rides along in the df group key and the join-back
+    # key, so a 64-bit collision (expected at ~100 TB gram cardinalities)
+    # can no longer merge two grams' df counts or mark a non-boilerplate
+    # gram hot — the hash still leads the shuffle key, raw equality is only
+    # checked on hash-equal runs.
     grams = outer_explode(
         toks.filter(F.size("t") >= _BP_N).select(
             "doc_id", "source", _word_ngrams(F.col("t"), _BP_N).alias("gs")
@@ -1643,17 +1687,24 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         "doc_id",
         "source",
-    ).select("doc_id", "source", F.xxhash64("g").alias("gh"))
+    ).select("doc_id", "source", F.xxhash64("g").alias("gh"), "g")
+    import os as _os
+
+    _keys = (
+        ["source", "gh"]
+        if _os.environ.get("SPARK_GRAFT_AB") == "0"  # r13 A/B: old hash-only
+        else ["source", "gh", "g"]
+    )
     src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
-    df = grams.groupBy("source", "gh").agg(F.count(F.lit(1)).alias("c"))
+    df = grams.groupBy(*_keys).agg(F.count(F.lit(1)).alias("c"))
     bp = (
         df.join(F.broadcast(src), "source")
         .filter(F.col("c") * F.lit(1.0) / F.col("nd") >= _BP_MIN_DF_RATIO)
-        .select("source", "gh")
+        .select(*_keys)
         .withColumn("__bp__", F.lit(True))
     )
     return (
-        grams.join(bp, ["source", "gh"], "left")
+        grams.join(bp, _keys, "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total_ngrams"),

@@ -952,8 +952,9 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-9 decimal discipline does not apply to bounded log-sums).
 
     Spark plan: one exploded token stream feeds (a) the per-(doc, term) tf
-    hash aggregate (map-side combinable, keyed on xxhash64(term) — 8-byte
-    shuffle keys) and (b) the benchmark slice's distinct query terms.
+    hash aggregate (map-side combinable, keyed on xxhash64(term) leading the
+    group key, pre-filtered to query-vocab hashes by a broadcast left-semi
+    BELOW the aggregate) and (b) the benchmark slice's distinct query terms.
     Corpus stats (N, avgdl) reduce straight from the un-exploded token
     table in one shuffle-free pass — sum in BIGINT then ONE division,
     bit-identical across engines.  df is corpus-wide per-term.  The scoring
@@ -962,11 +963,13 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched terms only, and aggregates per (query, doc); top-3 is a
     per-query row_number window.
 
-    100 TB shape: tf is the only corpus-scale shuffle (keyed (doc, term) —
-    no Zipf hot key, the doc id spreads it); df restricted to query terms is
+    100 TB shape: tf is the only corpus-scale exchange, and the broadcast
+    vocab semi below it cuts its input to eval-vocab-matched tokens (keyed
+    (doc, term) — no Zipf hot key, the doc id spreads it); df is
     eval-vocab-sized; everything after the broadcast join is linear in the
     number of (query-term, corpus-doc) postings — the same inverted-index
-    volume a search engine scans for these queries."""
+    volume a search engine scans for these queries. Every hash-keyed join/
+    group carries the raw term for post-hash verification (VERDICT r12 #3)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -986,25 +989,50 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: tf feeds TWO consumers (df, scoring) and qterms two (vocab
     # semi-filter, scoring) — without the persist each consumer re-scans and
     # re-explodes the corpus (measured 6 parquet scans / 15 exchanges; 2
-    # scans persisted). tf is the aggregated posting table, far smaller than
-    # the raw token stream it replaces. r12 (guide §2.3, the
-    # decontaminate/span-op discipline): the per-(doc, term) aggregate — the
-    # ONLY corpus-scale exchange — and every downstream broadcast probe key
-    # on xxhash64(term) (8-byte key instead of the term string). A collision
-    # could only merge two terms' postings, which the DuckDB oracle (raw
-    # string joins) would flag.
-    tf = (
-        base.filter(~is_q)
-        .groupBy("doc_id", "dl", F.xxhash64("term").alias("th"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+    # scans persisted). r12 (guide §2.3): shuffles/broadcast probes key on
+    # xxhash64(term) (8-byte key). r13 (VERDICT r12 #3/#7):
+    #   (a) the broadcast qvocab left-semi moved BELOW the tf aggregate — the
+    #       exploded token stream is pre-filtered to eval-vocab-matched terms
+    #       before the only corpus-scale exchange, so tf shuffles postings of
+    #       query terms only (the semi is hash-only: for a true query term t
+    #       every corpus row of t carries t's hash, so no posting of t is
+    #       lost; a collision can only ADMIT extra rows, removed below);
+    #   (b) raw-term verification — the tf group key and every downstream
+    #       join key is (th, term), so the 8-byte hash leads the shuffle/
+    #       probe key but a hash collision between distinct terms can no
+    #       longer merge postings or match a query term it doesn't equal
+    #       (at ~100 TB, ≳2^32 distinct terms, a 64-bit birthday collision
+    #       is expected — hash-only keys silently corrupt there).
+    import os as _os
+
+    _ab_old = _os.environ.get("SPARK_GRAFT_AB") == "0"  # r13 A/B: r12 form
     qterms = (
         base.filter(is_q)
-        .select(F.col("doc_id").alias("query_id"), F.xxhash64("term").alias("th"))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.xxhash64("term").alias("th"),
+            *([] if _ab_old else ["term"]),
+        )
         .distinct()
         .persist()
     )
+    qvocab = qterms.select("th").distinct()
+    if _ab_old:
+        tf = (
+            base.filter(~is_q)
+            .groupBy("doc_id", "dl", F.xxhash64("term").alias("th"))
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+    else:
+        tf = (
+            base.filter(~is_q)
+            .withColumn("th", F.xxhash64("term"))
+            .join(F.broadcast(qvocab), "th", "left_semi")
+            .groupBy("doc_id", "dl", "th", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
     # corpus stats straight from the un-exploded token table (r12, guide
     # §2.4): n_docs/avgdl were a full groupBy(doc_id) of the tf table — a
     # corpus-scale exchange — but every doc with a non-null token array
@@ -1015,12 +1043,16 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # df only matters for terms that appear in some query, but the count must
-    # range over the WHOLE corpus posting list for those terms — restrict
-    # AFTER grouping by joining the semi-filtered tf stream
-    qvocab = qterms.select("th").distinct()
-    tfq = tf.join(F.broadcast(qvocab), "th", "left_semi")
-    df = tfq.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
+    # df counts the WHOLE corpus posting list per query term: the hash-only
+    # semi above keeps every posting of a query term (hash is a function of
+    # the term), so grouping the filtered tf by (th, term) is exact; rows a
+    # collision admitted form their own (th, term) group and never match a
+    # query term below.
+    if _ab_old:
+        tfq = tf.join(F.broadcast(qvocab), "th", "left_semi")
+        df = tfq.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        df = tf.groupBy("th", "term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -1035,9 +1067,10 @@ def bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
         )
     )
+    _jk = ["th"] if _ab_old else ["th", "term"]
     scored = (
-        tfq.join(F.broadcast(qterms), "th")
-        .join(F.broadcast(df), "th")
+        (tfq if _ab_old else tf).join(F.broadcast(qterms), _jk)
+        .join(F.broadcast(df), _jk)
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(weight).alias("raw"))
@@ -1229,23 +1262,37 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_ENCODE_K = 4
-_BPE_CHECKPOINT_EVERY = 8  # measured cadence — see SCALE.md round-10 BPE note
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the storage behind an eager
+    ``localCheckpoint`` DataFrame: ``DataFrame.unpersist`` is a no-op there
+    (no CacheManager entry — the data lives in the LogicalRDD's persisted
+    RDD blocks), so reach through to the RDD and unpersist it. Falls back to
+    the ContextCleaner's asynchronous GC if Spark internals move."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _bpe_learn_sym(sym0: DataFrame, k: int) -> DataFrame:
     """Run ``k`` merge-learning rounds over the symbol table with a BOUNDED
     driver and executor footprint (the production form of the 4-round loop):
 
-    - each round's merged table is persisted and eagerly materialized (one
-      vocab-sized job), then the PREVIOUS round's cache is released — at any
-      moment at most two vocab-sized tables are pinned (ADVICE r9: the
-      4-round form left every intermediate cached for the process lifetime);
-    - every ``_BPE_CHECKPOINT_EVERY`` rounds the lineage is truncated with an
-      eager ``localCheckpoint`` — without it the logical plan (3 nested
-      ``replace`` + a broadcast join per round) grows linearly and Catalyst
-      re-analyzes the whole chain each round, which becomes the binding
-      constraint long before the data does (driver-side, measured in
-      SCALE.md round-10).
+    - each round is truncated with an eager ``localCheckpoint`` — one
+      vocab-sized job — and the PREVIOUS round's checkpoint storage is
+      explicitly released, so at any moment at most two vocab-sized tables
+      are pinned (ADVICE r9);
+    - the truncation happens EVERY round (r13; was every 8 with persist in
+      between): Catalyst re-analysis of the accumulated chain (3 nested
+      ``replace`` + union/sort/crossJoin per round) is super-linear in
+      lineage depth — measured per round at sf0.001/local[8]: lineage 7-8
+      cost 17-28 s of pure driver planning per round vs 0.5 s at lineage 1;
+      the k=16 learn loop dropped 95 s -> 19 s with per-round truncation,
+      output value-identical. The data-side work is vocab-bounded at any k
+      either way; the driver plan is the binding constraint (guide §7.3,
+      SCALE.md round-10, re-measured round-13).
 
     The eager per-round action costs k vocab-sized jobs; the corpus-scale
     word-count shuffle behind sym0 runs exactly once (cached by round 0's
@@ -1253,14 +1300,15 @@ def _bpe_learn_sym(sym0: DataFrame, k: int) -> DataFrame:
     join (one table, vocab-sized)."""
     sym = sym0.persist()
     sym.count()  # materialize round 0 — the only corpus-scale shuffle
+    prev_is_ckpt = False
     for r in range(1, k + 1):
         nxt = _bpe_apply_merge(sym, _bpe_best_pair(_bpe_pair_counts(sym)))
-        if r % _BPE_CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=True)  # materialized; lineage cut
+        if prev_is_ckpt:
+            _release_local_checkpoint(sym)
         else:
-            nxt = nxt.persist()
-            nxt.count()
-        sym.unpersist()
+            sym.unpersist()
+        prev_is_ckpt = True
         sym = nxt
     return sym
 
@@ -1315,10 +1363,13 @@ def _bpe_sym_for(spark: SparkSession, sf_dir: str, k: int, sym0: DataFrame) -> D
     token = _corpus_snapshot_token(sf_dir, table="documents")
     hit = _BPE_SYM_CACHE.get(key)
     if hit is not None and hit[0] == token:
-        # persist() is idempotent and re-registers after a blanket clearCache()
-        return hit[1].persist()
+        # the memoized table is an eager localCheckpoint: its blocks are
+        # materialized RDD storage, not a CacheManager entry, so it needs no
+        # re-persist and survives a blanket clearCache() as-is
+        return hit[1]
     if hit is not None:
         hit[1].unpersist()
+        _release_local_checkpoint(hit[1])  # the learn loop ends checkpointed
     sym = _bpe_learn_sym(sym0, k)
     _BPE_SYM_CACHE[key] = (token, sym)
     return sym
@@ -1380,8 +1431,8 @@ _BPE_K16 = 16
 def bpe_encode_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-depth BPE training: learn 16 merges, then encode the corpus
     (VERDICT r9 Next #6 — real tokenizers train to a vocabulary TARGET, not a
-    fixed 4 rounds; 16 exercises the lineage-truncation checkpoint at
-    _BPE_CHECKPOINT_EVERY=8, which the 4-round form never reaches).
+    fixed 4 rounds; 16 exercises the per-round lineage truncation in
+    _bpe_learn_sym at depths the 4-round form never reaches).
 
     Same scale shape as bpe_encode_corpus: ONE corpus-scale word-count
     shuffle, then k vocab-sized rounds (pair aggregate -> broadcast 1-row

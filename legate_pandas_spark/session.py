@@ -42,15 +42,6 @@ _TUNED_CONF = {
         "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
     ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    # scale-adaptive, not a local[32] constant (guide §2.2): one shuffle
-    # partition per core locally (AQE coalesces below that when stages are
-    # tiny); on a cluster this should be 2-3x total cores — override via
-    # SPARK_GRAFT_SHUFFLE_PARTITIONS. At the default 32-core bench this
-    # resolves to the same 32 the driver has always measured.
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    ),
     # let a join reuse children already hash-partitioned on a SUBSET of its
     # keys (e.g. the mortgage combine merge on (loan, year, month) over two
     # frames both hash(loan)) instead of re-exchanging both sides — the
@@ -79,6 +70,18 @@ def get_spark(app_name: str = "legate_pandas_spark", cpus: int | None = None) ->
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     for k, v in _TUNED_CONF.items():
         builder = builder.config(k, v)
+    # scale-adaptive, not a local[32] constant (guide §2.2): one shuffle
+    # partition per core (AQE coalesces below that when stages are tiny); on
+    # a cluster this should be 2-3x total cores — override via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS. Resolved HERE from the same ``cpus``
+    # that sizes the master string (ADVICE r12: an explicit get_spark(cpus=N)
+    # caller gets N partitions, not the env default), env override winning.
+    # At the default 32-core bench this resolves to the same 32 the driver
+    # has always measured.
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)),
+    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

@@ -23,6 +23,21 @@ def catalog():
     return QUERIES
 
 
+@pytest.fixture(scope="module")
+def catalog_plans(catalog, spark, sf_dir):
+    """Simple-mode plan text for EVERY catalog query, computed once per
+    module: the two whole-catalog audits below each used to re-plan all ~206
+    queries themselves (~2 min each at local[8] — Catalyst planning is
+    driver-side and single-threaded), which was the suite's second-largest
+    cost after the BPE k16 parity row (round-13 verify-window fit)."""
+    plans = {}
+    for name, fn in sorted(catalog.items()):
+        df = fn(spark, sf_dir)
+        sdf = df._sdf if hasattr(df, "_sdf") else df
+        plans[name] = plan_text(sdf, mode="simple")
+    return plans
+
+
 def test_filter_pushdown_reaches_scan(catalog, spark, sf_dir):
     plan = plan_text(catalog["filter_project_pushdown"](spark, sf_dir))
     assert "PushedFilters:" in plan
@@ -56,11 +71,10 @@ def test_semi_anti_join_shapes(catalog, spark, sf_dir):
     assert "LeftAnti" in anti
 
 
-def test_no_accidental_cartesian(catalog, spark, sf_dir):
+def test_no_accidental_cartesian(catalog_plans):
     # crossJoin against a broadcast single-row frame is fine (BroadcastNestedLoop);
     # a CartesianProduct anywhere means a missing join condition.
-    for name, fn in sorted(catalog.items()):
-        plan = plan_text(fn(spark, sf_dir), mode="simple")
+    for name, plan in catalog_plans.items():
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
@@ -316,15 +330,12 @@ def test_value_counts_normalize_no_full_single_partition(spark):
     assert "Window" not in plan2
 
 
-def test_whole_catalog_no_full_single_partition(catalog, spark, sf_dir):
+def test_whole_catalog_no_full_single_partition(catalog_plans):
     """The unconditional claim: NO query in the catalog moves full rows through
     an unpartitioned exchange. Scalar 1-row aggregates (partial-agg-fed) are the
     only SinglePartition exchanges allowed anywhere."""
     failures = []
-    for name, fn in sorted(catalog.items()):
-        df = fn(spark, sf_dir)
-        sdf = df._sdf if hasattr(df, "_sdf") else df
-        plan = plan_text(sdf, mode="simple")
+    for name, plan in catalog_plans.items():
         try:
             assert_no_full_single_partition(plan, name)
         except AssertionError as e:
